@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the ``noop`` sink (computes every
+column, writes nothing) — ``count()`` would let Catalyst prune the very work
+being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_pipeline_excel_sql__spark.plans import QUERIES  # noqa: E402
+from etl_pipeline_excel_sql__spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the flagship pipeline, the scale-critical shuffles/joins,
+#: and one representative per operator family.
+BENCH_QUERIES = [
+    "download_pipeline",
+    "diff_cells",
+    "word_diff",
+    "agg_pricing_summary",
+    "join_multitable_revenue",
+    "window_rank_topk",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "window_agg_events",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "neardup_cosine",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_extract",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on a tiny query so bench numbers measure the
+    # queries, not JIT compilation of the scan pipeline.
+    QUERIES["filter_eq"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, name, SF_DIR), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall seconds at sf (local[{}])".format(
+                    spark.sparkContext.defaultParallelism
+                ),
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

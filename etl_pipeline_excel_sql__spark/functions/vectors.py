@@ -1,0 +1,75 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All expressions use an explicit left-fold with a 0.0 initial accumulator and
+per-element cast-to-double, so the floating-point evaluation order is fully
+specified — results are bit-identical across engines (the DuckDB oracle uses
+the same sequential fold), and no rounding fudge is ever needed for
+correctness comparison.
+
+Everything here is codegen'd array arithmetic: at 100 TB the similarity scan
+is embarrassingly parallel with zero shuffle until the top-k reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: ``sum_i a[i]*b[i]`` in doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with deterministic evaluation order."""
+    return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+def srp_signature(a: Column, bits: int, dims: int) -> Column:
+    """Signed-random-projection LSH signature (for ANN bucketing).
+
+    Hyperplane component (j, i) is a deterministic pseudo-random value in
+    [-0.5, 0.5) derived from md5 — reproducible anywhere, no stored model.
+    Returns a ``bits``-bit integer bucket id.
+    """
+
+    def plane_component(j: int, i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"srp:{j}:"), i.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % 100000).cast("double") / 100000.0 - 0.5
+
+    # Factory closure: a default-arg lambda would change the arity PySpark
+    # sees and rebind the captured variable to a generated column.
+    def _proj_lambda(j: int):
+        return lambda x, i: x.cast("double") * plane_component(j, i)
+
+    bit_cols = []
+    for j in range(bits):
+        proj = F.aggregate(
+            F.zip_with(a, F.sequence(F.lit(0), F.lit(dims - 1)), _proj_lambda(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(proj > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,113 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+**As-of join** (each left row matches the latest right row at-or-before its
+timestamp, per key) is implemented with the union-and-window technique — the
+scalable formulation:
+
+1. tag both sides and UNION them on (key, time);
+2. one window per key ordered by time carries the most recent right-side
+   attributes forward (``last(..., ignorenulls=True)``);
+3. keep only left rows.
+
+This costs exactly ONE shuffle (the window's partitionBy key) regardless of
+side sizes — versus the naive ``join + filter + row_number`` which shuffles
+the full M×N inequality-join intermediate. This is the same plan Flink's
+temporal join and kdb's aj execute.
+
+**Range join** is an equi-join on key plus an interval predicate; Spark
+evaluates the interval as a post-join filter within each key group, which is
+the right plan when keys are selective (here: per-order / per-user groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, latest right row with time ≤ left time.
+
+    ``direction='backward'`` only (the reference-free standard case).
+    Right-side ties on (key, time) resolve to the row that sorts last on the
+    value tuple — deterministic. Output: all left columns + ``right_values``.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+
+    # Right-side ties on (key, time) must resolve deterministically: keep the
+    # row with the greatest value tuple (arbitrary but stable convention).
+    tie_w = Window.partitionBy(key, right_time).orderBy(
+        *[F.col(v).desc() for v in right_values]
+    )
+    right = (
+        right.withColumn("__tie_rn", F.row_number().over(tie_w))
+        .filter(F.col("__tie_rn") == 1)
+        .drop("__tie_rn")
+    )
+
+    left_cols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left_cols).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_values).alias("s")).schema["s"].dataType
+        ).alias("__rvals"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*right_values).alias("__rvals"),
+    )
+    # Right rows sort before left rows at equal timestamps (__is_left asc) so
+    # a simultaneous right row IS visible to the left row (≤ semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "__asof", F.last("__rvals", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left_cols],
+        *[F.col("__asof")[v].alias(v) for v in right_values],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    time_left: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Equi-join on key with an interval predicate on the left's time column.
+
+    ``right.lower <= left.time <= right.upper`` — expressed declaratively so
+    Catalyst plans the equi-part as a hash join and the interval as a
+    residual filter (and can pick AQE skew handling on hot keys).
+    """
+    return left.join(
+        right,
+        on=(F.col(key_left) == F.col(key_right))
+        & (F.col(time_left) >= F.col(lower))
+        & (F.col(time_left) <= F.col(upper)),
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+* **Brute-force top-k** — the correctness baseline. Query set ⨯ corpus
+  cross join with the query side broadcast (queries are small by
+  construction), cosine as codegen'd array math, per-query top-k via a
+  rank window partitioned by query id. At 100 TB of corpus this is a
+  single embarrassingly-parallel scan: no corpus shuffle at all — the only
+  shuffle is the per-query top-k reduction, k rows per query per partition
+  after partial aggregation.
+* **IVF (inverted-file) probe** — the scale path. The corpus is
+  pre-partitioned into coarse cells (here: the embedding table's ``label``
+  column stands in for a trained k-means assignment; swapping in real
+  centroids is the same plan). A query first picks its ``nprobe`` nearest
+  cell centroids, then brute-forces only those cells — the scan shrinks by
+  ~ncells/nprobe. Centroids are a tiny aggregate, always broadcast.
+* **SRP-LSH bucketing** (in functions/vectors.py) — alternative scale path:
+  sign-random-projection buckets as a pre-filter, same join shape as the
+  MinHash band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.vectors import cosine, dot, l2_norm_sq
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: ``query_id, neighbor_id, cosine_sim, rank`` (self-matches
+    excluded). Ties break on neighbor id ascending — fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cell_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Per-cell mean vector: posexplode → mean per (cell, dim) → re-assemble.
+
+    One shuffle keyed on (cell, dim) — tiny. The mean is computed as
+    ``CAST(decimal_sum AS DOUBLE) / count`` so it is order-independent and
+    bit-reproducible (a double ``avg`` would vary with partition merge
+    order). ``sort_array(collect_list(...))`` re-assembles dimension order
+    deterministically.
+    """
+    exploded = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "val")
+    )
+    per_dim = exploded.groupBy("cell", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` nearest cells, brute-force inside.
+
+    Approximate (recall < 1 when the true neighbor lives in an unprobed
+    cell) but the corpus scan drops to ~nprobe/ncells of brute force.
+    Output schema matches :func:`brute_force_topk`.
+    """
+    cents = cell_centroids(corpus, cell_col, vec_col, dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__cell_sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("__cell_sim", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("__probe_rank") <= nprobe)
+        .select("query_id", "__qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, blocked by cell.
+
+    With ``block_col`` the pair space is per-cell (IVF-style blocking); pass
+    ``None`` for the exact all-pairs variant (only sane on small corpora or
+    after an LSH pre-filter).
+    """
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__block"))
+    base = corpus.select(*cols)
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__vec").alias("vec_a"),
+        *([F.col("__block")] if block_col else []),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__vec").alias("vec_b"),
+        *([F.col("__block")] if block_col else []),
+    )
+    joined = a.join(b, on="__block") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,359 @@
+"""Training-data pipeline queries (SURVEY.md §7 phase 5 / BASELINE north star).
+
+Dedup (exact, MinHash-LSH, SimHash, blocked n-gram Jaccard, embedding
+cosine), similarity search (brute-force + IVF), text analysis (language ID,
+quality, token counting, fingerprinting), and multimodal plumbing — each with
+a DuckDB oracle built from the same md5-based hash primitives and
+sequential-fold float math, so results are externally verifiable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.hashing import rolling_fingerprint
+from etl_pipeline_excel_sql__spark.functions.text import (
+    bpe_token_count,
+    lang_id,
+    quality_features,
+    ws_token_count,
+    ws_tokens,
+)
+from etl_pipeline_excel_sql__spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from etl_pipeline_excel_sql__spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from etl_pipeline_excel_sql__spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+# --- Spark queries ----------------------------------------------------------
+
+MINHASH_K = 6
+MINHASH_BAND_ROWS = 1
+MINHASH_THRESHOLD = 0.1
+NGRAM_THRESHOLD = 0.05
+COSINE_THRESHOLD = 0.3
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").cast("bigint").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", lang_id(ws_tokens(F.col("text"))).alias("pred_lang"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", rolling_fingerprint(ws_tokens(F.col("text"))).alias("fingerprint")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=2,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(
+        load_table(spark, "documents", sf_dir), "text", "doc_id", bits=32
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=NGRAM_THRESHOLD,
+    )
+
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(
+        load_table(spark, "embeddings", sf_dir),
+        threshold=COSINE_THRESHOLD,
+        block_col="label",
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+
+
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    return extract_features(media, fake=True).select(
+        "media_id", "n_bytes", "content_hash"
+    )
+
+
+# --- DuckDB oracle SQL ------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+_HASH60 = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+_MOD = 1 << 40
+
+_STOP = {
+    "en": "['the','a','of','and','to','in','is','on','for','with']",
+    "de": "['der','die','das','und','ist','von','mit','ein','zu','auf']",
+    "es": "['el','la','de','que','y','en','un','es','por','con']",
+    "fr": "['le','la','de','et','un','est','en','que','pour','dans']",
+}
+
+
+def _sw_hits(lang: str) -> str:
+    return f"len(list_filter(toks, t -> list_contains({_STOP[lang]}, t)))"
+
+
+def _cos_sql(a: str, b: str, dims: int = 64) -> str:
+    """Sequential-fold cosine — mirrors functions/vectors.py exactly."""
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    na = (
+        f"list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(0.0, list_transform({b}, "
+        f"x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _shingle_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(2)} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sigs AS (
+  SELECT doc_id, sh,
+    [{', '.join(
+        "list_min(list_transform(sh, s -> "
+        + _HASH60.format(e=f"concat('{i}:', s)") + "))"
+        for i in range(MINHASH_K)
+    )}] AS mh
+  FROM base
+), bands AS (
+  SELECT doc_id, sh, i AS band, CAST(mh[i + 1] AS VARCHAR) AS bucket
+  FROM sigs, UNNEST(range(0, {MINHASH_K})) AS t(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  len(list_intersect(sh_a, sh_b))::DOUBLE
+    / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE AS jaccard_sim
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+    / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE >= {MINHASH_THRESHOLD}
+"""
+
+_SIMHASH_SQL = f"""
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 32), j ->
+    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+  )) AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id,
+         list_transform({_TOKS}, t -> {_HASH60.format(e='t')}) AS hs
+  FROM documents
+)
+"""
+
+_NGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh,
+         toks[1] AS first_tok,
+         CAST(floor(len(toks) / 10) AS BIGINT) AS len_bucket
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.sh, b.sh))::DOUBLE
+    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard_sim
+FROM base a JOIN base b
+  ON a.first_tok = b.first_tok AND a.len_bucket = b.len_bucket
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
+"""
+
+_NEARDUP_COS_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+"""
+
+_ANN_BRUTE_SQL = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       {_cos_sql('q.embedding', 'c.embedding')} AS cosine_sim,
+       CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                     c.vec_id ASC) AS INT) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+CROSS JOIN embeddings c
+WHERE c.vec_id <> q.vec_id
+QUALIFY rank <= 10
+"""
+
+_ANN_IVF_SQL = f"""
+WITH cell_vecs AS (
+  SELECT label AS cell, list(embedding) AS vecs, COUNT(*) AS n
+  FROM embeddings GROUP BY label
+), cents AS (
+  SELECT cell,
+    list_transform(range(1, 65), i ->
+      CAST(list_sum(list_transform(vecs, v -> v[i]::DECIMAL(20,10))) AS DOUBLE) / n
+    ) AS centroid
+  FROM cell_vecs
+), probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, cents.cell
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY {_cos_sql('q.embedding', 'cents.centroid')} DESC, cents.cell ASC) <= 2
+)
+SELECT p.query_id, c.vec_id AS neighbor_id,
+       {_cos_sql('p.qvec', 'c.embedding')} AS cosine_sim,
+       CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY {_cos_sql('p.qvec', 'c.embedding')} DESC,
+                     c.vec_id ASC) AS INT) AS rank
+FROM probes p JOIN embeddings c ON c.label = p.cell
+WHERE c.vec_id <> p.query_id
+QUALIFY rank <= 5
+"""
+
+ORACLE: dict[str, str] = {
+    "text_token_count": f"""
+        SELECT doc_id,
+          CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+            AS n_bpe_tokens
+        FROM documents""",
+    "text_quality": f"""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+          CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+          CAST({_sw_hits('en')} AS DOUBLE)
+            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+    "text_lang_id": f"""
+        SELECT doc_id,
+          CASE
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+            WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'und'
+          END AS pred_lang
+        FROM (
+          SELECT doc_id,
+            {_sw_hits('de')} AS h_de, {_sw_hits('en')} AS h_en,
+            {_sw_hits('es')} AS h_es, {_sw_hits('fr')} AS h_fr
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )""",
+    "text_fingerprint": f"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform({_TOKS}, t -> {_HASH60.format(e='t')} % {_MOD})),
+            (a, b) -> (a * 31 + b) % {_MOD}) AS fingerprint
+        FROM documents""",
+    "dedup_exact": f"""
+        SELECT {_HASH60.format(e='text')} AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY 1""",
+    "dedup_minhash": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "neardup_cosine": _NEARDUP_COS_SQL,
+    "ann_brute_topk": _ANN_BRUTE_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
+    "multimodal_extract": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents""",
+}
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "neardup_cosine": q_neardup_cosine,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_extract": q_multimodal_extract,
+}

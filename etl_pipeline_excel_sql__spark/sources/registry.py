@@ -1,0 +1,106 @@
+"""Table sources.
+
+The reference's only scan is a full-table JDBC read of SQL Server
+(``SELECT * FROM Working_Table_Uploadtest_V2`` — reference Download.py:78-86,
+Upload.py:116-123) with the ministry filter applied *client-side afterwards*.
+Here scans are declarative: the caller composes ``.filter``/``.select`` on the
+returned DataFrame and Catalyst pushes predicates and column pruning into the
+source (JDBC query rewrite, or parquet row-group/page pruning) — strictly
+better than the reference's fetch-everything-then-filter at any scale.
+
+For the test corpus the "database table" is parquet at ``$sf_dir``; the JDBC
+path is the same API surface with options swapped.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one corpus table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read it as raw nanos (legacy long mode is on
+    in the session factory) and truncate to microseconds with integer
+    division (``div`` — a float division would lose precision above 2**53).
+    """
+    d = sf_dir or DEFAULT_SF_DIR
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{d}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every corpus table as a temp view for ``spark.sql`` use."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)
+
+
+@dataclass(frozen=True)
+class JdbcSource:
+    """Declarative JDBC source (reference Download.py:78-86 semantics).
+
+    The reference hardcodes a SQL Server DSN and pulls the whole table over
+    ODBC before filtering. This source instead:
+
+    * pushes filters/projections into the remote query (Catalyst JDBC
+      pushdown);
+    * reads in parallel via ``partitionColumn``/``numPartitions`` so a large
+      table lands as N concurrent range scans instead of one cursor;
+    * leaves credentials to options, never code.
+    """
+
+    url: str
+    table: str
+    options: dict[str, str] = field(default_factory=dict)
+    partition_column: str | None = None
+    num_partitions: int | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+        )
+        if self.partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", self.partition_column)
+                .option("numPartitions", str(self.num_partitions or 8))
+                .option("lowerBound", str(self.lower_bound or 0))
+                .option("upperBound", str(self.upper_bound or 1_000_000))
+            )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load()

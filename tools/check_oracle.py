@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each named Spark query and its DuckDB oracle on the same parquet
+tables, then compares row count, column-name set, and the order-insensitive
+multiset of (column-sorted) row values. Strict equality: floats must be
+bit-identical, decimals equal as ``decimal.Decimal``.
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.001] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from collections import Counter
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def canon(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("d", tuple(sorted((k, canon(x)) for k, x in v.items())))
+    if v is None:
+        return ("n",)
+    return ("s", str(v))
+
+
+def rows_to_multiset(cols: list[str], rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from etl_pipeline_excel_sql__spark.session import get_session
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    names = args.names or sorted(queries)
+
+    spark = get_session()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+
+        ok = True
+        msgs = []
+        if sorted(s_cols) != sorted(d_cols):
+            ok = False
+            msgs.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if ok:
+            ms, md = rows_to_multiset(s_cols, s_rows), rows_to_multiset(d_cols, d_rows)
+            if ms != md:
+                ok = False
+                only_s = list((ms - md).items())[:3]
+                only_d = list((md - ms).items())[:3]
+                msgs.append(f"values differ; spark-only={only_s} duck-only={only_d}")
+        dt = time.time() - t0
+        if ok:
+            print(f"OK   {name} ({len(s_rows)} rows, {dt:.1f}s)")
+        else:
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(msgs))
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
