@@ -54,10 +54,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one batch with
     ``availableNow``; a production deployment points this at a Kafka topic
     or a landing directory — everything downstream is identical)."""
+    # The file stream source requires a directory; pathGlobFilter narrows it
+    # to the events table (the corpus keeps one parquet file per table).
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,157 @@
+"""Operator tests: dedup family, as-of/range joins, ordering, similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.asof import asof_join, range_join
+from etl_pipeline_excel_sql__spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_rows,
+    simhash_signatures,
+)
+from etl_pipeline_excel_sql__spark.operators.ordering import categorical_order
+from etl_pipeline_excel_sql__spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different words entirely here now"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (5, "a b"),                                           # short doc
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keeper = {r.keeper_id: r.dup_count for r in out}
+    assert by_keeper[1] == 2          # docs 1 and 4 share a hash
+    assert sum(by_keeper.values()) == 5
+
+
+def test_shingle_rows_short_doc_whole_text(spark):
+    rows = shingle_rows(_docs(spark), "text", "doc_id", 3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["__id"], []).append(r["__sh"])
+    assert by_id[5] == ["a b"]        # < n tokens -> single whole-text shingle
+    assert "the quick brown" in by_id[1]
+    assert len(by_id[1]) == 7         # 9 tokens -> 7 trigrams
+
+
+def test_minhash_finds_near_and_exact_dups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", num_hashes=12, band_rows=2,
+        shingle_n=3, threshold=0.2,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs}
+    assert got[(1, 4)] == 1.0         # exact dup always collides
+    assert (1, 2) in got and 0.4 < got[(1, 2)] < 1.0
+    assert all(3 not in p and 5 not in p for p in got)
+
+
+def test_simhash_exact_dups_equal_neardups_close(spark):
+    sigs = {r.doc_id: r.simhash for r in
+            simhash_signatures(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[1] == sigs[4]
+    ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_ngram_jaccard_blocked(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in ngram_jaccard_pairs(
+        _docs(spark), "text", "doc_id", shingle_n=3, threshold=0.1).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 99, 100)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 300, "c"), (77, 1, "zz")],
+        "k long, rt long, val string",
+    )
+    out = {r.eid: r.val for r in asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_values=["val"]).collect()}
+    assert out == {1: "a", 2: "b", 3: None, 4: None}
+    # 1: rt=100 <= t=100 (inclusive); 3: nothing at-or-before; 4: no key match
+
+
+def test_asof_join_tie_resolution_deterministic(spark):
+    left = spark.createDataFrame([(1, 10, 100)], "eid long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 100, "x"), (10, 100, "y")], "k long, rt long, val string"
+    )
+    out = asof_join(left, right, "k", "t", "rt", ["val"]).collect()
+    assert out[0].val == "y"          # greatest value tuple wins
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame([(1, 10, 5), (2, 10, 15)], "id long, k long, t long")
+    right = spark.createDataFrame([(10, 0, 10)], "k2 long, lo long, hi long")
+    out = range_join(left, right, "k", "k2", "t", "lo", "hi").collect()
+    assert [r.id for r in out] == [1]
+
+
+def test_categorical_order(spark):
+    df = spark.createDataFrame(
+        [("x", 1), ("z", 2), ("y", 3), ("unlisted", 4)], "cat string, i int"
+    )
+    out = categorical_order(df, "cat", ["z", "x", "y"], tiebreak_cols=["i"]).collect()
+    assert [r.cat for r in out] == ["z", "x", "y"]
+    out2 = categorical_order(
+        df, "cat", ["z", "x"], tiebreak_cols=["i"], keep_unlisted=True
+    ).collect()
+    assert [r.cat for r in out2] == ["z", "x", "y", "unlisted"]
+
+
+def _embeddings(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [1.0, 0.05, 0.0, 0.0], 0),  # closest to 1
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_brute_force_topk(spark):
+    emb = _embeddings(spark)
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 1), k=2, dims=4
+    ).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(5, 1), (2, 2)]
+
+
+def test_ivf_topk_probes_nearest_cells(spark):
+    emb = _embeddings(spark)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 1), k=2, nprobe=1, dims=4
+    ).collect()
+    # nprobe=1 restricts to label-0 cell; both neighbors are in-cell anyway
+    assert [r.neighbor_id for r in out] == [5, 2]
+
+
+def test_cosine_neardup_pairs_blocked(spark):
+    emb = _embeddings(spark)
+    pairs = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(
+        emb, threshold=0.9, block_col="label", dims=4).collect()}
+    assert pairs == {(1, 2), (1, 5), (2, 5)}
