@@ -7,6 +7,7 @@ what ``__spark_entry__.py`` exposes to the driver's correctness harness.
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics_queries,
+    extended_queries,
     pipeline_queries,
     reference_queries,
 )
@@ -15,12 +16,14 @@ QUERIES = {
     **reference_queries.QUERIES,
     **analytics_queries.QUERIES,
     **pipeline_queries.QUERIES,
+    **extended_queries.QUERIES,
 }
 
 ORACLE = {
     **reference_queries.ORACLE,
     **analytics_queries.ORACLE,
     **pipeline_queries.ORACLE,
+    **extended_queries.ORACLE,
 }
 
 # Every oracle key must have a query; queries without an oracle get the

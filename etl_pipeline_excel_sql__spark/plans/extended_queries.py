@@ -1,0 +1,314 @@
+"""Extended analytics coverage: scalar function families, HAVING, set-op
+variants, limit/offset pagination, grouping sets, subqueries, exact
+percentiles, and the ``spark.sql`` SQL surface.
+
+Numeric-parity rules as in analytics_queries.py. Transcendentals (exp/log/
+pow) are deliberately absent from oracle-checked outputs — JVM and C libm
+differ in the last ulp; sqrt is IEEE-exact so it is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.cleaning import to_str
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+
+def q_filter_nonblank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 standalone: drop rows whose key is blank after to_str
+    (Compare.py:60-62). The corpus has no blanks — the expression is the
+    operator under test; row count equality is the assertion."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.filter(to_str(F.col("c_name")) != "").select("c_custkey", "c_name")
+
+
+def q_agg_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the written-rows tally / empty-test as a query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == 0).alias("is_empty"),
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("combined"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.col("o_orderpriority").like("%URGENT%").alias("is_urgent"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).alias("prio_num"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+def q_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.greatest("o_orderkey", "o_custkey").alias("max_key"),
+        F.least("o_orderkey", "o_custkey").alias("min_key"),
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return urgent.unionAll(big)  # duplicates preserved (distinct from set_union)
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (views registered per call)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(grouping_id() AS INT) AS grp_id
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM v_customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global mean price; the mean is a decimal-exact sum
+    over count so the comparison threshold is bit-identical to the oracle."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM v_orders
+        )
+        """
+    )
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles over an integral-valued column — interpolation of
+    integral doubles is exact in both engines, so values hash-match."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the at-scale counterpart of
+    agg_count_distinct. No SQL oracle (sketch internals are engine-
+    specific); the driver records a rows-only check, and
+    tests/test_extended.py bounds its error against the exact count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+def q_sql_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored query written entirely in SQL — demonstrates the
+    engine's SQL surface end-to-end (parse → plan → execute)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(6,4)))
+                    AS DECIMAL(38,6)) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date_str
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate  > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+ORACLE: dict[str, str] = {
+    "filter_nonblank": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE coalesce(trim(CAST(c_name AS VARCHAR)), '') <> ''""",
+    "agg_rowcount": """
+        SELECT COUNT(*) AS n_rows, COUNT(*) = 0 AS is_empty FROM lineitem""",
+    "string_funcs": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS prio_upper,
+               lower(o_orderstatus) AS status_lower,
+               substr(o_orderpriority, 1, 3) AS prio_prefix,
+               CAST(length(o_orderpriority) AS INT) AS prio_len,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS combined,
+               lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+               o_orderpriority LIKE '%URGENT%' AS is_urgent,
+               coalesce(regexp_extract(o_orderpriority, '^(\\d+)-', 1), '')
+                 AS prio_num
+        FROM orders""",
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS qty_dev,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               sqrt(l_quantity) AS qty_sqrt,
+               l_orderkey % 7 AS key_mod7,
+               CASE WHEN l_discount - 0.05 > 0 THEN CAST(1 AS DOUBLE)
+                    WHEN l_discount - 0.05 < 0 THEN CAST(-1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END
+                 AS disc_sign
+        FROM lineitem""",
+    "conditional_case": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'large'
+                    WHEN o_totalprice > 100000 THEN 'medium'
+                    ELSE 'small' END AS size_class,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+               greatest(o_orderkey, o_custkey) AS max_key,
+               least(o_orderkey, o_custkey) AS min_key
+        FROM orders""",
+    "having": """
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 15""",
+    "union_all": """
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000""",
+    "limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""",
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grp_id
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "subquery_in": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+    "scalar_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM orders)""",
+    "distinct_rows": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+    "percentile_exact": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag""",
+    # approx_distinct: deliberately no oracle (rows-only check)
+    "sql_topk_revenue": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(6,4)))
+                    AS DECIMAL(38,6)) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate  > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10""",
+}
+
+QUERIES = {
+    "filter_nonblank": q_filter_nonblank,
+    "agg_rowcount": q_agg_rowcount,
+    "string_funcs": q_string_funcs,
+    "math_funcs": q_math_funcs,
+    "conditional_case": q_conditional_case,
+    "having": q_having,
+    "union_all": q_union_all,
+    "limit_offset": q_limit_offset,
+    "grouping_sets": q_grouping_sets,
+    "subquery_in": q_subquery_in,
+    "scalar_subquery": q_scalar_subquery,
+    "distinct_rows": q_distinct_rows,
+    "percentile_exact": q_percentile_exact,
+    "approx_distinct": q_approx_distinct,
+    "sql_topk_revenue": q_sql_topk_revenue,
+}
