@@ -41,16 +41,26 @@ def brute_force_topk(
     Output: ``query_id, neighbor_id, cosine_sim, rank`` (self-matches
     excluded). Ties break on neighbor id ascending — fully deterministic.
     """
+    # Norms are per-vector: compute them once per side, not once per pair —
+    # cuts the pair-scoring arithmetic to a dot product plus one divide.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__cnorm"),
     )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"), dims))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qvec"), F.col("__cvec"), dims)
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -111,7 +121,9 @@ def ivf_topk(
     """
     cents = cell_centroids(corpus, cell_col, vec_col, dims)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__qnorm"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__cell_sim").desc(), F.col("cell").asc()
@@ -121,17 +133,22 @@ def ivf_topk(
         .withColumn("__cell_sim", cosine(F.col("__qvec"), F.col("centroid"), dims))
         .withColumn("__probe_rank", F.row_number().over(probe_w))
         .filter(F.col("__probe_rank") <= nprobe)
-        .select("query_id", "__qvec", "cell")
+        .select("query_id", "__qvec", "__qnorm", "cell")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__cnorm"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"), dims))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qvec"), F.col("__cvec"), dims)
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -157,24 +174,34 @@ def cosine_neardup_pairs(
     ``None`` for the exact all-pairs variant (only sane on small corpora or
     after an LSH pre-filter).
     """
-    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")]
+    cols = [
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__norm"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("__block"))
     base = corpus.select(*cols)
     a = base.select(
         F.col("__id").alias("id_a"),
         F.col("__vec").alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
         *([F.col("__block")] if block_col else []),
     )
     b = base.select(
         F.col("__id").alias("id_b"),
         F.col("__vec").alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
         *([F.col("__block")] if block_col else []),
     )
     joined = a.join(b, on="__block") if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b"), dims))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("vec_a"), F.col("vec_b"), dims)
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -39,14 +39,30 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the SQL confs our semantics depend on, whoever built the session.
+
+    Queries may be invoked with an externally-created SparkSession (the
+    verification driver does exactly that); these are runtime SQL confs, so
+    setting them here is safe and idempotent:
+
+    * ``nanosAsLong`` — events.ts is TIMESTAMP(NANOS) parquet, which the
+      vectorized reader otherwise rejects outright;
+    * UTC session timezone — timestamp→string rendering must not depend on
+      the host timezone (the oracle renders naive/UTC).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one corpus table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read it as raw nanos (legacy long mode is on
-    in the session factory) and truncate to microseconds with integer
-    division (``div`` — a float division would lose precision above 2**53).
+    ``events.ts`` is physically TIMESTAMP(NANOS); we read it as raw nanos
+    and truncate to microseconds with integer division (``div`` — a float
+    division would lose precision above 2**53).
     """
+    ensure_session_confs(spark)
     d = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

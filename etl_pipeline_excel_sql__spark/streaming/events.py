@@ -116,6 +116,16 @@ def sessionize_stream(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is re-read per micro-batch and broadcast (dimension-
+    sized); no state is kept, so this composes freely with downstream
+    watermarked aggregations.
+    """
+    return events.join(F.broadcast(dim), on=key, how="left")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

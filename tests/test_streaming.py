@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.plans.analytics_queries import (
     q_sessionize,
@@ -34,3 +35,91 @@ def test_sessionize_stream_equals_batch(spark, sf_dir):
         for r in q_sessionize(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+    from etl_pipeline_excel_sql__spark.streaming.events import enrich_stream
+
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = enrich_stream(read_events_stream(spark, sf_dir), dim, "user_id")
+    got = run_to_memory_sink(
+        stream.select("event_id", "user_id", "c_mktsegment"),
+        "enrich_test",
+        output_mode="append",
+    )
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .join(dim, on="user_id", how="left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving behind the watermark are dropped and never update state."""
+    import time as _time
+
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+        windowed_counts_stream,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def _write(events, name):
+        spark.createDataFrame(events, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    h = 3_600_000_000_000  # 1h in nanos
+    base = 1_700_000_000_000_000_000
+    # batch 1: events through hour 3 -> sets the watermark to hour 2
+    _write(
+        [
+            (1, base + 0 * h, 1, "click", 1.0, "{}"),
+            (2, base + 1 * h, 1, "click", 1.0, "{}"),
+            (3, base + 3 * h, 1, "click", 1.0, "{}"),
+        ],
+        "batch1",
+    )
+    _time.sleep(1.1)  # distinct modTime so file order is deterministic
+    # batch 2: on-time event — the advanced watermark takes effect AFTER the
+    # batch that computed it, so this batch makes it active
+    _write([(9, base + 3 * h + 1_000_000, 1, "click", 1.0, "{}")], "batch2")
+    _time.sleep(1.1)
+    # batch 3: a late event back in hour 0 — far behind the 1h watermark
+    _write([(4, base + 1, 1, "click", 1.0, "{}")], "batch3")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_counts_stream(events, watermark="1 hour", window="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_test").collect()
+    by_window: dict[str, list[int]] = {}
+    for r in rows:
+        by_window.setdefault(r.window_start, []).append(r.n_events)
+    # hour-0 window only ever saw event 1 — the late event 4 was dropped
+    # (no second update row for that window); hour-3 window updated 1 -> 2.
+    assert by_window[min(by_window)] == [1]
+    assert sorted(by_window[max(by_window)]) == [1, 2]
