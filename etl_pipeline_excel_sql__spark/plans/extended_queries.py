@@ -312,3 +312,152 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "sql_topk_revenue": q_sql_topk_revenue,
 }
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.to_timestamp(F.lit("2000-01-01")), "o_orderdate")
+        .cast("int")
+        .alias("days_to_y2k"),
+    )
+
+
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile / cume_dist in one pass.
+
+    percent_rank and cume_dist are ratios of small ints — exact doubles,
+    so they hash-match the oracle bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: top customers by revenue lost to returns."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization with exact-by-construction moments.
+
+    mean and E[x²] come from decimal sums (order-independent), variance and
+    z-score from single IEEE double ops — bit-identical to the oracle.
+    The Pandas-UDF twin of this operator is tested for near-equality in
+    tests/test_extended.py (vectorized path demo, SURVEY §2.11).
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus")
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    mean = F.sum(price_dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    mean_sq = (
+        F.sum((price_dec * price_dec).cast("decimal(30,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    var = mean_sq - mean * mean
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        ((F.col("o_totalprice") - mean) / F.sqrt(var)).alias("price_z"),
+    )
+
+
+ORACLE.update(
+    {
+        "date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(day(o_orderdate) AS INT) AS order_day,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT)
+                 AS days_to_y2k
+        FROM orders""",
+        "window_rank_family": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               percent_rank() OVER w AS prnk,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+        "returned_items_report": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(6,4)))
+                    AS DECIMAL(38,6)) AS lost_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_mktsegment
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20""",
+        "window_zscore": """
+        WITH stats AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+              / COUNT(*) OVER w AS mean,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                          * CAST(o_totalprice AS DECIMAL(12,2))
+                          AS DECIMAL(30,4))) OVER w AS DOUBLE)
+              / COUNT(*) OVER w AS mean_sq
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus)
+        )
+        SELECT o_orderkey, o_orderstatus,
+               (o_totalprice - mean) / sqrt(mean_sq - mean * mean) AS price_z
+        FROM stats""",
+    }
+)
+
+QUERIES.update(
+    {
+        "date_funcs": q_date_funcs,
+        "window_rank_family": q_window_rank_family,
+        "returned_items_report": q_returned_items_report,
+        "window_zscore": q_window_zscore,
+    }
+)

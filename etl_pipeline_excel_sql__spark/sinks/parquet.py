@@ -64,3 +64,29 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a directory into ~target-sized files.
+
+    Long-running ingestion (streaming sinks, frequent small batches) leaves
+    thousands of tiny files that wreck scan planning at scale; compaction
+    coalesces them based on the actual input byte size. Returns the file
+    count written. Narrow ``coalesce`` — no shuffle.
+    """
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(f"{in_path}/**/*.parquet", recursive=True)
+    )
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -23,3 +23,41 @@ def test_approx_distinct_error_bounded(spark, sf_dir):
     for flag, n in exact.items():
         # HLL++ default rsd is 5%; allow 3 sigma
         assert abs(approx[flag] - n) <= max(0.15 * n, 5), (flag, n, approx[flag])
+
+
+def test_zscore_pandas_udf_twin_matches_expressions(spark, sf_dir):
+    """SURVEY §2.11: the vectorized Pandas-UDF surface, demonstrated as a
+    grouped-map twin of the expression-based window_zscore query. Arrow
+    batches + numpy vectorization — the escape hatch for semantics the
+    built-ins can't express (numeric agreement to float tolerance; the
+    expression path is the oracle-exact one)."""
+    import pandas as pd
+
+    from etl_pipeline_excel_sql__spark.plans.extended_queries import q_window_zscore
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderstatus": pdf["o_orderstatus"],
+                "price_z": (v - v.mean()) / v.std(ddof=0),
+            }
+        )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    udf_out = {
+        r.o_orderkey: r.price_z
+        for r in o.groupBy("o_orderstatus")
+        .applyInPandas(zscore, "o_orderkey long, o_orderstatus string, price_z double")
+        .collect()
+    }
+    expr_out = {
+        r.o_orderkey: r.price_z for r in q_window_zscore(spark, sf_dir).collect()
+    }
+    assert set(udf_out) == set(expr_out)
+    for k, v in expr_out.items():
+        assert abs(udf_out[k] - v) < 1e-9, k

@@ -77,3 +77,19 @@ def test_partitioned_parquet_salted_file_count(spark, tmp_path):
     files = glob.glob(f"{path}/part=k/*.parquet")
     assert 1 <= len(files) <= 4
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_compact_parquet(spark, tmp_path):
+    from etl_pipeline_excel_sql__spark.sinks.parquet import compact_parquet
+
+    src = str(tmp_path / "many")
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    df.repartition(20).write.parquet(src)  # 20 small files
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 1000
