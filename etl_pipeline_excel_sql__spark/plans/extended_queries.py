@@ -461,3 +461,92 @@ QUERIES.update(
         "window_zscore": q_window_zscore,
     }
 )
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 non-stopword terms per document by term frequency.
+
+    The log-free half of tf-idf: integer term frequencies and ranks are
+    oracle-exact (idf's logarithm is libm-dependent, so scoring variants
+    that need it live outside the hash-checked surface).
+    """
+    from pyspark.sql import Window
+
+    from etl_pipeline_excel_sql__spark.functions.text import STOPWORDS, ws_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).filter(~F.array_contains(sw, F.col("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "rnk")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: even-keyed orders as target, 3-divisible keys as the
+    updating source (price bumped, status rewritten), full-outer + coalesce."""
+    from etl_pipeline_excel_sql__spark.operators.merge import merge_upsert
+
+    o = load_table(spark, "orders", sf_dir)
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    return merge_upsert(
+        target, source, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+
+
+from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (  # noqa: E402
+    _STOP,
+    _TOKS,
+)
+
+ORACLE.update(
+    {
+        "text_top_terms": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks
+          WHERE NOT list_contains({_STOP['en']}, term)
+          GROUP BY doc_id, term
+        )
+        SELECT doc_id, term, tf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, term ASC) AS INT) AS rnk
+        FROM tf
+        QUALIFY rnk <= 5""",
+        "merge_upsert": """
+        WITH t AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0
+        ), s AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""",
+    }
+)
+
+QUERIES.update(
+    {
+        "text_top_terms": q_text_top_terms,
+        "merge_upsert": q_merge_upsert,
+    }
+)

@@ -140,3 +140,55 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def running_user_totals_stream(
+    events: DataFrame, state_timeout_ms: int = 0
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user lifetime event count and value sum, emitted on every update.
+
+    This is the escape hatch for stateful semantics the built-in windowed
+    aggregations can't express (cross-batch running totals, custom
+    eviction). State is one tiny row per user; batches arrive as Arrow
+    pandas frames. GroupStateTimeout can evict idle users when a timeout
+    is configured.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -123,3 +123,61 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # (no second update row for that window); hour-3 window updated 1 -> 2.
     assert by_window[min(by_window)] == [1]
     assert sorted(by_window[max(by_window)]) == [1, 2]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches."""
+    import glob
+    import shutil
+    import time as _time
+
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+        running_user_totals_stream,
+    )
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+
+    def _write(events, name):
+        spark.createDataFrame(events, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    base = 1_700_000_000_000_000_000
+    _write(
+        [
+            (1, base, 1, "click", 2.0, "{}"),
+            (2, base, 1, "click", 3.0, "{}"),
+            (3, base, 2, "view", 5.0, "{}"),
+        ],
+        "b1",
+    )
+    _time.sleep(1.1)
+    _write([(4, base, 1, "click", 10.0, "{}")], "b2")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    totals = running_user_totals_stream(events)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("state_test").collect()
+    per_user: dict[int, list[tuple[int, float]]] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    # user 1: batch1 emits (2, 5.0); batch2 emits the carried-forward (3, 15.0)
+    assert (2, 5.0) in per_user[1] and (3, 15.0) in per_user[1]
+    assert per_user[2] == [(1, 5.0)]
