@@ -369,3 +369,48 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_extract": q_multimodal_extract,
 }
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per content-hash duplicate group,
+    keep the document with the best quality score (longest text, id as
+    tiebreak) — the standard 'which copy survives dedup' policy.
+
+    argmax is expressed as ``max(struct(score, -id))`` so it is one
+    aggregate, no join-back, exact integer comparisons.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    scored = docs.select(
+        h.alias("content_hash"),
+        F.struct(
+            F.length("text").cast("bigint").alias("score"),
+            (-F.col("doc_id")).alias("neg_id"),
+        ).alias("ranked"),
+    )
+    best = scored.groupBy("content_hash").agg(F.max("ranked").alias("best"))
+    return best.select(
+        "content_hash",
+        (-F.col("best.neg_id")).cast("bigint").alias("keeper_id"),
+        F.col("best.score").alias("keeper_score"),
+    )
+
+
+ORACLE.update(
+    {
+        "dedup_keep_best": f"""
+        WITH scored AS (
+          SELECT {_HASH60.format(e='text')} AS content_hash,
+                 CAST(length(text) AS BIGINT) AS score,
+                 doc_id
+          FROM documents
+        )
+        SELECT content_hash,
+               CAST(doc_id AS BIGINT) AS keeper_id,
+               score AS keeper_score
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY content_hash
+                 ORDER BY score DESC, doc_id ASC) = 1""",
+    }
+)
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
