@@ -58,7 +58,7 @@ def percent_format(col: Column | str) -> Column:
     s = c.cast("string")
     num = c.try_cast("double")
     formatted = F.concat(
-        F.bround(num * F.lit(100.0), 0).cast("decimal(20,0)").cast("string"),
+        F.bround(num * F.lit(100.0), 0).cast("decimal(38,0)").cast("string"),
         F.lit("%"),
     )
     return (

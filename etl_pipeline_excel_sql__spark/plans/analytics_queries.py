@@ -213,11 +213,13 @@ def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, "customer", sf_dir).select("c_custkey")
-    with_orders = load_table(spark, "orders", sf_dir).select(
+    """Customers with any order EXCEPT those with an urgent order."""
+    o = load_table(spark, "orders", sf_dir)
+    any_order = o.select(F.col("o_custkey").alias("c_custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return c.exceptAll(with_orders.distinct()).distinct()
+    return any_order.distinct().exceptAll(urgent.distinct()).distinct()
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,9 +437,10 @@ ORACLE: dict[str, str] = {
         UNION
         SELECT c_custkey FROM customer WHERE c_acctbal > 9500""",
     "set_except": """
-        SELECT c_custkey FROM customer
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
         EXCEPT
-        SELECT DISTINCT o_custkey AS c_custkey FROM orders""",
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'""",
     "set_intersect": """
         SELECT c_custkey FROM customer
         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')

@@ -125,10 +125,12 @@ def q_join_left_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_anti_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 anti-join: keys absent from the other side (Compare.py:179-185)."""
     customer = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir).select(
-        F.col("o_custkey").alias("c_custkey")
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return customer.join(orders, on="c_custkey", how="left_anti").select(
+    return customer.join(urgent, on="c_custkey", how="left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -309,7 +311,9 @@ ORACLE: dict[str, str] = {
         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
     "join_anti_new": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')""",
     "diff_cells": _DIFF_SQL,
     "word_diff": _WORD_DIFF_SQL,
     "download_pipeline": """

@@ -133,3 +133,19 @@ def test_diff_matches_naive_model(spark, old, new):
         for r in snapshot_diff(old_df, new_df, "k", ["v"], old_order_col="ord").collect()
     }
     assert got == _naive_diff(old, new)
+
+
+def test_diff_with_empty_old_snapshot(spark):
+    old = _df(spark, [("x", "v", 1)]).filter("k = 'nope'")  # empty
+    new = _df(spark, [("a", "1", 1), ("b", "2", 2)])
+    d = snapshot_diff(old, new, "k", ["v"])
+    rows = {r.k: r.row_status for r in d.collect()}
+    assert rows == {"a": "new", "b": "new"}
+
+
+def test_word_diff_blank_new_single_empty_token(spark):
+    # blank new text tokenizes to one empty token; diff still total
+    df = spark.createDataFrame([("a b", " ")], "old string, new string")
+    from pyspark.sql import functions as F
+    out = df.select(word_diff(F.col("old"), F.col("new")).alias("wd")).collect()[0].wd
+    assert [(w.word, w.same) for w in out] == [("", False)]

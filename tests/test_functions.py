@@ -107,3 +107,31 @@ def test_normalizers_differ():
     s = "A b_c"
     assert norm_header(s) == "a b c"
     assert normalize_colname(s) == "a_b_c"
+
+
+def test_percent_matches_python_format_semantics(spark):
+    """Reference parity property: percent_format must agree with the pandas
+    semantics f"{x*100:.0f}%" (Download.py:146-155) across random and
+    adversarial ratios — including round-half-even ties."""
+    import random
+
+    rng = random.Random(42)
+    values = [rng.random() for _ in range(300)]
+    values += [i / 200 for i in range(201)]           # exact .5% ties
+    values += [0.0, 1.0, 0.999999, 1e-9, 0.125, 0.135, 0.875]
+    expected = [f"{v * 100:.0f}%" for v in values]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    from pyspark.sql import functions as F
+
+    got = [
+        r.out
+        for r in df.select(percent_format(F.col("v")).alias("out")).collect()
+    ]
+    assert got == expected
+
+
+def test_percent_huge_value_no_overflow(spark):
+    # decimal(38,0) render: extreme ratios must not trip ANSI overflow
+    assert _eval(
+        spark, percent_format(F.col("v")), 1e18, "double"
+    ) == f"{1e18 * 100:.0f}%"
