@@ -66,9 +66,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of two runs per query: local wall-clock noise on a shared box is
+    # easily 2x; the min is the stable capability signal across rounds.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(run_one(spark, name, SF_DIR), 3)
+        timings[name] = round(
+            min(run_one(spark, name, SF_DIR) for _ in range(2)), 3
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
