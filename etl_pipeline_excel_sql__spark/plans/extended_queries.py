@@ -388,11 +388,19 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     w = Window.partitionBy("o_orderstatus")
     price_dec = F.col("o_totalprice").cast("decimal(12,2)")
-    mean = F.sum(price_dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
-    mean_sq = (
-        F.sum((price_dec * price_dec).cast("decimal(30,4)")).over(w).cast("double")
-        / F.count(F.lit(1)).over(w)
+    # decimal→double via a string hop: above 2**53 the direct conversion is
+    # not exactly representable and engines may round the last ulp
+    # differently; parsing the exact decimal string is correctly rounded
+    # everywhere (proven divergent at sf0.1 without this).
+    sum_str = F.sum(price_dec).over(w).cast("string").cast("double")
+    sumsq_str = (
+        F.sum((price_dec * price_dec).cast("decimal(30,4)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
     )
+    mean = sum_str / F.count(F.lit(1)).over(w)
+    mean_sq = sumsq_str / F.count(F.lit(1)).over(w)
     var = mean_sq - mean * mean
     return o.select(
         "o_orderkey",
@@ -438,11 +446,12 @@ ORACLE.update(
         "window_zscore": """
         WITH stats AS (
           SELECT o_orderkey, o_orderstatus, o_totalprice,
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+                      AS VARCHAR) AS DOUBLE)
               / COUNT(*) OVER w AS mean,
-            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
                           * CAST(o_totalprice AS DECIMAL(12,2))
-                          AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                          AS DECIMAL(30,4))) OVER w AS VARCHAR) AS DOUBLE)
               / COUNT(*) OVER w AS mean_sq
           FROM orders
           WINDOW w AS (PARTITION BY o_orderstatus)
