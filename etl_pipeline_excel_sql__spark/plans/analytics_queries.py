@@ -41,8 +41,12 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
             F.sum(price * disc_f).cast("decimal(38,6)").alias("sum_disc_price"),
             F.sum(price * disc_f * tax_f).cast("decimal(38,10)").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(qty).cast("string").cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(price).cast("string").cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -54,7 +58,9 @@ def q_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(total).cast("decimal(38,2)").alias("sum_total"),
-        (F.sum(total).cast("double") / F.count(F.lit(1))).alias("avg_total"),
+        (F.sum(total).cast("string").cast("double") / F.count(F.lit(1))).alias(
+            "avg_total"
+        ),
     )
 
 
@@ -345,8 +351,10 @@ ORACLE: dict[str, str] = {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                    * CAST(1.0 - l_discount AS DECIMAL(6,4))
                    * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10)) AS sum_charge,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS avg_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS avg_price,
           COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -355,7 +363,8 @@ ORACLE: dict[str, str] = {
         SELECT o_orderstatus,
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_total
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS avg_total
         FROM orders GROUP BY o_orderstatus""",
     "agg_count_distinct": """
         SELECT l_returnflag,

@@ -141,7 +141,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice
         FROM v_orders
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING)
+                      AS DOUBLE)
                  / COUNT(*)
           FROM v_orders
         )
@@ -265,7 +266,8 @@ ORACLE: dict[str, str] = {
     "scalar_subquery": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > (
-          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                      AS DOUBLE)
                  / COUNT(*)
           FROM orders)""",
     "distinct_rows": """
