@@ -414,3 +414,38 @@ ORACLE.update(
     }
 )
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
+
+
+def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket ids (8-bit) per vector — the
+    alternative ANN bucketing scheme; hyperplanes derive deterministically
+    from md5 so the oracle reproduces them exactly."""
+    from etl_pipeline_excel_sql__spark.functions.vectors import srp_signature
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id", srp_signature(F.col("embedding"), bits=8, dims=64).alias("srp_bucket")
+    )
+
+
+def _srp_sql(bits: int = 8, dims: int = 64) -> str:
+    planes = []
+    for j in range(bits):
+        h = (
+            "CAST(concat('0x', substr(md5(concat('srp:{j}:', CAST(i - 1 AS VARCHAR))), 1, 15)) AS BIGINT)"
+        ).format(j=j)
+        comp = f"(({h} % 100000)::DOUBLE / 100000.0 - 0.5)"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
+            f"i -> embedding[i]::DOUBLE * {comp})), (x, y) -> x + y)"
+        )
+        planes.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(planes)
+
+
+ORACLE["ann_srp_buckets"] = f"""
+    SELECT vec_id, {_srp_sql()} AS srp_bucket FROM embeddings
+"""
+QUERIES["ann_srp_buckets"] = q_ann_srp_buckets
