@@ -596,3 +596,79 @@ ORACLE["array_funcs"] = f"""
     FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
 """.format(toks=_TOKS)
 QUERIES["array_funcs"] = q_array_funcs
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+def q_fill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation with group means — the standard feature-cleaning op.
+
+    Deterministic nulls are injected (error events lose their value), then
+    filled with the per-type mean of the surviving values (decimal-exact
+    mean, string-hopped to double).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = Window.partitionBy("event_type")
+    mean = (
+        F.sum(v.cast("decimal(18,6)")).over(w).cast("string").cast("double")
+        / F.count(v).over(w)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(v, mean).alias("value_filled"),
+        v.isNull().alias("was_imputed"),
+    )
+
+
+ORACLE.update(
+    {
+        "window_first_last": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        "fill_impute": """
+        WITH v AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_type <> 'error' THEN value END AS v
+          FROM events
+        )
+        SELECT event_id, event_type,
+               COALESCE(v,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(18,6)))
+                           OVER (PARTITION BY event_type) AS VARCHAR) AS DOUBLE)
+                 / COUNT(v) OVER (PARTITION BY event_type)) AS value_filled,
+               v IS NULL AS was_imputed
+        FROM v""",
+    }
+)
+QUERIES.update(
+    {
+        "window_first_last": q_window_first_last,
+        "fill_impute": q_fill_impute,
+    }
+)
