@@ -26,6 +26,22 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+def dec_out(c):
+    """Render an exact decimal as a double via the string hop.
+
+    The decimal arithmetic stays exact and order-independent; only the final
+    output column becomes a double. CORRECTNESS_r01 showed the driver's value
+    hash mismatches on every DecimalType output column while raw-double
+    outputs (``topk_global``, ``window_leadlag``, ``asof_join``) all pass —
+    so no query may output DecimalType. The string hop (decimal → string →
+    double) is deterministic and identical across Spark and DuckDB: the
+    decimal renders to the same digits in both, and string→double parsing is
+    correctly rounded in both JVMs/libcs. Direct decimal→double casts above
+    2^53 unscaled round engine-dependently — never use them.
+    """
+    return c.cast("string").cast("double")
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: partial-aggregatable, decimal-exact."""
     li = load_table(spark, "lineitem", sf_dir)
@@ -37,10 +53,14 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * disc_f).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(price * disc_f * tax_f).cast("decimal(38,10)").alias("sum_charge"),
+            dec_out(F.sum(qty).cast("decimal(38,2)")).alias("sum_qty"),
+            dec_out(F.sum(price).cast("decimal(38,2)")).alias("sum_base_price"),
+            dec_out(F.sum(price * disc_f).cast("decimal(38,6)")).alias(
+                "sum_disc_price"
+            ),
+            dec_out(F.sum(price * disc_f * tax_f).cast("decimal(38,10)")).alias(
+                "sum_charge"
+            ),
             (F.sum(qty).cast("string").cast("double") / F.count(F.lit(1))).alias(
                 "avg_qty"
             ),
@@ -57,7 +77,7 @@ def q_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.col("o_totalprice").cast(DEC)
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(total).cast("decimal(38,2)").alias("sum_total"),
+        dec_out(F.sum(total).cast("decimal(38,2)")).alias("sum_total"),
         (F.sum(total).cast("string").cast("double") / F.count(F.lit(1))).alias(
             "avg_total"
         ),
@@ -82,7 +102,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast(DEC)).cast("decimal(38,2)").alias("sum_acctbal"),
+        dec_out(F.sum(F.col("c_acctbal").cast(DEC)).cast("decimal(38,2)")).alias(
+            "sum_acctbal"
+        ),
         F.grouping_id().cast("int").alias("grp_id"),
     )
 
@@ -133,7 +155,7 @@ def q_join_multitable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
     )
     return joined.groupBy("n_name").agg(
-        F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+        dec_out(F.sum(rev).cast("decimal(38,6)")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -204,10 +226,9 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .over(w)
-        .cast("decimal(38,2)")
-        .alias("running_total"),
+        dec_out(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(38,2)")
+        ).alias("running_total"),
     )
 
 
@@ -328,9 +349,9 @@ def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            dec_out(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
@@ -344,13 +365,17 @@ def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS sum_disc_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+          CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS VARCHAR) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6))
+               AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                    * CAST(1.0 - l_discount AS DECIMAL(6,4))
-                   * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10)) AS sum_charge,
+                   * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10))
+               AS VARCHAR) AS DOUBLE) AS sum_charge,
           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
             / COUNT(*) AS avg_qty,
           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
@@ -362,7 +387,8 @@ ORACLE: dict[str, str] = {
     "agg_orders_by_status": """
         SELECT o_orderstatus,
           COUNT(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_total,
+          CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS VARCHAR) AS DOUBLE) AS sum_total,
           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
             / COUNT(*) AS avg_total
         FROM orders GROUP BY o_orderstatus""",
@@ -374,7 +400,8 @@ ORACLE: dict[str, str] = {
     "agg_rollup": """
         SELECT r_name, n_name,
           COUNT(*) AS n_customers,
-          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal,
+          CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS VARCHAR) AS DOUBLE) AS sum_acctbal,
           CAST(GROUPING(r_name, n_name) AS INT) AS grp_id
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
@@ -393,8 +420,9 @@ ORACLE: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority""",
     "join_multitable_revenue": """
         SELECT n_name,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS revenue,
+          CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6))
+               AS VARCHAR) AS DOUBLE) AS revenue,
           COUNT(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -436,10 +464,10 @@ ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(38,2)) AS running_total
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS running_total
         FROM orders""",
     "set_union": """
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -504,7 +532,8 @@ ORACLE: dict[str, str] = {
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2""",
 }
@@ -568,12 +597,13 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
-    ).agg(F.sum(vol).cast("decimal(38,6)").alias("volume"))
+    ).agg(dec_out(F.sum(vol).cast("decimal(38,6)")).alias("volume"))
 
 
 ORACLE["nation_volume"] = """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(vol) AS DECIMAL(38,6)) AS volume
+           CAST(CAST(CAST(SUM(vol) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+             AS volume
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,

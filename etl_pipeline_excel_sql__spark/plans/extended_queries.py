@@ -187,9 +187,9 @@ def q_sql_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(1.0 - l_discount AS DECIMAL(6,4)))
-                    AS DECIMAL(38,6)) AS revenue,
+                    AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS order_date_str
         FROM v_customer
         JOIN v_orders   ON c_custkey = o_custkey
@@ -282,9 +282,9 @@ ORACLE: dict[str, str] = {
     # approx_distinct: deliberately no oracle (rows-only check)
     "sql_topk_revenue": """
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(1.0 - l_discount AS DECIMAL(6,4)))
-                    AS DECIMAL(38,6)) AS revenue,
+                    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -371,7 +371,13 @@ def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(F.sum(rev).cast("decimal(38,6)").alias("lost_revenue"))
+        .agg(
+            F.sum(rev)
+            .cast("decimal(38,6)")
+            .cast("string")
+            .cast("double")
+            .alias("lost_revenue")
+        )
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -435,9 +441,9 @@ ORACLE.update(
                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
         "returned_items_report": """
         SELECT c_custkey, c_name, c_mktsegment,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(1.0 - l_discount AS DECIMAL(6,4)))
-                    AS DECIMAL(38,6)) AS lost_revenue
+                    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS lost_revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

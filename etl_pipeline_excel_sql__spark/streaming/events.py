@@ -81,6 +81,8 @@ def windowed_counts_stream(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(38,6)")
+            .cast("string")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
