@@ -165,6 +165,10 @@ def minhash_lsh_pairs(
     assert num_hashes % band_rows == 0
     num_bands = num_hashes // band_rows
 
+    # Empty/whitespace-only documents have no shingles: they vanish from
+    # the exploded side naturally, and the oracle twin filters them the
+    # same way — the invariant must not depend on corpus content.
+    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     exploded = shingle_rows(df, text_col, id_col, shingle_n)
     # One md5 per shingle; the k hash families are affine permutations of
     # the 31-bit base hash mod a Mersenne prime (standard one-permutation
@@ -181,12 +185,15 @@ def minhash_lsh_pairs(
     ]
     # The signature table is tiny (one row per doc, k ints) but its subtree
     # (explode + window + md5) is expensive, and the band self-join would
-    # recompute it once per side — persist the result, not the heavy rows.
+    # recompute it once per side. localCheckpoint (not persist) scopes the
+    # materialization to this call: the checkpoint RDD is GC-cleaned when
+    # the returned DataFrame is dropped, so repeated invocations in one
+    # session don't accumulate cached partitions.
     sig = (
         hashed.select("__id", *hash_cols)
         .groupBy("__id")
         .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "__id",

@@ -20,14 +20,23 @@ def merge_upsert(
 
     Output contains every target row (updated where matched) plus all
     source-only rows. Column set: ``key`` + ``update_cols``.
+
+    Standard SQL MERGE UPDATE semantics: a matched source row's values win
+    unconditionally, including NULLs (an explicit matched flag, not
+    ``coalesce``, so a source NULL nulls the target column rather than
+    silently keeping the old value).
     """
     t = target.select(key, *[F.col(c).alias(f"__t_{c}") for c in update_cols])
-    s = source.select(key, *[F.col(c).alias(f"__s_{c}") for c in update_cols])
+    s = source.select(
+        key, *[F.col(c).alias(f"__s_{c}") for c in update_cols]
+    ).withColumn("__matched", F.lit(True))
     joined = t.join(s, on=key, how="full")
     return joined.select(
         key,
         *[
-            F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")).alias(c)
+            F.when(F.col("__matched"), F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
             for c in update_cols
         ],
     )

@@ -555,8 +555,12 @@ ORACLE.update(
           FROM orders WHERE o_orderkey % 3 = 0
         )
         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_orderstatus ELSE t.o_orderstatus
+               END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_totalprice ELSE t.o_totalprice
+               END AS o_totalprice
         FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""",
     }
 )

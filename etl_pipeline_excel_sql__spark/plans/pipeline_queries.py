@@ -191,6 +191,7 @@ _MINHASH_SQL = f"""
 WITH base AS (
   SELECT doc_id, {_shingle_sql(MINHASH_SHINGLE_N)} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
 ), hashed AS (
   SELECT doc_id, sh,
          list_transform(sh, s -> {_HASH60.format(e='s')} & {MINHASH_PRIME}) AS hb

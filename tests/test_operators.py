@@ -155,3 +155,21 @@ def test_cosine_neardup_pairs_blocked(spark):
     pairs = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(
         emb, threshold=0.9, block_col="label", dims=4).collect()}
     assert pairs == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_merge_upsert_matched_null_overwrites(spark):
+    """Standard MERGE UPDATE: a matched source row's NULL nulls the target
+    column (not coalesce's keep-old behavior)."""
+    from etl_pipeline_excel_sql__spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "status", "amt"]
+    )
+    source = spark.createDataFrame(
+        [(2, None, 99.0), (3, "c", 30.0)], ["k", "status", "amt"]
+    )
+    out = {
+        r.k: (r.status, r.amt)
+        for r in merge_upsert(target, source, "k", ["status", "amt"]).collect()
+    }
+    assert out == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
