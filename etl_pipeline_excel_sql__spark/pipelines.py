@@ -202,5 +202,7 @@ def compare_pipeline(
         old_order_col=old_order_col,
     )
     grid = grid if grid is not None else CellGrid()
-    n = write_highlighted_diff(diff, grid, key, compare_cols)
+    n = write_highlighted_diff(
+        diff, grid, key, compare_cols, word_diff_cols=word_diff_cols
+    )
     return diff, PipelineResult(grid=grid, rows_written=n)

@@ -36,6 +36,21 @@ DEFAULT_SKIP_COLS = frozenset({9, 15, 16, 17} | set(range(50, 62)))
 
 FILL_CHANGED = "FF94DCF8"  # light blue (Compare.py:161)
 FILL_CLEARED = "FFED8EDA"  # pink (Compare.py:163)
+FONT_DIFF_WORD = "FFFF0000"  # red changed-word font (Compare.py:101)
+
+
+def word_runs(words: list) -> list[tuple[str, str | None]]:
+    """D3 render half: ``<col>__words`` structs → rich-text runs.
+
+    Reference semantics (Compare.py:95-108): iterate NEW tokens; a token is
+    red unless the old token at the same position equals it, and every
+    token except the last carries a trailing space inside its own run.
+    """
+    runs: list[tuple[str, str | None]] = []
+    for i, w in enumerate(words):
+        text = w.word if i == len(words) - 1 else w.word + " "
+        runs.append((text, None if w.same else FONT_DIFF_WORD))
+    return runs
 
 
 @dataclass
@@ -47,6 +62,11 @@ class CellGrid:
 
     cells: dict[tuple[int, int], Any] = field(default_factory=dict)
     fills: dict[tuple[int, int], str] = field(default_factory=dict)
+    #: (row, col) → rich-text runs [(text, argb-or-None), ...]; None = the
+    #: default font color. Mirrors openpyxl's CellRichText/TextBlock model.
+    rich: dict[tuple[int, int], list[tuple[str, str | None]]] = field(
+        default_factory=dict
+    )
 
     def set(self, row: int, col: int, value: Any) -> None:
         self.cells[(row, col)] = value
@@ -56,6 +76,13 @@ class CellGrid:
 
     def fill(self, row: int, col: int, argb: str) -> None:
         self.fills[(row, col)] = argb
+
+    def set_rich(
+        self, row: int, col: int, runs: list[tuple[str, str | None]]
+    ) -> None:
+        """Rich-text cell: the plain value is the concatenated run text."""
+        self.rich[(row, col)] = runs
+        self.cells[(row, col)] = "".join(t for t, _ in runs)
 
     def max_row(self) -> int:
         return max((r for r, _ in self.cells), default=0)
@@ -153,13 +180,20 @@ def write_highlighted_diff(
     compare_cols: list[str],
     header_row: int = 1,
     max_rows: int = 100_000,
+    word_diff_cols: list[str] | None = None,
 ) -> int:
     """K5: render a snapshot_diff result as a highlighted sheet.
 
     Column layout: key, then the ``__new`` value of each compared column.
     Fill rules (Compare.py:179-210): whole row blue when ``row_status='new'``;
-    per-cell blue when changed, pink when cleared. Returns rows rendered.
+    per-cell blue when changed, pink when cleared. For ``word_diff_cols``
+    (the reference's WORD_DIFF_COLUMNS), a changed cell with a non-empty new
+    value additionally renders word-level rich text — changed words red,
+    unchanged words default (Compare.py:87-110, applied at :208-210) — from
+    the ``<col>__words`` array snapshot_diff computed distributed-side.
+    Returns rows rendered.
     """
+    word_diff_cols = word_diff_cols or []
     grid.set(header_row, 1, key)
     for j, c in enumerate(compare_cols, start=2):
         grid.set(header_row, j, c)
@@ -173,11 +207,15 @@ def write_highlighted_diff(
         grid.set(r, 1, d[key])
         is_new = d["row_status"] == "new"
         for j, c in enumerate(compare_cols, start=2):
-            grid.set(r, j, convert_value(d[f"{c}__new"]))
+            new_val = d[f"{c}__new"]
+            grid.set(r, j, convert_value(new_val))
             if is_new:
                 grid.fill(r, j, FILL_CHANGED)
             elif d.get(f"{c}__status") == "changed":
                 grid.fill(r, j, FILL_CHANGED)
+                words = d.get(f"{c}__words")
+                if c in word_diff_cols and words and new_val not in (None, ""):
+                    grid.set_rich(r, j, word_runs(words))
             elif d.get(f"{c}__status") == "cleared":
                 grid.fill(r, j, FILL_CLEARED)
         if is_new:
@@ -200,6 +238,20 @@ def grid_to_openpyxl(grid: CellGrid, path: str, sheet_name: str = "Sheet1"):
     ws = wb.active
     ws.title = sheet_name
     for (r, c), v in grid.cells.items():
+        if (r, c) in grid.rich:
+            from openpyxl.cell.rich_text import CellRichText, TextBlock
+            from openpyxl.cell.text import InlineFont
+
+            ws.cell(row=r, column=c).value = CellRichText(
+                *[
+                    TextBlock(
+                        font=InlineFont(color=argb) if argb else InlineFont(),
+                        text=text,
+                    )
+                    for text, argb in grid.rich[(r, c)]
+                ]
+            )
+            continue
         ws.cell(row=r, column=c, value=v)
     for (r, c), argb in grid.fills.items():
         ws.cell(row=r, column=c).fill = PatternFill(

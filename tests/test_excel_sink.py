@@ -76,3 +76,56 @@ def test_highlighted_diff_render(spark):
     assert fills["b"] == FILL_CHANGED
     assert fills["c"] == FILL_CLEARED
     assert fills["d"] == FILL_CHANGED    # new row: whole row blue
+
+
+def test_highlighted_diff_rich_text_word_runs(spark):
+    """K5 rich-text render of D3 word diffs (Compare.py:87-110): changed
+    words red, unchanged default, every token but the last carrying its
+    trailing space inside its own run."""
+    from etl_pipeline_excel_sql__spark.sinks.excel_writer import FONT_DIFF_WORD
+
+    old = spark.createDataFrame(
+        [("a", "alpha beta gamma", 1), ("b", "same text", 1), ("e", "", 1)],
+        "k string, v string, ord int",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "alpha BETA gamma delta", 1),  # word change + tail addition
+            ("b", "same text", 1),               # unchanged: no rich text
+            ("e", "now filled", 1),              # old empty: all words red
+        ],
+        "k string, v string, ord int",
+    )
+    diff = snapshot_diff(old, new, "k", ["v"], word_diff_cols=["v"]).orderBy("k")
+    grid = CellGrid()
+    write_highlighted_diff(diff, grid, "k", ["v"], word_diff_cols=["v"])
+
+    runs_by_key = {}
+    for r in range(2, 5):
+        runs_by_key[grid.get(r, 1)] = grid.rich.get((r, 2))
+
+    assert runs_by_key["a"] == [
+        ("alpha ", None),
+        ("BETA ", FONT_DIFF_WORD),
+        ("gamma ", None),
+        ("delta", FONT_DIFF_WORD),
+    ]
+    # plain value stays the concatenated text
+    assert grid.get(2, 2) == "alpha BETA gamma delta"
+    assert runs_by_key["b"] is None          # unchanged cell: plain value
+    assert runs_by_key["e"] == [             # old empty: every token red
+        ("now ", FONT_DIFF_WORD),
+        ("filled", FONT_DIFF_WORD),
+    ]
+
+
+def test_highlighted_diff_rich_text_single_token(spark):
+    """Single-token replacement: one run, red, no trailing space."""
+    from etl_pipeline_excel_sql__spark.sinks.excel_writer import FONT_DIFF_WORD
+
+    old = spark.createDataFrame([("a", "x", 1)], "k string, v string, ord int")
+    new = spark.createDataFrame([("a", "y", 1)], "k string, v string, ord int")
+    diff = snapshot_diff(old, new, "k", ["v"], word_diff_cols=["v"])
+    grid = CellGrid()
+    write_highlighted_diff(diff, grid, "k", ["v"], word_diff_cols=["v"])
+    assert grid.rich[(2, 2)] == [("y", FONT_DIFF_WORD)]
