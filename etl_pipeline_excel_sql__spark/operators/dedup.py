@@ -316,35 +316,51 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    bottom_k: int = 2,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard (no probabilistic step).
+    """Blocked exact n-gram Jaccard: bottom-k sketch blocking + exact verify.
 
-    Blocking key: first whitespace token + token-count bucket — documents
-    that can't plausibly be near-dups never pair up. This is the exact-but-
-    blocked fallback when MinHash recall guarantees aren't wanted.
+    Blocking key: each document's ``bottom_k`` smallest 60-bit shingle
+    hashes (a bottom-k min-hash sketch). Unlike the earlier first-token +
+    length-bucket key, the sketch is uniform over hash space — on natural
+    corpora where a large fraction of documents starts with the same word
+    ("The ..."), no block grows with corpus size, so no block is quadratic
+    at 100 TB. Near-dups share small hashes with probability ≈
+    1-(1-J)^bottom_k per side, and every surviving pair is verified with
+    EXACT Jaccard over the full shingle sets (the probabilistic step only
+    selects candidates, never scores them).
+
+    Shape: exploded (id, shingle-hash) rows → per-doc bottom-k via a
+    row_number window (codegen, one shuffle) → self-join on the hash key
+    carrying only (id, key) → distinct pairs → join back the shingle sets →
+    codegen'd ``array_intersect``/``array_union`` Jaccard.
     """
-    toks = ws_tokens(F.col(text_col))
-    keys = df.select(
-        F.col(id_col).alias("__id"),
-        F.element_at(toks, 1).alias("__first_tok"),
-        F.floor(F.size(toks) / 10).cast("bigint").alias("__len_bucket"),
+    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    hrows = shingle_rows(df, text_col, id_col, shingle_n).select(
+        "__id",
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    ).distinct()
+    w = Window.partitionBy("__id").orderBy("__h")
+    keys = (
+        hrows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= bottom_k)
+        .select("__id", F.col("__h").alias("__block"))
     )
-    base = keys.join(shingle_sets(df, text_col, id_col, shingle_n), on="__id")
-    a = base.select(
-        F.col("__id").alias("id_a"),
-        F.col("__sh").alias("sh_a"),
-        "__first_tok",
-        "__len_bucket",
-    )
-    b = base.select(
-        F.col("__id").alias("id_b"),
-        F.col("__sh").alias("sh_b"),
-        "__first_tok",
-        "__len_bucket",
-    )
-    return (
-        a.join(b, on=["__first_tok", "__len_bucket"])
+    cand = (
+        keys.select(F.col("__id").alias("id_a"), "__block")
+        .join(keys.select(F.col("__id").alias("id_b"), "__block"), on="__block")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")

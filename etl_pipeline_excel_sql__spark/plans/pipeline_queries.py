@@ -46,6 +46,7 @@ MINHASH_BAND_ROWS = 2
 MINHASH_THRESHOLD = 0.1
 MINHASH_SHINGLE_N = 3
 NGRAM_THRESHOLD = 0.05
+NGRAM_BOTTOM_K = 2
 COSINE_THRESHOLD = 0.3
 EMB_DIMS = 64
 
@@ -113,6 +114,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_n=3,
         threshold=NGRAM_THRESHOLD,
+        bottom_k=NGRAM_BOTTOM_K,
     )
 
 
@@ -236,19 +238,27 @@ FROM (
 
 _NGRAM_SQL = f"""
 WITH base AS (
-  SELECT doc_id, {_shingle_sql(3)} AS sh,
-         toks[1] AS first_tok,
-         CAST(floor(len(toks) / 10) AS BIGINT) AS len_bucket
+  SELECT doc_id, {_shingle_sql(3)} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), keys AS (
+  SELECT doc_id, UNNEST(
+    list_sort(list_transform(sh, s -> {_HASH60.format(e='s')}))[1:{NGRAM_BOTTOM_K}]
+  ) AS block
+  FROM base
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b ON a.block = b.block
+  WHERE a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  len(list_intersect(a.sh, b.sh))::DOUBLE
-    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard_sim
-FROM base a JOIN base b
-  ON a.first_tok = b.first_tok AND a.len_bucket = b.len_bucket
-WHERE a.doc_id < b.doc_id
-  AND len(list_intersect(a.sh, b.sh))::DOUBLE
-    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
+SELECT id_a, id_b,
+  len(list_intersect(x.sh, y.sh))::DOUBLE
+    / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard_sim
+FROM cand
+JOIN base x ON x.doc_id = id_a
+JOIN base y ON y.doc_id = id_b
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+    / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
 """
 
 _NEARDUP_COS_SQL = f"""

@@ -173,3 +173,52 @@ def test_merge_upsert_matched_null_overwrites(spark):
         for r in merge_upsert(target, source, "k", ["status", "amt"]).collect()
     }
     assert out == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
+
+
+def test_ngram_jaccard_blocking_resists_first_token_skew(spark):
+    """Bottom-k sketch blocking: a corpus where a large fraction of
+    documents shares the first token must NOT concentrate into one block
+    (the old first-token key made such a block quadratic at scale)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(200):
+        body = " ".join(rng.choice(vocab) for _ in range(30))
+        # 50% of docs share the first token — worst-case for first-token keys
+        head = "The" if i % 2 == 0 else f"h{i}"
+        docs.append((i, f"{head} {body}"))
+    # one true near-dup pair: doc 500 is doc 501 with a one-word edit
+    base = "The " + " ".join(rng.choice(vocab) for _ in range(30))
+    docs.append((500, base))
+    docs.append((501, base.replace(" ", " ", 1) + " tail"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from etl_pipeline_excel_sql__spark.operators.dedup import shingle_rows
+
+    hrows = shingle_rows(df, "text", "doc_id", 3).select(
+        "__id",
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    ).distinct()
+    w = Window.partitionBy("__id").orderBy("__h")
+    keys = (
+        hrows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("__id", F.col("__h").alias("__block"))
+    )
+    max_block = keys.groupBy("__block").count().agg(F.max("count")).collect()[0][0]
+    # 101 docs share first token "The"; sketch blocks must stay tiny
+    assert max_block <= 4, max_block
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert (500, 501) in pairs
