@@ -69,12 +69,16 @@ def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
     )
 
 
-def srp_signature(a: Column, bits: int, dims: int) -> Column:
+def srp_signature(
+    a: Column, bits: int, dims: int, plane_offset: int = 0
+) -> Column:
     """Signed-random-projection LSH signature (for ANN bucketing).
 
     Hyperplane component (j, i) is a deterministic pseudo-random value in
     [-0.5, 0.5) derived from md5 — reproducible anywhere, no stored model.
-    Returns a ``bits``-bit integer bucket id.
+    Returns a ``bits``-bit integer bucket id. ``plane_offset`` selects an
+    independent hyperplane family (table t of a multi-table LSH scheme uses
+    ``plane_offset = t * bits``).
     """
 
     def plane_component(j: int, i: Column) -> Column:
@@ -93,14 +97,34 @@ def srp_signature(a: Column, bits: int, dims: int) -> Column:
         return lambda x, i: x.cast("double") * plane_component(j, i)
 
     bit_cols = []
-    for j in range(bits):
+    for jj in range(bits):
+        j = plane_offset + jj
         proj = F.aggregate(
             F.zip_with(a, F.sequence(F.lit(0), F.lit(dims - 1)), _proj_lambda(j)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bit_cols.append(F.when(proj > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+        bit_cols.append(
+            F.when(proj > 0, F.lit(1 << jj).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
     out = bit_cols[0]
     for b in bit_cols[1:]:
         out = out + b
     return out
+
+
+def srp_signatures(
+    a: Column, bits: int, dims: int, tables: int
+) -> Column:
+    """``tables`` independent SRP signatures → ``array<bigint>``.
+
+    Table ``t`` uses hyperplanes ``t*bits .. (t+1)*bits-1``, so every table
+    is an independent ``bits``-bit hash family; a multi-table LSH candidate
+    filter keeps pairs matching in ANY table (recall ``1-(1-p^bits)^tables``
+    for per-plane agreement probability ``p = 1 - θ/π``).
+    """
+    return F.array(
+        *[srp_signature(a, bits, dims, plane_offset=t * bits) for t in range(tables)]
+    )

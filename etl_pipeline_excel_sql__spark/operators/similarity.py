@@ -167,12 +167,24 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     dims: int | None = None,
+    srp_bits: int = 0,
+    srp_tables: int = 1,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, blocked by cell.
+    """Embedding near-dup pairs: cosine ≥ threshold, blocked + LSH-bucketed.
 
-    With ``block_col`` the pair space is per-cell (IVF-style blocking); pass
-    ``None`` for the exact all-pairs variant (only sane on small corpora or
-    after an LSH pre-filter).
+    Candidate generation composes two keys:
+
+    * ``block_col`` — hard partition (IVF-style cell / label);
+    * ``srp_bits``/``srp_tables`` — multi-table signed-random-projection
+      LSH: each vector gets ``srp_tables`` independent ``srp_bits``-bit
+      signatures, and a pair is a candidate when it matches in ANY table.
+
+    With SRP enabled, no cell is quadratic: the self-join key is
+    (block, table, bucket), and the shuffle carries only (id, key) rows —
+    vectors re-join only for the surviving candidates, which get EXACT
+    cosine verification. Pass ``srp_bits=0`` for the per-cell all-pairs
+    variant, ``block_col=None`` + ``srp_bits=0`` for exact all-pairs (only
+    sane on small corpora).
     """
     cols = [
         F.col(id_col).alias("__id"),
@@ -182,22 +194,57 @@ def cosine_neardup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("__block"))
     base = corpus.select(*cols)
-    a = base.select(
-        F.col("__id").alias("id_a"),
-        F.col("__vec").alias("vec_a"),
-        F.col("__norm").alias("norm_a"),
-        *([F.col("__block")] if block_col else []),
-    )
-    b = base.select(
-        F.col("__id").alias("id_b"),
-        F.col("__vec").alias("vec_b"),
-        F.col("__norm").alias("norm_b"),
-        *([F.col("__block")] if block_col else []),
-    )
-    joined = a.join(b, on="__block") if block_col else a.crossJoin(b)
+
+    if srp_bits:
+        from etl_pipeline_excel_sql__spark.functions.vectors import srp_signatures
+
+        keys = corpus.select(
+            F.col(id_col).alias("__id"),
+            *([F.col(block_col).alias("__block")] if block_col else []),
+            F.posexplode(
+                srp_signatures(F.col(vec_col), srp_bits, dims, srp_tables)
+            ).alias("__table", "__bucket"),
+        )
+        key_cols = (["__block"] if block_col else []) + ["__table", "__bucket"]
+        cand = (
+            keys.select(F.col("__id").alias("id_a"), *key_cols)
+            .join(
+                keys.select(F.col("__id").alias("id_b"), *key_cols),
+                on=key_cols,
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__vec").alias("vec_a"),
+            F.col("__norm").alias("norm_a"),
+        )
+        vb = base.select(
+            F.col("__id").alias("id_b"),
+            F.col("__vec").alias("vec_b"),
+            F.col("__norm").alias("norm_b"),
+        )
+        joined = cand.join(va, on="id_a").join(vb, on="id_b")
+    else:
+        a = base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__vec").alias("vec_a"),
+            F.col("__norm").alias("norm_a"),
+            *([F.col("__block")] if block_col else []),
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"),
+            F.col("__vec").alias("vec_b"),
+            F.col("__norm").alias("norm_b"),
+            *([F.col("__block")] if block_col else []),
+        )
+        joined = (a.join(b, on="__block") if block_col else a.crossJoin(b)).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        joined.withColumn(
             "cosine_sim",
             dot(F.col("vec_a"), F.col("vec_b"), dims)
             / (F.col("norm_a") * F.col("norm_b")),

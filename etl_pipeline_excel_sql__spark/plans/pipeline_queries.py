@@ -47,6 +47,8 @@ MINHASH_THRESHOLD = 0.1
 MINHASH_SHINGLE_N = 3
 NGRAM_THRESHOLD = 0.05
 NGRAM_BOTTOM_K = 2
+SRP_NEARDUP_BITS = 6
+SRP_NEARDUP_TABLES = 3
 COSINE_THRESHOLD = 0.3
 EMB_DIMS = 64
 
@@ -119,11 +121,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs: label block × multi-table SRP
+    pre-filter, exact cosine verification (no cell is ever all-pairs)."""
     return cosine_neardup_pairs(
         load_table(spark, "embeddings", sf_dir),
         threshold=COSINE_THRESHOLD,
         block_col="label",
         dims=EMB_DIMS,
+        srp_bits=SRP_NEARDUP_BITS,
+        srp_tables=SRP_NEARDUP_TABLES,
     )
 
 
@@ -261,12 +267,44 @@ WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
     / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
 """
 
+def _srp_sql(bits: int = 8, dims: int = 64, plane_offset: int = 0) -> str:
+    planes = []
+    for jj in range(bits):
+        j = plane_offset + jj
+        h = (
+            "CAST(concat('0x', substr(md5(concat('srp:{j}:', CAST(i - 1 AS VARCHAR))), 1, 15)) AS BIGINT)"
+        ).format(j=j)
+        comp = f"(({h} % 100000)::DOUBLE / 100000.0 - 0.5)"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
+            f"i -> embedding[i]::DOUBLE * {comp})), (x, y) -> x + y)"
+        )
+        planes.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << jj} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(planes)
+
+
 _NEARDUP_COS_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.label = b.label
-WHERE a.vec_id < b.vec_id
-  AND {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+WITH sig AS (
+  {" UNION ALL ".join(
+      f'''SELECT vec_id, label, {t} AS t,
+          {_srp_sql(SRP_NEARDUP_BITS, EMB_DIMS, plane_offset=t * SRP_NEARDUP_BITS)}
+            AS bucket FROM embeddings'''
+      for t in range(SRP_NEARDUP_TABLES)
+  )}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.label = b.label AND a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       {_cos_sql('x.embedding', 'y.embedding')} AS cosine_sim
+FROM cand
+JOIN embeddings x ON x.vec_id = id_a
+JOIN embeddings y ON y.vec_id = id_b
+WHERE {_cos_sql('x.embedding', 'y.embedding')} >= {COSINE_THRESHOLD}
 """
 
 _ANN_BRUTE_SQL = f"""
@@ -439,21 +477,6 @@ def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_sql(bits: int = 8, dims: int = 64) -> str:
-    planes = []
-    for j in range(bits):
-        h = (
-            "CAST(concat('0x', substr(md5(concat('srp:{j}:', CAST(i - 1 AS VARCHAR))), 1, 15)) AS BIGINT)"
-        ).format(j=j)
-        comp = f"(({h} % 100000)::DOUBLE / 100000.0 - 0.5)"
-        proj = (
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
-            f"i -> embedding[i]::DOUBLE * {comp})), (x, y) -> x + y)"
-        )
-        planes.append(
-            f"CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        )
-    return " + ".join(planes)
 
 
 ORACLE["ann_srp_buckets"] = f"""

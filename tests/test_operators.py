@@ -222,3 +222,49 @@ def test_ngram_jaccard_blocking_resists_first_token_skew(spark):
         ).collect()
     }
     assert (500, 501) in pairs
+
+
+def test_cosine_neardup_srp_prefilter_shrinks_candidates(spark):
+    """Multi-table SRP bucketing: the candidate set must be far smaller
+    than per-cell all-pairs while still surfacing genuine near-dups."""
+    import random
+
+    from pyspark.sql import functions as F
+    from etl_pipeline_excel_sql__spark.functions.vectors import srp_signatures
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)], i % 2))
+    # planted near-dup: vec 1000 ≈ vec 1001 (tiny perturbation)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows.append((1000, base, 0))
+    rows.append((1001, [v + 0.01 for v in base], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    keys = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(srp_signatures(F.col("embedding"), 6, 16, 3)).alias(
+            "t", "bucket"
+        ),
+    )
+    n_cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), on=["label", "t", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    n_all_pairs = 201 * 200  # per-label all-pairs: 2 cells of 201 vectors
+    assert n_cand < n_all_pairs / 3, (n_cand, n_all_pairs)
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.99, block_col="label", dims=16,
+            srp_bits=6, srp_tables=3,
+        ).collect()
+    }
+    assert (1000, 1001) in pairs
