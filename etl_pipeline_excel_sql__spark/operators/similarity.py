@@ -10,11 +10,14 @@ Two tiers:
   shuffle is the per-query top-k reduction, k rows per query per partition
   after partial aggregation.
 * **IVF (inverted-file) probe** — the scale path. The corpus is
-  pre-partitioned into coarse cells (here: the embedding table's ``label``
-  column stands in for a trained k-means assignment; swapping in real
-  centroids is the same plan). A query first picks its ``nprobe`` nearest
-  cell centroids, then brute-forces only those cells — the scan shrinks by
-  ~ncells/nprobe. Centroids are a tiny aggregate, always broadcast.
+  partitioned into coarse cells by TRAINED k-means
+  (:func:`kmeans_train_assign`: deterministic seeds, Lloyd rounds as
+  DataFrame ops, decimal-exact means); ``ivf_topk`` also accepts any
+  precomputed cell column (e.g. ``label``). A query first picks its
+  ``nprobe`` nearest cell centroids, then brute-forces only those cells —
+  the scan shrinks by ~ncells/nprobe. Centroids are a tiny model artifact:
+  collected per round and compiled into the assignment expression, always
+  broadcast-scale.
 * **SRP-LSH bucketing** (in functions/vectors.py) — alternative scale path:
   sign-random-projection buckets as a pre-filter, same join shape as the
   MinHash band join.
@@ -157,6 +160,154 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = 64,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → lowest cell).
+
+    Centroids broadcast (tiny); the corpus never shuffles — assignment is a
+    map-side scan plus a per-vector top-1 window on the id (the window
+    shuffle carries ncells rows per vector, nothing else).
+    """
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid"), dims)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def _assign_to_literal_centroids(
+    corpus: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """Assignment as a pure narrow map: centroids embedded as literals.
+
+    The centroid table is tiny (ncells × dims doubles), so instead of a
+    crossJoin + top-1 window (a shuffle of ncells rows per vector), each
+    Lloyd round collects the centroids and compiles one codegen'd argmax
+    expression chain — zero shuffle, zero window, embarrassingly parallel.
+    Strict ``>`` comparisons walk cells in ascending order, so ties keep
+    the lowest cell — identical to the window's (sim DESC, cell ASC).
+
+    Centroid norms are folded driver-side in Python (IEEE doubles, same
+    left-fold order as the engine/oracle), corpus norms in-engine — the
+    resulting similarity is bit-identical to :func:`kmeans_assign`.
+    """
+    import math
+
+    vec = F.col(vec_col)
+    norm_v = F.sqrt(l2_norm_sq(vec, dims))
+    cells: list[int] = []
+    sims: list[Column] = []
+    for cell, cvec in sorted(cent_rows):
+        acc = 0.0
+        for x in cvec:
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        d = F.element_at(vec, 1).cast("double") * F.lit(cvec[0])
+        for i in range(1, dims):
+            d = d + F.element_at(vec, i + 1).cast("double") * F.lit(cvec[i])
+        cells.append(cell)
+        sims.append(d / (norm_v * F.lit(cnorm)))
+    # argmax via array_max + first-position: each sim expression appears
+    # exactly once in the array (a when-chain would nest the growing "best"
+    # expression inside every step — exponential plan blowup). First
+    # occurrence of the max = lowest cell id, the window's tie rule.
+    sim_arr = F.array(*sims)
+    pos = F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
+    cell_arr = F.array(*[F.lit(c) for c in cells])
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(cell_arr, pos).cast("int").alias("cell"),
+    )
+
+
+def kmeans_train_assign(
+    corpus: DataFrame,
+    ncells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops → final (id, vec, cell).
+
+    * Seeds: the ``ncells`` lowest-id vectors (deterministic, no RNG).
+    * Each round: broadcast-assign to max-cosine centroid, then recompute
+      per-cell means with the decimal-exact trick (``cell_centroids``) so
+      every round is order-independent and bit-reproducible — the DuckDB
+      oracle unrolls the same rounds and matches exactly.
+    * Rounds are ``iters`` assignments with ``iters-1`` mean updates in
+      between; the caller (``ivf_topk``) derives the final probe centroids
+      as the means of the returned assignment, which is the ``iters``-th
+      update.
+
+    At 100 TB: each round is one scan + one tiny aggregate (ncells×dims
+    partial sums); centroids always broadcast. Empty cells drop out
+    naturally (their group vanishes), mirrored by the oracle's GROUP BY.
+    """
+    seed_rows = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(
+            corpus.orderBy(id_col).limit(ncells).select(vec_col).collect()
+        )
+    ]
+    assigned = _assign_to_literal_centroids(
+        corpus, seed_rows, id_col, vec_col, dims
+    )
+    for _ in range(iters - 1):
+        cent_rows = [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cell_centroids(assigned, "cell", vec_col, dims).collect()
+        ]
+        assigned = _assign_to_literal_centroids(
+            corpus, cent_rows, id_col, vec_col, dims
+        )
+    # The final assignment is consumed several times downstream (probe
+    # centroids + both sides of the cell join); checkpoint it so the wide
+    # literal-dot expression is evaluated once, not per consumer.
+    return assigned.localCheckpoint(eager=False)
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    ncells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF ANN over TRAINED k-means cells (no label stand-in).
+
+    Trains ``ncells`` centroids with :func:`kmeans_train_assign`, then runs
+    the standard IVF probe (``nprobe`` nearest cells per query, exact
+    cosine inside). Same output schema as :func:`brute_force_topk`; recall
+    vs brute force is measured in tests/test_operators.py.
+    """
+    assigned = kmeans_train_assign(corpus, ncells, iters, id_col, vec_col, dims)
+    return ivf_topk(
+        assigned, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, cell_col="cell", dims=dims,
     )
 
 

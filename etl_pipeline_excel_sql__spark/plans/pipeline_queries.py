@@ -36,6 +36,7 @@ from etl_pipeline_excel_sql__spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     ivf_topk,
+    ivf_topk_trained,
 )
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
@@ -49,6 +50,8 @@ NGRAM_THRESHOLD = 0.05
 NGRAM_BOTTOM_K = 2
 SRP_NEARDUP_BITS = 6
 SRP_NEARDUP_TABLES = 3
+IVF_NCELLS = 8
+IVF_ITERS = 2
 COSINE_THRESHOLD = 0.3
 EMB_DIMS = 64
 
@@ -139,9 +142,17 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED k-means cells (Lloyd rounds as DataFrame ops);
+    the oracle unrolls the identical deterministic rounds in SQL."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2, dims=EMB_DIMS
+    return ivf_topk_trained(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        nprobe=2,
+        ncells=IVF_NCELLS,
+        iters=IVF_ITERS,
+        dims=EMB_DIMS,
     )
 
 
@@ -319,31 +330,73 @@ WHERE c.vec_id <> q.vec_id
 QUALIFY rank <= 10
 """
 
-_ANN_IVF_SQL = f"""
-WITH cell_vecs AS (
-  SELECT label AS cell, list(embedding) AS vecs, COUNT(*) AS n
-  FROM embeddings GROUP BY label
-), cents AS (
+def _kmeans_means_sql(src: str, dims: int) -> str:
+    """Per-cell mean centroids (decimal-exact sums, mirrors
+    operators/similarity.cell_centroids)."""
+    return f"""
   SELECT cell,
-    list_transform(range(1, 65), i ->
+    list_transform(range(1, {dims + 1}), i ->
       CAST(list_sum(list_transform(vecs, v -> v[i]::DECIMAL(20,10))) AS DOUBLE) / n
     ) AS centroid
-  FROM cell_vecs
-), probes AS (
-  SELECT q.vec_id AS query_id, q.embedding AS qvec, cents.cell
-  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents
+  FROM (SELECT cell, list(embedding) AS vecs, COUNT(*) AS n
+        FROM {src} GROUP BY cell)"""
+
+
+def _kmeans_assign_sql(cents: str, dims: int) -> str:
+    """Max-cosine assignment (ties → lowest cell), mirrors kmeans_assign."""
+    return f"""
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, i.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'i.centroid', dims)} DESC,
+                      i.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {cents} i
+  ) WHERE rn = 1"""
+
+
+def _ivf_trained_sql(
+    ncells: int, iters: int, dims: int, k: int, nprobe: int
+) -> str:
+    """Unrolled Lloyd rounds + IVF probe — the oracle twin of
+    ivf_topk_trained (same seeds, same round count, same probe)."""
+    ctes = [
+        f"""init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(embedding, x -> x::DOUBLE) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ncells})
+)""",
+        f"a0 AS ({_kmeans_assign_sql('init', dims)}\n)",
+    ]
+    for i in range(1, iters):
+        ctes.append(f"c{i} AS ({_kmeans_means_sql(f'a{i - 1}', dims)}\n)")
+        ctes.append(f"a{i} AS ({_kmeans_assign_sql(f'c{i}', dims)}\n)")
+    last = f"a{iters - 1}"
+    ctes.append(f"cfinal AS ({_kmeans_means_sql(last, dims)}\n)")
+    ctes.append(
+        f"""probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, cfinal.cell
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cfinal
   QUALIFY row_number() OVER (PARTITION BY q.vec_id
-    ORDER BY {_cos_sql('q.embedding', 'cents.centroid')} DESC, cents.cell ASC) <= 2
-)
+    ORDER BY {_cos_sql('q.embedding', 'cfinal.centroid', dims)} DESC,
+             cfinal.cell ASC) <= {nprobe}
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
 SELECT p.query_id, c.vec_id AS neighbor_id,
-       {_cos_sql('p.qvec', 'c.embedding')} AS cosine_sim,
+       {_cos_sql('p.qvec', 'c.embedding', dims)} AS cosine_sim,
        CAST(row_number() OVER (PARTITION BY p.query_id
-            ORDER BY {_cos_sql('p.qvec', 'c.embedding')} DESC,
+            ORDER BY {_cos_sql('p.qvec', 'c.embedding', dims)} DESC,
                      c.vec_id ASC) AS INT) AS rank
-FROM probes p JOIN embeddings c ON c.label = p.cell
+FROM probes p JOIN {last} c ON c.cell = p.cell
 WHERE c.vec_id <> p.query_id
-QUALIFY rank <= 5
+QUALIFY rank <= {k}
 """
+
+
+_ANN_IVF_SQL = _ivf_trained_sql(
+    ncells=IVF_NCELLS, iters=IVF_ITERS, dims=EMB_DIMS, k=5, nprobe=2
+)
 
 ORACLE: dict[str, str] = {
     "text_token_count": f"""
