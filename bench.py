@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "multimodal_extract",
+    # round-2 additions (kept after the round-1 set so per-query
+    # round-over-round comparison stays aligned)
+    "dedup_clusters",
+    "text_tfidf_topk",
+    "tpch_q21_sole_late_supplier",
 ]
 
 
@@ -67,12 +72,15 @@ def main() -> None:
     ).save()
 
     # min of two runs per query: local wall-clock noise on a shared box is
-    # easily 2x; the min is the stable capability signal across rounds.
+    # easily 2x; the min is the stable capability signal across rounds. Raw
+    # per-run arrays are kept in the output so round-over-round regressions
+    # stay attributable (a min can mask a newly bimodal query).
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(
-            min(run_one(spark, name, SF_DIR) for _ in range(2)), 3
-        )
+        runs = [round(run_one(spark, name, SF_DIR), 3) for _ in range(2)]
+        raw_runs[name] = runs
+        timings[name] = min(runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -84,6 +92,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "raw_runs": raw_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -135,6 +135,10 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+#: Previous invocation's persisted signature table (see minhash_lsh_pairs).
+_last_sig: DataFrame | None = None
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -185,16 +189,21 @@ def minhash_lsh_pairs(
     ]
     # The signature table is tiny (one row per doc, k ints) but its subtree
     # (explode + window + md5) is expensive, and the band self-join would
-    # recompute it once per side. localCheckpoint (not persist) scopes the
-    # materialization to this call: the checkpoint RDD is GC-cleaned when
-    # the returned DataFrame is dropped, so repeated invocations in one
-    # session don't accumulate cached partitions.
+    # recompute it once per side — persist the result, not the heavy rows.
+    # Bounded cache lifetime: each invocation unpersists the previous
+    # call's signature table (a localCheckpoint would also scope cleanup
+    # but costs ~3x the persist path on the bench), so looped invocations
+    # hold at most one lingering cache.
+    global _last_sig
     sig = (
         hashed.select("__id", *hash_cols)
         .groupBy("__id")
         .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    if _last_sig is not None:
+        _last_sig.unpersist()
+    _last_sig = sig
     bands = sig.select(
         "__id",
         F.posexplode(

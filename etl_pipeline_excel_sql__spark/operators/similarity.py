@@ -189,53 +189,50 @@ def kmeans_assign(
     )
 
 
-def _assign_to_literal_centroids(
+def _assign_broadcast(
     corpus: DataFrame,
-    cent_rows: list[tuple[int, list[float]]],
+    cents: DataFrame,
     id_col: str,
     vec_col: str,
     dims: int,
 ) -> DataFrame:
-    """Assignment as a pure narrow map: centroids embedded as literals.
+    """Max-cosine assignment with centroids as a broadcast TABLE.
 
-    The centroid table is tiny (ncells × dims doubles), so instead of a
-    crossJoin + top-1 window (a shuffle of ncells rows per vector), each
-    Lloyd round collects the centroids and compiles one codegen'd argmax
-    expression chain — zero shuffle, zero window, embarrassingly parallel.
-    Strict ``>`` comparisons walk cells in ascending order, so ties keep
-    the lowest cell — identical to the window's (sim DESC, cell ASC).
+    One small cosine expression per (vector, centroid) row — the same
+    shape that whole-stage-codegens cleanly in :func:`brute_force_topk`.
+    A fused per-row argmax over all cells (whether literal-embedded or
+    packed into an array column) is ncells×2×dims products in one
+    projection: janino rejects the >64KB method and Spark silently falls
+    back to interpreted eval, and with literals every Lloyd round also
+    recompiled from scratch. Here the expression text is identical across
+    rounds (centroids are data), so parse/codegen happen once.
 
-    Centroid norms are folded driver-side in Python (IEEE doubles, same
-    left-fold order as the engine/oracle), corpus norms in-engine — the
-    resulting similarity is bit-identical to :func:`kmeans_assign`.
+    The argmax is ``max_by(cell, struct(sim, -cell))``: partial
+    aggregation collapses the ncells candidate rows map-side (they are
+    co-partitioned with their vector by construction), so the shuffle
+    carries one combined row per vector — corpus-sized, not
+    corpus×ncells. Ties pick the lowest cell, the oracle's
+    (sim DESC, cell ASC) window rule. ``F.first(vec)`` is deterministic:
+    every candidate row of a group carries the identical vector.
     """
-    import math
+    from etl_pipeline_excel_sql__spark.functions.vectors import cosine_sql
 
-    vec = F.col(vec_col)
-    norm_v = F.sqrt(l2_norm_sq(vec, dims))
-    cells: list[int] = []
-    sims: list[Column] = []
-    for cell, cvec in sorted(cent_rows):
-        acc = 0.0
-        for x in cvec:
-            acc += x * x
-        cnorm = math.sqrt(acc)
-        d = F.element_at(vec, 1).cast("double") * F.lit(cvec[0])
-        for i in range(1, dims):
-            d = d + F.element_at(vec, i + 1).cast("double") * F.lit(cvec[i])
-        cells.append(cell)
-        sims.append(d / (norm_v * F.lit(cnorm)))
-    # argmax via array_max + first-position: each sim expression appears
-    # exactly once in the array (a when-chain would nest the growing "best"
-    # expression inside every step — exponential plan blowup). First
-    # occurrence of the max = lowest cell id, the window's tie rule.
-    sim_arr = F.array(*sims)
-    pos = F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
-    cell_arr = F.array(*[F.lit(c) for c in cells])
-    return corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(cell_arr, pos).cast("int").alias("cell"),
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", F.expr(cosine_sql(vec_col, "centroid", dims))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell"),
+                F.struct(
+                    F.col("__sim").alias("s"),
+                    (-F.col("cell")).alias("nc"),
+                ),
+            ).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, "cell")
     )
 
 
@@ -260,30 +257,37 @@ def kmeans_train_assign(
       update.
 
     At 100 TB: each round is one scan + one tiny aggregate (ncells×dims
-    partial sums); centroids always broadcast. Empty cells drop out
-    naturally (their group vanishes), mirrored by the oracle's GROUP BY.
+    partial sums, map-side combined); centroids always broadcast — the
+    driver never collects them. Empty cells drop out naturally (their
+    group vanishes), mirrored by the oracle's GROUP BY.
     """
-    seed_rows = [
-        (i, [float(x) for x in r[0]])
-        for i, r in enumerate(
-            corpus.orderBy(id_col).limit(ncells).select(vec_col).collect()
+    if iters < 1:
+        raise ValueError("kmeans_train_assign: iters must be >= 1")
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(
+                "centroid"
+            ),
         )
-    ]
-    assigned = _assign_to_literal_centroids(
-        corpus, seed_rows, id_col, vec_col, dims
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy(id_col)) - 1).cast("int"),
+        )
+        .select("cell", "centroid")
     )
-    for _ in range(iters - 1):
-        cent_rows = [
-            (int(r["cell"]), [float(x) for x in r["centroid"]])
-            for r in cell_centroids(assigned, "cell", vec_col, dims).collect()
-        ]
-        assigned = _assign_to_literal_centroids(
-            corpus, cent_rows, id_col, vec_col, dims
-        )
-    # The final assignment is consumed several times downstream (probe
-    # centroids + both sides of the cell join); checkpoint it so the wide
-    # literal-dot expression is evaluated once, not per consumer.
-    return assigned.localCheckpoint(eager=False)
+    for it in range(iters):
+        # Per-round lazy localCheckpoint keeps the plan flat across rounds
+        # and lets downstream consumers (probe centroids + both sides of
+        # the cell join) evaluate the assignment once, not per consumer.
+        assigned = _assign_broadcast(
+            corpus, cents, id_col, vec_col, dims
+        ).localCheckpoint(eager=False)
+        if it < iters - 1:
+            cents = cell_centroids(assigned, "cell", vec_col, dims)
+    return assigned
 
 
 def ivf_topk_trained(
@@ -309,6 +313,10 @@ def ivf_topk_trained(
         assigned, queries, k=k, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, cell_col="cell", dims=dims,
     )
+
+
+#: Previous invocation's persisted SRP key table (see cosine_neardup_pairs).
+_last_keys: DataFrame | None = None
 
 
 def cosine_neardup_pairs(
@@ -347,15 +355,29 @@ def cosine_neardup_pairs(
     base = corpus.select(*cols)
 
     if srp_bits:
-        from etl_pipeline_excel_sql__spark.functions.vectors import srp_signatures
+        from etl_pipeline_excel_sql__spark.functions.vectors import srp_buckets_long
 
-        keys = corpus.select(
-            F.col(id_col).alias("__id"),
-            *([F.col(block_col).alias("__block")] if block_col else []),
-            F.posexplode(
-                srp_signatures(F.col(vec_col), srp_bits, dims, srp_tables)
-            ).alias("__table", "__bucket"),
-        )
+        global _last_keys
+        keys = srp_buckets_long(
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                *([F.col(block_col).alias("__block")] if block_col else []),
+                F.col(vec_col).alias("__vec"),
+            ),
+            "__id",
+            "__vec",
+            srp_bits,
+            dims,
+            srp_tables,
+            extra_cols=("__block",) if block_col else (),
+        ).persist()
+        # The key table is tiny (srp_tables rows of four scalars per
+        # vector) but its signature subtree is wide; both sides of the
+        # self-join read it, so persist and drop the previous call's cache
+        # (bounded to one lingering table, as in dedup.minhash_lsh_pairs).
+        if _last_keys is not None:
+            _last_keys.unpersist()
+        _last_keys = keys
         key_cols = (["__block"] if block_col else []) + ["__table", "__bucket"]
         cand = (
             keys.select(F.col("__id").alias("id_a"), *key_cols)

@@ -10,8 +10,11 @@ pins the 50 most valuable queries — all SURVEY §2 core operators, the
 numerically risky aggregates, the LLM-pipeline operators, and the TPC-H
 widening — into that window. Everything after it is family-redundant with a
 checked entry (e.g. ``set_except`` with ``set_union``, ``agg_cube`` with
-``agg_rollup``) or trivially typed, and stays verified by the local replica
-(``tools/check_oracle.py``) at sf0.001 and sf0.01.
+``agg_rollup``, ``join_semi``/``window_first_last``/``ann_srp_buckets``
+with the richer ``tpch_q21``/``window_running_sum``+``window_zscore``/
+``neardup_cosine`` which exercise the same operators) or trivially typed,
+and stays verified by the local replica (``tools/check_oracle.py``) at
+sf0.001 and sf0.01.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -64,10 +67,8 @@ DRIVER_PRIORITY = [
     "agg_orders_by_status",
     "agg_rollup",
     "join_multitable_revenue",
-    "join_semi",
     "window_running_sum",
     "window_zscore",
-    "window_first_last",
     "set_union",
     "json_extract",
     "asof_join",
@@ -81,18 +82,20 @@ DRIVER_PRIORITY = [
     "tpch_q2_mincost_supplier",
     "tpch_q9_profit",
     "tpch_q18_large_orders",
+    "tpch_q21_sole_late_supplier",
     # LLM-training-data pipeline operators
     "text_token_count",
     "text_quality",
+    "text_tfidf_topk",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_keep_best",
+    "dedup_clusters",
     "neardup_cosine",
     "ann_brute_topk",
     "ann_ivf_topk",
-    "ann_srp_buckets",
     "multimodal_extract",
 ]
 

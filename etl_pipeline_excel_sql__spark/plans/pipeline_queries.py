@@ -536,3 +536,113 @@ ORACLE["ann_srp_buckets"] = f"""
     SELECT vec_id, {_srp_sql()} AS srp_bucket FROM embeddings
 """
 QUERIES["ann_srp_buckets"] = q_ann_srp_buckets
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs resolved into connected
+    components — the stage that turns pairwise similarity into actual
+    duplicate groups (cluster_id = min member id, plus group size).
+
+    The oracle walks the same edge set with a recursive CTE to the same
+    min-reachable-id fixpoint, so the driver check covers the iterative
+    DataFrame loop end-to-end.
+    """
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return connected_components(pairs)
+
+
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_SQL}),
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS lbl FROM sym
+  UNION
+  SELECT s.v AS node, reach.lbl FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS member_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
+TFIDF_K = 5
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinctive terms by tf-idf.
+
+    idf is the raw ratio ``N/df`` (one IEEE division — bit-reproducible
+    across engines; a log-smoothed idf would hit libm, whose last-ulp
+    behavior differs between JVM and C, and ranking is unchanged for
+    fixed N since x ↦ log is monotone). Score = ``tf·N/df`` computed as
+    one integer product then one double division. Ties: term ascending.
+
+    Scale shape: explode → two hash aggregates (doc-term, then term) and
+    one shuffle join on term; the per-doc top-k is a window over doc_id —
+    all high-cardinality keys, no skew hotspots beyond natural stopword
+    df (bounded by the aggregate's map-side combine).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, on="term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            (F.col("tf") * F.lit(n_docs)).cast("double")
+            / F.col("df").cast("double")
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+ORACLE["text_tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df,
+       CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                  term ASC) AS INT) AS rank
+FROM tf JOIN dfreq USING (term), n
+QUALIFY rank <= {TFIDF_K}
+"""
+QUERIES["text_tfidf_topk"] = q_text_tfidf_topk

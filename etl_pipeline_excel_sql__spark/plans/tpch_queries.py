@@ -137,6 +137,93 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q20_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping the majority of a part's demand (TPC-H Q20 shape).
+
+    The original's correlated aggregate subquery (``ps_availqty > 0.5 *
+    sum(l_quantity) for that part``) is expressed Spark-first as two
+    aggregates joined on the part key — the correlated scalar becomes a
+    plain column. The share test is ``supp_qty * 8 > part_demand``
+    (supplier covers over an eighth of the part's demand — the 0.5 of the
+    original is vacuous on this corpus's supplier fan-out), applied to
+    exact decimal sums multiplied by a power of two, so the comparison is
+    bit-identical on both engines with no scale change or precision
+    overflow.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    s = F.broadcast(load_table(spark, "supplier", sf_dir))
+    p = F.broadcast(load_table(spark, "part", sf_dir))
+    qty = F.col("l_quantity").cast(DEC)
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("part_demand")
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).cast("decimal(38,2)").alias("supp_qty")
+    )
+    return (
+        sp.join(pq, on="l_partkey")
+        .filter(
+            dec_out(F.col("supp_qty")) * F.lit(8.0)
+            > dec_out(F.col("part_demand"))
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "p_partkey",
+            "p_name",
+            dec_out(F.col("supp_qty")).alias("supp_qty"),
+            dec_out(F.col("part_demand")).alias("part_demand"),
+        )
+    )
+
+
+def q_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for a late order (TPC-H Q21 shape).
+
+    Keeps Q21's signature operator stack — a fact self-EXISTS (another
+    supplier participated in the order) and a self-NOT-EXISTS (no OTHER
+    supplier was late) — as one left-semi plus one left-anti join against
+    the order/supplier key set. "Late" is ``l_shipdate > o_orderdate + 60
+    days`` (the corpus has no commit/receipt dates). Output is the full
+    (s_name, numwait) aggregate — no LIMIT, so results are deterministic.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = F.broadcast(load_table(spark, "supplier", sf_dir))
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_keys = li.select(
+        F.col("l_orderkey").alias("k_orderkey"),
+        F.col("l_suppkey").alias("k_suppkey"),
+    )
+    late_keys = late.select(
+        F.col("l_orderkey").alias("k_orderkey"),
+        F.col("l_suppkey").alias("k_suppkey"),
+    ).distinct()
+    multi = late.join(
+        all_keys,
+        (F.col("l_orderkey") == F.col("k_orderkey"))
+        & (F.col("l_suppkey") != F.col("k_suppkey")),
+        "left_semi",
+    )
+    sole = multi.join(
+        late_keys,
+        (F.col("l_orderkey") == F.col("k_orderkey"))
+        & (F.col("l_suppkey") != F.col("k_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 ORACLE: dict[str, str] = {
     "tpch_q2_mincost_supplier": """
         WITH eur AS (
@@ -190,8 +277,54 @@ ORACLE: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey""",
 }
 
+ORACLE.update(
+    {
+        "tpch_q20_share_supplier": """
+        WITH pq AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+                   AS part_demand
+          FROM lineitem GROUP BY l_partkey
+        ), sp AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+                   AS supp_qty
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name, p_partkey, p_name,
+               CAST(CAST(supp_qty AS VARCHAR) AS DOUBLE) AS supp_qty,
+               CAST(CAST(part_demand AS VARCHAR) AS DOUBLE) AS part_demand
+        FROM sp
+        JOIN pq USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE CAST(CAST(supp_qty AS VARCHAR) AS DOUBLE) * 8.0
+              > CAST(CAST(part_demand AS VARCHAR) AS DOUBLE)""",
+        "tpch_q21_sole_late_supplier": """
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name""",
+    }
+)
+
 QUERIES = {
     "tpch_q2_mincost_supplier": q_tpch_q2_mincost_supplier,
     "tpch_q9_profit": q_tpch_q9_profit,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q20_share_supplier": q_tpch_q20_share_supplier,
+    "tpch_q21_sole_late_supplier": q_tpch_q21_sole_late_supplier,
 }

@@ -58,7 +58,11 @@ def get_session(
         # TIMESTAMP(NANOS) parquet (events.ts) arrives as raw nano longs;
         # sources/registry.py converts to microsecond timestamps explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs the executor inside the driver JVM: size it for 32
+        # concurrent tasks over wide array columns, or full-GC storms make
+        # run times bimodal (87s outliers on a 5s query at 8g were traced
+        # to exactly this).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

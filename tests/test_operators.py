@@ -294,3 +294,57 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_connected_components_basic(spark):
+    """Two components with distinct shapes: a triangle {1,2,3} and a chain
+    {10-11-12-13} (diameter 3 — exercises multi-round propagation)."""
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.member_id: (r.cluster_id, r.cluster_size)
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4),
+    }
+
+
+def test_connected_components_merge_via_bridge(spark):
+    """A late edge bridging two clusters must merge them into one
+    component labeled by the global minimum id."""
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (7, 8), (6, 7)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {5}
+    assert all(r.cluster_size == 4 for r in rows)
+
+
+def test_connected_components_iteration_cap(spark):
+    """A path graph longer than max_iters must raise, not silently return
+    an unconverged labeling."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(path, max_iters=2)
+    ok = connected_components(path, max_iters=10).collect()
+    assert {r.cluster_id for r in ok} == {0}
