@@ -108,9 +108,15 @@ def download_pipeline(
     n = write_positional(df, grid, row_start=row_start, skip_cols=skip_cols)
     notes = []
     if inject_vba:
-        # K4 (Download.py:203-227) guards validated columns against paste —
-        # workbook plumbing with no analytics content; recorded, not executed.
-        notes.append("vba-injection: skipped (template fidelity out of scope)")
+        # K4 (Download.py:203-227): the paste-guard macro source is stored
+        # on the grid verbatim (a VBA host is needed to execute it; none
+        # exists in an analytics engine — see sinks.excel_writer).
+        from etl_pipeline_excel_sql__spark.sinks.excel_writer import (
+            inject_vba_guard,
+        )
+
+        inject_vba_guard(grid)
+        notes.append("vba-injection: recorded (paste-guard module stored)")
     return PipelineResult(grid=grid, rows_written=n, notes=notes)
 
 

@@ -629,6 +629,186 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_SALT = "split:v1:"
+PACK_BUDGET = 512
+PACK_RANGE = 64
+
+
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10).
+
+    The standard reproducible corpus split: bucket = md5(salt || id) mod
+    100, so membership is a pure function of the document id — stable
+    across runs, engines, and re-partitioning, and adding documents never
+    reshuffles existing assignments. A narrow map with zero shuffle at
+    any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE["split_train_val"] = f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {_HASH60.format(e=f"concat('{SPLIT_SALT}', CAST(doc_id AS VARCHAR))")}
+           % 100 AS bucket
+  FROM documents
+)
+"""
+QUERIES["split_train_val"] = q_split_train_val
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign each document (in doc_id
+    order) to a training bin by its cumulative token offset —
+    ``bin = floor(tokens_before_this_doc / budget)``.
+
+    The prefix sum is computed with the scalable two-pass pattern, not a
+    single global window (which funnels 100 TB through one partition):
+
+    1. coarse ranges of ``PACK_RANGE`` doc ids each; per-range token sums
+       (one map-side-combined aggregate — n_ranges rows);
+    2. range offsets via a window over that TINY table;
+    3. per-document cumsum windowed WITHIN each range (parallel across
+       ranges), plus the broadcast range offset.
+
+    The oracle is the single global window — same bigint arithmetic, so
+    results agree exactly while the engine side stays shuffle-light.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("bigint").alias("n_tokens"),
+        # integer DIV, not float division — exact for any 64-bit id
+        F.expr(f"CAST(doc_id DIV {PACK_RANGE} AS BIGINT)").alias("__rng"),
+    )
+    from pyspark.sql import Window
+
+    rng_w = Window.orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rng_off = (
+        toks.groupBy("__rng")
+        .agg(F.sum("n_tokens").alias("__rng_tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__rng_tot").over(rng_w), F.lit(0).cast("bigint")),
+        )
+        .select("__rng", "__offset")
+    )
+    in_rng_w = (
+        Window.partitionBy("__rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(rng_off), on="__rng")
+        .withColumn(
+            "__before",
+            F.col("__offset")
+            + F.coalesce(
+                F.sum("n_tokens").over(in_rng_w), F.lit(0).cast("bigint")
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("__before").alias("start_offset"),
+            F.expr(f"CAST(__before DIV {PACK_BUDGET} AS BIGINT)").alias(
+                "bin_id"
+            ),
+        )
+    )
+
+
+ORACLE["pack_sequences"] = f"""
+SELECT doc_id, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS start_offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+"""
+QUERIES["pack_sequences"] = q_pack_sequences
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_NUM_RE = "[0-9][0-9][0-9]+"
+PII_ENTITY_RE = "\\b(customer|supplier)\\b"
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based scrubbing: emails → ``<EMAIL>``, digit runs of 3+ →
+    ``<NUM>``, denylisted entity terms → ``<ENT>`` — the standard
+    pre-training redaction pass (pattern + denylist tiers).
+
+    Patterns stick to the regex subset where Java (Spark) and RE2
+    (DuckDB) agree — character classes, counted runs, alternation, ASCII
+    ``\\b`` — no backrefs/lookaround. A narrow map; flags rows that
+    changed so the redaction rate is directly aggregable.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_NUM_RE,
+            "<NUM>",
+        ),
+        PII_ENTITY_RE,
+        "<ENT>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        (scrubbed != F.col("text")).alias("was_redacted"),
+    )
+
+
+_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{PII_NUM_RE}', '<NUM>', 'g'), "
+    f"'{PII_ENTITY_RE}', '<ENT>', 'g')"
+)
+ORACLE["text_scrub_pii"] = f"""
+SELECT doc_id,
+       {_SCRUB_SQL} AS clean_text,
+       {_SCRUB_SQL} <> text AS was_redacted
+FROM documents
+"""
+QUERIES["text_scrub_pii"] = q_text_scrub_pii
+
+
 ORACLE["text_tfidf_topk"] = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents

@@ -67,6 +67,10 @@ class CellGrid:
     rich: dict[tuple[int, int], list[tuple[str, str | None]]] = field(
         default_factory=dict
     )
+    #: VBA module name → macro source (K4). The grid carries macro TEXT the
+    #: way a real .xlsm carries its vbaProject — writing it into a live
+    #: workbook needs a COM/VBA host, which no analytics engine has.
+    vba_modules: dict[str, str] = field(default_factory=dict)
 
     def set(self, row: int, col: int, value: Any) -> None:
         self.cells[(row, col)] = value
@@ -141,6 +145,47 @@ def stamp_run_date(
 ) -> None:
     """K3: run-date stamp into K4 (row 4, col 11), ``MM/DD/YYYY``."""
     grid.set(row, col, when.strftime("%m/%d/%Y"))
+
+
+#: Columns the reference's paste guard protects (Download.py:214).
+VBA_GUARD_COLUMNS = ("C", "D", "E", "J", "K", "AI", "AH", "AP")
+
+
+def vba_paste_guard_code(columns: tuple[str, ...] = VBA_GUARD_COLUMNS) -> str:
+    """The reference's Worksheet_SelectionChange paste guard, verbatim
+    semantics (Download.py:208-224): undo any paste into a validated
+    column whose validation type is not list (3)."""
+    ranges = ", ".join(f"{c}:{c}" for c in columns)
+    return f'''Private Sub Worksheet_SelectionChange(ByVal Target As Range)
+    Dim cell As Range
+    On Error Resume Next
+    For Each cell In Target
+        If Not Intersect(cell, Me.Range("{ranges}")) Is Nothing Then
+            If cell.Validation.Type <> 3 Then
+                Application.Undo
+                MsgBox "Copy and paste is not allowed in this column.", vbExclamation
+            End If
+        End If
+    Next cell
+    On Error GoTo 0
+End Sub
+'''
+
+
+def inject_vba_guard(
+    grid: CellGrid,
+    module: str = "Sheet1",
+    columns: tuple[str, ...] = VBA_GUARD_COLUMNS,
+) -> None:
+    """K4 (Download.py:203-227): attach the paste-guard macro to the sink.
+
+    The reference drives a live Excel COM host (``workbook.VBProject...
+    AddFromString``); this engine stores the identical macro source on the
+    grid so a downstream .xlsm writer with a VBA host can install it —
+    the stored-string fidelity half of K4, without pretending to execute
+    VBA.
+    """
+    grid.vba_modules[module] = vba_paste_guard_code(columns)
 
 
 def write_header_matched(

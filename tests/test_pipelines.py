@@ -62,7 +62,14 @@ def test_download_pipeline_end_to_end(tracker):
     row_p2 = [res.grid.get(9, c) for c in (1, 3, 4, 5, 6)]
     # 'garbage' date coerces to null -> ''; 'NULL' literal percent -> ''
     assert row_p2 == ["P2", "MOH", "", "", "delayed until fall"]
-    assert res.notes and "vba-injection" in res.notes[0]
+    assert res.notes and "vba-injection: recorded" in res.notes[0]
+    # K4: the paste-guard macro source is carried on the grid verbatim
+    # (Download.py:203-227 semantics — guard ranges + undo + message).
+    vba = res.grid.vba_modules["Sheet1"]
+    assert "Worksheet_SelectionChange" in vba
+    assert '"C:C, D:D, E:E, J:J, K:K, AI:AI, AH:AH, AP:AP"' in vba
+    assert "Application.Undo" in vba
+    assert "Copy and paste is not allowed in this column." in vba
 
 
 def test_upload_pipeline_all_block_order(tracker):
