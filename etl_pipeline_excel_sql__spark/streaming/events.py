@@ -194,3 +194,20 @@ def running_user_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each ``event_id`` wins;
+    re-deliveries inside the watermark horizon are dropped statefully.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and evicts
+    entries once the watermark passes them — bounded state for at-least-
+    once sources (Kafka replays, file re-lands), the streaming twin of the
+    batch ``exact_dedup``/``dedup_lastwins`` operators. State carries only
+    the key and its watermark timestamp, never the payload.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

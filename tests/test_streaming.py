@@ -181,3 +181,65 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # user 1: batch1 emits (2, 5.0); batch2 emits the carried-forward (3, 15.0)
     assert (2, 5.0) in per_user[1] and (3, 15.0) in per_user[1]
     assert per_user[2] == [(1, 5.0)]
+
+
+def test_dedup_stream_drops_redelivered_ids(spark, tmp_path):
+    """Re-delivered event_ids across micro-batches are dropped while the
+    watermark still covers them (at-least-once -> exactly-once payloads)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+        dedup_events_stream,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def _write(events, name):
+        spark.createDataFrame(events, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    m = 60_000_000_000  # 1 min in nanos
+    base = 1_700_000_000_000_000_000
+    _write(
+        [
+            (1, base + 0 * m, 1, "click", 1.0, "{}"),
+            (2, base + 1 * m, 1, "click", 2.0, "{}"),
+        ],
+        "batch1",
+    )
+    _time.sleep(1.1)
+    # batch 2 re-delivers event 2 (same id, later ts) + a fresh event 3
+    _write(
+        [
+            (2, base + 2 * m, 1, "click", 2.0, "{}"),
+            (3, base + 3 * m, 1, "click", 3.0, "{}"),
+        ],
+        "batch2",
+    )
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_events_stream(events, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("dedup_stream_test").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]  # the re-delivery of 2 was deduped

@@ -48,6 +48,53 @@ COMMENTARY = {
         "with unrolled codegen cosine; the only shuffle is the per-query "
         "top-k window reduction."
     ),
+    "ann_ivf_topk": (
+        "Trained IVF: every Lloyd round is a broadcast of the (tiny) "
+        "centroid table against the corpus scan with ONE reused small "
+        "cosine expression (whole-stage codegen compiles it once — a fused "
+        "per-row argmax over all cells exceeded janino's method limit and "
+        "silently degraded to interpreted eval), then a map-side-combined "
+        "max_by whose shuffle carries one row per vector. Assignments are "
+        "localCheckpointed per round so the probe + cell join evaluate "
+        "them once. Final probe joins broadcast probes to corpus cells — "
+        "the corpus never shuffles."
+    ),
+    "neardup_cosine": (
+        "Candidate keys come from srp_buckets_long: hyperplanes as a "
+        "broadcast 18-row table, one dims-term dot per (vector, plane) "
+        "row, bucket votes summed in a map-side-combined aggregate — "
+        "small static codegen, no giant fused signature expression. The "
+        "(block, table, bucket) self-join carries only key scalars; "
+        "vectors re-join for the surviving candidates only."
+    ),
+    "dedup_clusters": (
+        "Connected components: the LSH pair pipeline materializes ONCE "
+        "(eager localCheckpoint of the edge set), then each min-label "
+        "round is one shuffle join + one map-side-combined min aggregate "
+        "on (node, label) pairs — document payloads never enter the loop. "
+        "The displayed plan is the final label/size join; the loop's "
+        "per-round plans are identical by construction."
+    ),
+    "text_tfidf_topk": (
+        "Explode feeds two hash aggregates (doc-term tf, then term df) "
+        "with map-side combine, one shuffle join on the term key, and a "
+        "per-doc top-k window partitioned by doc_id — every key is "
+        "high-cardinality, no single-partition funnels."
+    ),
+    "pack_sequences": (
+        "Scalable prefix sum: per-range token sums (map-side combined), "
+        "range offsets via a window over the TINY offsets table (the only "
+        "single-partition step — n_ranges rows), then per-doc cumsum "
+        "windows parallel across ranges joined to broadcast offsets. The "
+        "naive global-order window would funnel the full corpus through "
+        "one partition."
+    ),
+    "tpch_q21_sole_late_supplier": (
+        "EXISTS/NOT-EXISTS become left-semi and left-anti hash joins on "
+        "the order key with the supplier-inequality as residual condition; "
+        "orders and supplier broadcast; lineitem is scanned, never "
+        "cartesian-joined."
+    ),
 }
 
 
