@@ -9,7 +9,7 @@ differ in the last ulp; sqrt is IEEE-exact so it is fine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.functions.cleaning import to_str
@@ -682,3 +682,155 @@ QUERIES.update(
         "fill_impute": q_fill_impute,
     }
 )
+
+
+def q_fuzzy_join_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: distinct part-name pairs sharing a blocking
+    token whose Levenshtein distance is <= 3 — the standard record-linkage
+    shape (block -> verify) the reference's manual header matching hints
+    at, distributed.
+
+    Blocking on the first name token keeps the verify step per-block
+    (never all-pairs); Levenshtein is the classic DP, identical integers
+    on both engines. Names dedupe BEFORE the self-join so the quadratic
+    step runs on distinct values only.
+    """
+    part = load_table(spark, "part", sf_dir)
+    names = (
+        part.select(
+            F.col("p_name").alias("name"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+        )
+        .distinct()
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+
+
+def q_window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-metric family over one window: ntile quartile, percent_rank,
+    cume_dist per order within its status, ordered by (price, key) so
+    every metric is tie-free deterministic.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    IEEE divisions — bit-identical across engines; ntile depends only on
+    row position.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLE.update(
+    {
+        "fuzzy_join_partnames": """
+        WITH names AS (
+          SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS blk
+          FROM part
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+        FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3""",
+        "window_rank_metrics": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+    }
+)
+QUERIES.update(
+    {
+        "fuzzy_join_partnames": q_fuzzy_join_partnames,
+        "window_rank_metrics": q_window_rank_metrics,
+    }
+)
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over ``orders``: one row per rule
+    with its violation count — the distributed form of the reference's
+    upload-side validation (empty-source guard, key checks).
+
+    Row-level rules (positivity, domain membership, non-null) fold into
+    ONE conditional aggregate over a single scan; the referential rule is
+    a broadcast anti-join count; the uniqueness rule is sum(per-key count
+    - 1) over a map-side-combined groupBy. All-integer outputs.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    row_rules = o.agg(
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).cast("bigint").alias("totalprice_positive"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("bigint").alias("status_in_domain"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("custkey_not_null"),
+    )
+    melted = row_rules.selectExpr(
+        "stack(3, 'totalprice_positive', totalprice_positive, "
+        "'status_in_domain', status_in_domain, "
+        "'custkey_not_null', custkey_not_null) AS (rule, violations)"
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(F.lit("custkey_fk").alias("rule"), "violations")
+    )
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("violations")
+        )
+        .select(F.lit("orderkey_unique").alias("rule"), "violations")
+    )
+    return melted.unionAll(fk).unionAll(uniq)
+
+
+ORACLE["dq_checks"] = """
+SELECT 'totalprice_positive' AS rule,
+       CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+"""
+QUERIES["dq_checks"] = q_dq_checks

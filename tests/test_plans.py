@@ -1,0 +1,104 @@
+"""Physical-plan regression tests.
+
+The oracle gate proves VALUES right; these prove the PLANS stay right —
+pushdown reaching the scan, dimensions broadcasting, no accidental
+cartesian products, codegen not silently disabled. A refactor that keeps
+results correct but, say, drops a pushed filter or blows the janino method
+limit fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    from etl_pipeline_excel_sql__spark.plans import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_download_pipeline_pushes_segment_filter(spark):
+    plan = _plan(spark, "download_pipeline")
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multitable_revenue_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "join_multitable_revenue")
+    # fact table joins every dimension without shuffling it
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_eq_pushes_predicate(spark):
+    plan = _plan(spark, "filter_eq")
+    assert "PushedFilters" in plan and "EqualTo" in plan
+
+
+def test_drop_cols_prunes_at_scan(spark):
+    """P1: dropped columns must never be read from parquet."""
+    plan = _plan(spark, "drop_cols")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    for dropped in ("l_tax", "l_shipdate", "l_linestatus"):
+        assert dropped not in scan
+    assert "l_orderkey" in scan
+
+
+def test_minhash_band_join_carries_no_documents(spark):
+    """The LSH self-join must join signature keys, never text payloads."""
+    from etl_pipeline_excel_sql__spark.operators.dedup import minhash_lsh_pairs
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", SF), "text", "doc_id"
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the join keys are (band, bucket) hash columns — text enters only the
+    # final candidate-verification join via the shingle sets
+    assert "SortMergeJoin [band" in plan or "hashpartitioning(band" in plan or (
+        "BroadcastHashJoin [band" in plan
+    )
+
+
+def test_no_codegen_compile_failures_on_ann_paths(spark):
+    """The ANN family's expressions must stay under janino's method limit;
+    a fused >512-term projection silently degrades to interpreted eval
+    (this regression shipped once — see operators/similarity.py). With
+    codegen fallback disabled, any compile failure raises instead."""
+    from etl_pipeline_excel_sql__spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in ("ann_ivf_topk", "neardup_cosine", "ann_brute_topk"):
+            df = QUERIES[name](spark, SF)
+            df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_brute_force_corpus_never_shuffles_before_scoring(spark):
+    plan = _plan(spark, "ann_brute_topk")
+    # one broadcast (query side) before scoring; the only Exchange is the
+    # top-k window partitioned by query_id
+    head = plan.split("Window")[0] if "Window" in plan else plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_global_corpus_window(spark):
+    """The prefix sum must window per-range (parallel), with the global
+    window confined to the tiny per-range offsets table."""
+    from etl_pipeline_excel_sql__spark.plans import QUERIES
+
+    df = QUERIES["pack_sequences"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-doc cumsum is partitioned by __rng
+    assert "partitionBy" not in plan  # physical plans spell it differently
+    assert "hashpartitioning(__rng" in plan
