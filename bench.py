@@ -72,15 +72,17 @@ def main() -> None:
     ).save()
 
     # min of two runs per query: local wall-clock noise on a shared box is
-    # easily 2x; the min is the stable capability signal across rounds. Raw
+    # easily 2x; the min is the stable capability signal across rounds. The
+    # two samples are INTERLEAVED (full pass, then a second full pass) so a
+    # minutes-long host-noise burst — observed 10x on idle load — degrades
+    # at most one sample per query instead of both back-to-back. Raw
     # per-run arrays are kept in the output so round-over-round regressions
     # stay attributable (a min can mask a newly bimodal query).
-    timings: dict[str, float] = {}
-    raw_runs: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        runs = [round(run_one(spark, name, SF_DIR), 3) for _ in range(2)]
-        raw_runs[name] = runs
-        timings[name] = min(runs)
+    raw_runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            raw_runs[name].append(round(run_one(spark, name, SF_DIR), 3))
+    timings = {name: min(runs) for name, runs in raw_runs.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
