@@ -1,0 +1,228 @@
+"""Minimal native .xlsx writer/reader (stdlib zip + XML, no openpyxl).
+
+The container has no openpyxl, but an .xlsx file is only a zip of XML
+parts — this module writes a real, spec-conformant workbook from a
+:class:`~etl_pipeline_excel_sql__spark.sinks.excel_writer.CellGrid` and
+reads one back, so the K1–K5 sink semantics round-trip through an actual
+file instead of stopping at the in-memory grid. Scope is deliberately the
+engine's needs, not a general library:
+
+* values as inline strings / numbers (the sinks emit T7-converted strings,
+  ints, floats, and ISO-formatted dates);
+* per-cell PatternFill solid colors (K5 diff highlighting);
+* rich-text runs with per-run font colors (D3 word-level diffs);
+* a stored ``xl/vbaSource/Sheet1.vba`` text part for the recorded K4 macro
+  (a real ``vbaProject.bin`` is an OLE2 binary only a VBA host can build;
+  storing the source keeps the part inert for Excel and lossless for us).
+
+Reference behaviors replicated: fill colors ``FF94DCF8``/``FFED8EDA``
+(Compare.py:14-15), red rich-text words (Compare.py:87-110).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+from etl_pipeline_excel_sql__spark.sinks.excel_writer import CellGrid
+
+_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Default Extension="vba" ContentType="text/plain"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>
+"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>
+"""
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="{name}" sheetId="1" r:id="rId1"/></sheets>
+</workbook>
+"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+</Relationships>
+"""
+
+
+def col_letter(col: int) -> str:
+    """1-based column index → Excel letters (1→A, 27→AA)."""
+    out = ""
+    while col > 0:
+        col, rem = divmod(col - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _letter_col(letters: str) -> int:
+    out = 0
+    for ch in letters:
+        out = out * 26 + (ord(ch) - ord("A") + 1)
+    return out
+
+
+def _styles_xml(fill_colors: list[str]) -> str:
+    """styles.xml with one solid-fill xf per distinct ARGB color.
+
+    Fill index mapping: Excel reserves fills 0 (none) and 1 (gray125);
+    color i lands at fill index i+2 and cell-xf index i+1 (xf 0 = default).
+    """
+    fills = [
+        '<fill><patternFill patternType="none"/></fill>',
+        '<fill><patternFill patternType="gray125"/></fill>',
+    ]
+    xfs = ['<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>']
+    for i, argb in enumerate(fill_colors):
+        fills.append(
+            f'<fill><patternFill patternType="solid">'
+            f'<fgColor rgb="{argb}"/><bgColor indexed="64"/>'
+            f"</patternFill></fill>"
+        )
+        xfs.append(
+            f'<xf numFmtId="0" fontId="0" fillId="{i + 2}" borderId="0" '
+            f'applyFill="1"/>'
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_NS}">'
+        '<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>'
+        f'<fills count="{len(fills)}">{"".join(fills)}</fills>'
+        '<borders count="1"><border/></borders>'
+        '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+        f'<cellXfs count="{len(xfs)}">{"".join(xfs)}</cellXfs>'
+        "</styleSheet>"
+    )
+
+
+def _cell_xml(ref: str, value, style_idx: int, runs) -> str:
+    s = f' s="{style_idx}"' if style_idx else ""
+    if runs is not None:
+        parts = []
+        for text, argb in runs:
+            rpr = f'<rPr><color rgb="{argb}"/></rPr>' if argb else ""
+            parts.append(
+                f'<r>{rpr}<t xml:space="preserve">{escape(text)}</t></r>'
+            )
+        return f'<c r="{ref}"{s} t="inlineStr"><is>{"".join(parts)}</is></c>'
+    if isinstance(value, bool):
+        return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
+    text = escape(str(value))
+    return (
+        f'<c r="{ref}"{s} t="inlineStr">'
+        f'<is><t xml:space="preserve">{text}</t></is></c>'
+    )
+
+
+def grid_to_xlsx(grid: CellGrid, path: str, sheet_name: str = "Sheet1") -> None:
+    """Write the grid as a real .xlsx (values, fills, rich text, stored
+    VBA source parts)."""
+    fill_colors = sorted({c for c in grid.fills.values()})
+    fill_idx = {c: i + 1 for i, c in enumerate(fill_colors)}  # cell-xf index
+
+    by_row: dict[int, list[int]] = {}
+    for r, c in grid.cells:
+        by_row.setdefault(r, []).append(c)
+    rows_xml = []
+    for r in sorted(by_row):
+        cells_xml = []
+        for c in sorted(by_row[r]):
+            ref = f"{col_letter(c)}{r}"
+            style = fill_idx.get(grid.fills.get((r, c), ""), 0)
+            cells_xml.append(
+                _cell_xml(ref, grid.cells[(r, c)], style, grid.rich.get((r, c)))
+            )
+        rows_xml.append(f'<row r="{r}">{"".join(cells_xml)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS}">'
+        f'<sheetData>{"".join(rows_xml)}</sheetData>'
+        "</worksheet>"
+    )
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK.format(name=escape(sheet_name)))
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/styles.xml", _styles_xml(fill_colors))
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        for module, code in sorted(grid.vba_modules.items()):
+            z.writestr(f"xl/vbaSource/{module}.vba", code)
+
+
+_CELL_REF_RE = re.compile(r"^([A-Z]+)([0-9]+)$")
+
+
+def xlsx_to_grid(path: str) -> CellGrid:
+    """Read a grid back from an .xlsx written by :func:`grid_to_xlsx`
+    (inline strings/numbers, solid fills, rich runs, stored VBA parts)."""
+    ns = {"m": _NS}
+    grid = CellGrid()
+    with zipfile.ZipFile(path) as z:
+        styles = ET.fromstring(z.read("xl/styles.xml"))
+        fill_rgbs: list[str | None] = []
+        for fill in styles.findall("m:fills/m:fill/m:patternFill", ns):
+            fg = fill.find("m:fgColor", ns)
+            fill_rgbs.append(fg.get("rgb") if fg is not None else None)
+        xf_fill: list[str | None] = []
+        for xf in styles.findall("m:cellXfs/m:xf", ns):
+            fid = int(xf.get("fillId", "0"))
+            xf_fill.append(fill_rgbs[fid] if fid < len(fill_rgbs) else None)
+
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        for cell in sheet.findall("m:sheetData/m:row/m:c", ns):
+            m = _CELL_REF_RE.match(cell.get("r", ""))
+            if not m:
+                continue
+            r, c = int(m.group(2)), _letter_col(m.group(1))
+            argb = xf_fill[int(cell.get("s", "0"))]
+            if argb:
+                grid.fill(r, c, argb)
+            if cell.get("t") == "inlineStr":
+                is_el = cell.find("m:is", ns)
+                runs = is_el.findall("m:r", ns)
+                if runs:
+                    out_runs: list[tuple[str, str | None]] = []
+                    for run in runs:
+                        color = run.find("m:rPr/m:color", ns)
+                        t = run.find("m:t", ns)
+                        out_runs.append(
+                            (
+                                t.text or "",
+                                color.get("rgb") if color is not None else None,
+                            )
+                        )
+                    grid.set_rich(r, c, out_runs)
+                else:
+                    t = is_el.find("m:t", ns)
+                    grid.set(r, c, t.text or "" if t is not None else "")
+            elif cell.get("t") == "b":
+                grid.set(r, c, cell.findtext("m:v", None, ns) == "1")
+            else:
+                v = cell.findtext("m:v", None, ns)
+                if v is not None:
+                    f = float(v)
+                    grid.set(r, c, int(f) if f.is_integer() and "." not in v and "e" not in v.lower() else f)
+        for name in z.namelist():
+            if name.startswith("xl/vbaSource/") and name.endswith(".vba"):
+                module = name[len("xl/vbaSource/") : -len(".vba")]
+                grid.vba_modules[module] = z.read(name).decode("utf-8")
+    return grid

@@ -38,12 +38,22 @@ def read_excel_all_string(
             dtype=str,
             engine="openpyxl",
         )
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl (not installed here); use "
-            "grid_to_dataframe or read_csv_all_string"
-        ) from exc
+    except ImportError:
+        # No pandas excel engine in this environment — fall back to the
+        # native stdlib reader (sinks/xlsx.py), which covers workbooks
+        # this engine writes plus any inline-string/number sheet1.
+        return read_xlsx_all_string(spark, path)
     return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+
+
+def read_xlsx_all_string(
+    spark: SparkSession, path: str, header_row: int = 1
+) -> DataFrame:
+    """S2 via the native .xlsx reader: workbook → CellGrid →
+    all-string DataFrame with explicit row ordinals (no openpyxl)."""
+    from etl_pipeline_excel_sql__spark.sinks.xlsx import xlsx_to_grid
+
+    return grid_to_dataframe(spark, xlsx_to_grid(path), header_row=header_row)
 
 
 def grid_to_dataframe(
