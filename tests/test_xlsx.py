@@ -102,3 +102,59 @@ def test_download_pipeline_writes_real_workbook(spark, tmp_path):
     assert back.get(4, 11) == "08/13/2026"
     assert back.max_row() == res.grid.max_row() > 8
     assert "Worksheet_SelectionChange" in back.vba_modules["Sheet1"]
+
+
+def test_compare_pipeline_file_to_file(spark, tmp_path):
+    """The full Compare.py flow over REAL files: two .xlsx snapshots on
+    disk -> all-string read -> diff -> highlighted .xlsx on disk, with
+    fills and red word-runs surviving the round trip."""
+    from etl_pipeline_excel_sql__spark.pipelines import compare_pipeline
+    from etl_pipeline_excel_sql__spark.sinks.excel_writer import (
+        FILL_CHANGED,
+        write_positional,
+    )
+    from etl_pipeline_excel_sql__spark.sources.excel import read_xlsx_all_string
+
+    def snapshot(rows, name):
+        df = spark.createDataFrame(rows, "id string, status string, notes string")
+        g = CellGrid()
+        for c, h in enumerate(df.columns, start=1):
+            g.set(1, c, h)
+        write_positional(df, g, row_start=2, skip_cols=frozenset())
+        p = str(tmp_path / name)
+        grid_to_xlsx(g, p)
+        return p
+
+    old_p = snapshot(
+        [("A", "open", "on track for spring"), ("B", "open", "fine")],
+        "old.xlsx",
+    )
+    new_p = snapshot(
+        [("A", "closed", "on track for fall"), ("B", "open", "fine"),
+         ("C", "open", "brand new")],
+        "new.xlsx",
+    )
+
+    q1 = read_xlsx_all_string(spark, old_p).drop("_row_ordinal")
+    q2 = read_xlsx_all_string(spark, new_p).drop("_row_ordinal")
+    diff, res = compare_pipeline(
+        q1, q2, key="id", compare_cols=["status", "notes"],
+        word_diff_cols=["notes"],
+    )
+    out_p = str(tmp_path / "highlight.xlsx")
+    grid_to_xlsx(res.grid, out_p)
+    back = xlsx_to_grid(out_p)
+
+    # row A changed: status cell carries the change fill
+    fills = set(back.fills.values())
+    assert FILL_CHANGED in fills
+    # word-level rich text survived with a red run for the changed word
+    red_runs = [
+        runs for runs in back.rich.values()
+        if any(color is not None for _, color in runs)
+    ]
+    assert red_runs, "no colored word runs in the rendered workbook"
+    assert any(
+        t.strip() == "fall" and color is not None
+        for runs in red_runs for t, color in runs
+    )
