@@ -22,6 +22,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     extended_queries,
     pipeline_queries,
     reference_queries,
+    tpch2_queries,
     tpch_queries,
 )
 
@@ -31,6 +32,7 @@ _ALL_QUERIES = {
     **pipeline_queries.QUERIES,
     **extended_queries.QUERIES,
     **tpch_queries.QUERIES,
+    **tpch2_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -39,6 +41,7 @@ _ALL_ORACLE = {
     **pipeline_queries.ORACLE,
     **extended_queries.ORACLE,
     **tpch_queries.ORACLE,
+    **tpch2_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

@@ -1,0 +1,524 @@
+"""TPC-H Q4/Q7/Q8/Q13/Q14/Q15/Q16/Q17/Q22-flavor queries (round-2 widening).
+
+Together with ``tpch_queries`` (Q2/Q9/Q18/Q20/Q21) this completes coverage
+of every *distinct operator shape* in the TPC-H suite that the corpus can
+express (the remaining numbers — Q1/Q3/Q5/Q6/Q10/Q11/Q12/Q19 — are
+scan+filter+aggregate/join shapes already exercised by
+``agg_pricing_summary``, ``join_multitable_revenue``, ``nation_volume``,
+``window_rank_topk`` et al.). Adaptations, since the corpus has no
+``partsupp`` and fewer columns than full TPC-H:
+
+* Q4  — EXISTS semi-join: orders with any lineitem shipped >30 days after
+  the order date ("late commit" proxy), counted per priority.
+* Q7  — volume shipping: revenue between two nation pairs by ship year.
+* Q8  — market share: one nation's revenue share of a region by year
+  (ratio of two exact decimal sums, divided as doubles).
+* Q13 — customer order distribution: left join + two-level aggregation.
+* Q14 — promo revenue share per month (CASE ratio).
+* Q15 — top supplier(s) by quarterly revenue (aggregate equal to the
+  global max — broadcast-join against a 1-row aggregate, no window).
+* Q16 — supplier diversity per (brand, type, size) with a NOT-IN
+  exclusion list (anti-join) and count distinct.
+* Q17 — small-quantity revenue: correlated per-part average quantity
+  (aggregate-then-join, never a window over the fact table).
+* Q22 — dormant high-balance customers: scalar avg subquery + NOT EXISTS
+  (anti-join against urgent orders), grouped by a name-derived code.
+
+Numeric parity follows the repo rule (see ``analytics_queries.dec_out``):
+money stays DECIMAL end-to-end, outputs render decimal → string → double,
+ratios divide the two string-hopped doubles (IEEE division is deterministic
+and identical on both engines). ``l_quantity`` is integral (1..50), so
+float sums of it are exact at any order; money sums always go through
+DECIMAL.
+
+Reference shapes: TPC-H spec rev 3.0 (public); no code derived from
+/root/reference (it has no analytics queries — these extend SURVEY §2's
+"beyond the reference" widening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.plans.analytics_queries import DEC, dec_out
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: Exact decimal revenue term used by Q7/Q8/Q14/Q15/Q17.
+def _revenue():
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1.0 - l_discount AS DECIMAL(6,4))"
+)
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-order counts per priority over one quarter (TPC-H Q4 shape).
+
+    The signature operator is EXISTS — a left-semi join whose condition
+    references both sides (lineitem shipped >30 days after the order
+    date). The semi-join keeps the orders side at most once per key, so
+    the aggregate never double-counts multi-lineitem orders.
+    """
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 30),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between NATION_1 and NATION_2 by year (TPC-H Q7).
+
+    Two independent nation lookups (supplier side and customer side) with
+    the cross-pair filter; lineitem⋈orders is the only big shuffle, both
+    nation paths broadcast.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    )
+    n1 = F.broadcast(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_out(F.sum(_revenue()).cast("decimal(38,4)")).alias("revenue"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of EUROPE-customer STANDARD-part revenue by year
+    (TPC-H Q8 shape).
+
+    The ratio divides two *exact* decimal sums after the string hop —
+    numerator and denominator are each order-independent, and one IEEE
+    double division is bit-identical on both engines. The CASE lives
+    inside the aggregate so it's one pass, not a self-join.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    p = F.broadcast(
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    c = F.broadcast(
+        load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    )
+    n1 = F.broadcast(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, "region", sf_dir)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    n2 = F.broadcast(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = _revenue()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cr_key") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("decimal(38,4)").alias("nat"),
+            F.sum(vol).cast("decimal(38,4)").alias("tot"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (dec_out(F.col("nat")) / dec_out(F.col("tot"))).alias("mkt_share"),
+    )
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by non-urgent order count (TPC-H Q13).
+
+    Left outer join with the filter *inside the join condition* (so
+    customers whose only orders are urgent still appear with count 0),
+    then a second aggregation over the counts. Integer outputs only.
+    """
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO-part revenue share per ship month (TPC-H Q14 shape).
+
+    Same exact-decimal-CASE-ratio discipline as Q8; grouped per month so
+    the output exercises the date bucketing too.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = F.broadcast(
+        load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    )
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("decimal(38,4)").alias("promo"),
+            F.sum(rev).cast("decimal(38,4)").alias("tot"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        (
+            F.lit(100.0) * dec_out(F.col("promo")) / dec_out(F.col("tot"))
+        ).alias("promo_revenue_pct"),
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1996Q1 revenue (TPC-H Q15 shape).
+
+    The original's view + scalar-max subquery becomes aggregate →
+    broadcast-join against the 1-row global max. The max is compared on
+    the exact DECIMAL (not the double render), so ties are bit-exact; at
+    100 TB the second pass touches only the per-supplier aggregate, never
+    lineitem.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = F.broadcast(load_table(spark, "supplier", sf_dir))
+    revs = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("decimal(38,4)").alias("total_rev")
+    )
+    top = F.broadcast(revs.agg(F.max("total_rev").alias("max_rev")))
+    return (
+        revs.join(top, revs.total_rev == top.max_rev)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            dec_out(F.col("total_rev")).alias("total_rev"),
+        )
+    )
+
+
+def q_tpch_q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) with an exclusion
+    list (TPC-H Q16 shape).
+
+    The NOT IN subquery (suppliers whose name contains '77' — the
+    "complaints" proxy) is a broadcast anti-join, the count distinct is a
+    single shuffle on the group key. Integer outputs only.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    p = F.broadcast(
+        load_table(spark, "part", sf_dir).filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size") <= 10)
+        )
+    )
+    excluded = F.broadcast(
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_name").contains("77"))
+        .select(F.col("s_suppkey").alias("x_suppkey"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == F.col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost by dropping small-quantity Brand#1
+    SMALL-part orders (TPC-H Q17 shape).
+
+    The correlated scalar subquery (``0.2 * avg(l_quantity)`` for that
+    part) is an aggregate-then-join on the part key — at scale the join
+    input is one row per part, not a window over the fact table.
+    ``l_quantity`` is integral so its float sum is exact; the threshold
+    and the final division are deterministic double ops.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = F.broadcast(
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    narrowed = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = narrowed.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    small = narrowed.join(
+        avg_qty, F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    return small.agg(
+        (
+            dec_out(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(38,2)")
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no urgent orders, grouped by the last
+    two digits of the customer name (TPC-H Q22 shape).
+
+    Scalar subquery (global average positive balance — computed as an
+    exact decimal sum divided by count) + NOT EXISTS (broadcast-able
+    anti-join against urgent orders' customer keys). The balance
+    comparison happens between doubles derived identically on both
+    engines.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            (
+                dec_out(
+                    F.sum(F.col("c_acctbal").cast(DEC)).cast("decimal(38,2)")
+                )
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    urgent_cust = o.select(F.col("o_custkey").alias("u_custkey")).distinct()
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent_cust, F.col("c_custkey") == F.col("u_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", -2, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_out(
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("decimal(38,2)")
+            ).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""",
+    "tpch_q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(CAST(CAST(SUM({rev}) AS DECIMAL(38,4)) AS VARCHAR)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".format(rev=_REV_SQL),
+    "tpch_q8_market_share": """
+        WITH vols AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 {rev} AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        )
+        SELECT o_year,
+               CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN volume
+                                       ELSE CAST(0 AS DECIMAL(12,2)) END)
+                     AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS VARCHAR)
+                      AS DOUBLE) AS mkt_share
+        FROM vols GROUP BY o_year""".format(rev=_REV_SQL),
+    "tpch_q13_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count""",
+    "tpch_q14_promo_share": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               100.0
+               * CAST(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                         THEN {rev}
+                                         ELSE CAST(0 AS DECIMAL(12,2)) END)
+                       AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(SUM({rev}) AS DECIMAL(38,4)) AS VARCHAR)
+                      AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY strftime(l_shipdate, '%Y-%m')""".format(rev=_REV_SQL),
+    "tpch_q15_top_supplier": """
+        WITH revs AS (
+          SELECT l_suppkey,
+                 CAST(SUM({rev}) AS DECIMAL(38,4)) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_rev
+        FROM revs
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM revs)""".format(
+        rev=_REV_SQL
+    ),
+    "tpch_q16_supplier_diversity": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 10
+          AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+        GROUP BY p_brand, p_type, p_size""",
+    "tpch_q17_small_qty_revenue": """
+        WITH narrowed AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+        ), avg_qty AS (
+          SELECT l_partkey AS a_partkey,
+                 SUM(l_quantity) / COUNT(*) AS avg_qty
+          FROM narrowed GROUP BY l_partkey
+        )
+        SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM narrowed
+        JOIN avg_qty ON l_partkey = a_partkey
+        WHERE l_quantity < 0.2 * avg_qty""",
+    "tpch_q22_dormant_customers": """
+        WITH avg_bal AS (
+          SELECT CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                      AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT right(c_name, 2) AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+        GROUP BY right(c_name, 2)""",
+}
+
+QUERIES = {
+    "tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+    "tpch_q14_promo_share": q_tpch_q14_promo_share,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q16_supplier_diversity": q_tpch_q16_supplier_diversity,
+    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+    "tpch_q22_dormant_customers": q_tpch_q22_dormant_customers,
+}

@@ -125,3 +125,33 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
     assert df.count() > 0
+
+
+def test_tpch_q4_uses_semi_join(spark):
+    """Q4's EXISTS must compile to a semi join (orders never duplicated)."""
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_broadcasts_every_dimension(spark):
+    """Q8's seven-table join: only lineitem⋈orders may shuffle."""
+    plan = _plan(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark):
+    """Q15's scalar-max compare joins a 1-row broadcast aggregate; a window
+    over the per-supplier aggregate would serialize on one partition."""
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q17_correlated_avg_is_join_not_window(spark):
+    """Q17's per-part average must be aggregate-then-join over the
+    broadcast-narrowed fact slice, never a window over raw lineitem."""
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "Window" not in plan
+    assert "PushedFilters" in plan
