@@ -19,6 +19,7 @@ sf0.001 and sf0.01.
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics_queries,
+    corpus_queries,
     extended_queries,
     pipeline_queries,
     reference_queries,
@@ -33,6 +34,7 @@ _ALL_QUERIES = {
     **extended_queries.QUERIES,
     **tpch_queries.QUERIES,
     **tpch2_queries.QUERIES,
+    **corpus_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -42,6 +44,7 @@ _ALL_ORACLE = {
     **extended_queries.ORACLE,
     **tpch_queries.ORACLE,
     **tpch2_queries.ORACLE,
+    **corpus_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

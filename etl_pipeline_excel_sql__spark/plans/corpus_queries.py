@@ -1,0 +1,235 @@
+"""Corpus-hygiene queries for LLM training-data pipelines (round 2).
+
+* ``decontam_overlap`` — benchmark decontamination: flag training documents
+  sharing any token 4-gram with a held-out benchmark set (here the
+  deterministic ``doc_id % 37 == 0`` slice stands in for an eval suite).
+  The shingle machinery is the same proven pair used by MinHash dedup
+  (``functions.text.shingles`` / ``_shingle_sql``).
+* ``text_repetition`` — Gopher-style repetition signals (Rae et al. 2021,
+  public): top-unigram fraction and duplicate 2-/3-gram fractions per
+  document. High values indicate boilerplate/spam worth filtering.
+* ``agg_median_price`` — exact grouped median via rank arithmetic (no
+  engine ``median()``, whose interpolation differs across engines).
+* ``agg_price_histogram`` — fixed-width bucketing of order totals; the
+  single-pass shape every data-profiling sweep needs.
+
+Numeric discipline: fractions divide integer counts cast to double (IEEE
+division, deterministic on both engines); money goes DECIMAL → ``dec_out``;
+the median averages at most two doubles picked from the data.
+
+At 100 TB: decontamination broadcasts the benchmark shingle set (eval
+suites are tiny next to the corpus — the corpus side never shuffles);
+repetition signals are one explode+aggregate keyed by doc_id (combiner
+shrinks each doc to one row map-side); the median shuffles once on the
+group key; the histogram is a pure map-side-combine aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.text import shingles, ws_tokens
+from etl_pipeline_excel_sql__spark.plans.analytics_queries import DEC, dec_out
+from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+    _shingle_sql,
+    _TOKS,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+DECONTAM_SHINGLE_N = 4
+BENCH_MOD = 37
+HIST_BUCKET = 50_000.0
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by benchmark n-gram overlap.
+
+    Output: (doc_id, n_overlap_shingles) for every training document that
+    shares at least one distinct token 4-gram with the benchmark slice.
+    The benchmark side is collapsed to its distinct shingle set and
+    broadcast; the training side explodes its (already distinct per doc)
+    shingle array and joins without shuffling the corpus.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingles(ws_tokens(F.col("text")), DECONTAM_SHINGLE_N)
+    shingled = docs.filter(F.size(ws_tokens(F.col("text"))) > 0).select(
+        "doc_id", F.explode(sh).alias("sh")
+    )
+    bench = F.broadcast(
+        shingled.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_shingles"))
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters).
+
+    ``top_unigram_frac`` comes from an explode + two-level codegen
+    aggregate (token counts collapse map-side); the duplicate n-gram
+    fractions compare window count against distinct-shingle count from
+    the same arrays MinHash uses. Single-token docs define both dup
+    fractions as 0.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_toks"))
+    )
+    arr = base.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(shingles(F.col("toks"), 2)).alias("d2"),
+        F.size(shingles(F.col("toks"), 3)).alias("d3"),
+    )
+
+    def dup_frac(n_grams, distinct):
+        total = F.col("n") - F.lit(n_grams - 1)
+        return F.when(
+            F.col("n") >= n_grams,
+            (total - distinct).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return uni.join(arr, "doc_id").select(
+        "doc_id",
+        (
+            F.col("top_cnt").cast("double") / F.col("n_toks").cast("double")
+        ).alias("top_unigram_frac"),
+        dup_frac(2, F.col("d2")).alias("dup_2gram_frac"),
+        dup_frac(3, F.col("d3")).alias("dup_3gram_frac"),
+    )
+
+
+def q_agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order total per priority, by rank arithmetic.
+
+    Sorting by value makes the value at each rank well-defined even with
+    ties, so no tie-break column is needed; the two middle ranks (equal
+    when the group is odd-sized) average with one deterministic double
+    add-and-halve. Engine ``median()`` is avoided on both sides — its
+    interpolation is implementation-defined.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(cnt + 1) div 2"))
+        | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum("o_totalprice") / F.count("*")).alias("median_price")
+    )
+
+
+def q_agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total histogram: 50k-wide buckets with count and exact sum."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET)).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_out(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)")
+            ).alias("total_price"),
+        )
+    )
+
+
+_SHINGLED = f"""
+  SELECT doc_id, unnest({{sh}}) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+""".format
+
+ORACLE: dict[str, str] = {
+    "decontam_overlap": f"""
+        WITH shingled AS ({_SHINGLED(sh=_shingle_sql(DECONTAM_SHINGLE_N))}),
+        bench AS (
+          SELECT DISTINCT sh FROM shingled WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        train AS (
+          SELECT doc_id, sh FROM shingled WHERE doc_id % {BENCH_MOD} <> 0
+        )
+        SELECT doc_id, COUNT(*) AS n_overlap_shingles
+        FROM train JOIN bench USING (sh)
+        GROUP BY doc_id""",
+    "text_repetition": f"""
+        WITH base AS (
+          SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS} AS toks
+                                    FROM documents)
+          WHERE len(toks) > 0
+        ), cnts AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+          GROUP BY doc_id, tok
+        ), uni AS (
+          SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_toks
+          FROM cnts GROUP BY doc_id
+        ), arr AS (
+          SELECT doc_id, len(toks) AS n,
+                 len({_shingle_sql(2)}) AS d2,
+                 len({_shingle_sql(3)}) AS d3
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(top_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                 AS top_unigram_frac,
+               CASE WHEN n >= 2
+                    THEN CAST(n - 1 - d2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN n >= 3
+                    THEN CAST(n - 2 - d3 AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+                    ELSE 0.0 END AS dup_3gram_frac
+        FROM uni JOIN arr USING (doc_id)""",
+    "agg_median_price": """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          FROM orders
+        )
+        SELECT o_orderpriority,
+               SUM(o_totalprice) / COUNT(*) AS median_price
+        FROM ranked
+        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY o_orderpriority""",
+    "agg_price_histogram": """
+        SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)""",
+}
+
+QUERIES = {
+    "decontam_overlap": q_decontam_overlap,
+    "text_repetition": q_text_repetition,
+    "agg_median_price": q_agg_median_price,
+    "agg_price_histogram": q_agg_price_histogram,
+}

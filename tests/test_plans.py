@@ -155,3 +155,19 @@ def test_tpch_q17_correlated_avg_is_join_not_window(spark):
     plan = _plan(spark, "tpch_q17_small_qty_revenue")
     assert "Window" not in plan
     assert "PushedFilters" in plan
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    """The benchmark shingle set must broadcast; the corpus side of the
+    contamination join never shuffles."""
+    plan = _plan(spark, "decontam_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_single_doc_shuffle(spark):
+    """Token counts must collapse map-side (partial then final aggregate)
+    — the explode output never shuffles raw tokens twice."""
+    plan = _plan(spark, "text_repetition")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
