@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "text_tfidf_topk",
     "tpch_q21_sole_late_supplier",
+    "tpch_q8_market_share",
+    "decontam_overlap",
+    "text_repetition",
 ]
 
 
