@@ -95,6 +95,28 @@ COMMENTARY = {
         "orders and supplier broadcast; lineitem is scanned, never "
         "cartesian-joined."
     ),
+    "tpch_q8_market_share": (
+        "Seven-table market-share join: part/customer/supplier/nation×2/"
+        "region all broadcast (the part filter shrinks its build side at "
+        "the scan), so lineitem shuffles exactly once — for the final "
+        "per-year aggregate, whose CASE numerator and denominator ride "
+        "the same map-side partial. The ratio divides two exact decimal "
+        "sums after the string hop."
+    ),
+    "decontam_overlap": (
+        "Benchmark decontamination: the eval-side distinct shingle set "
+        "broadcasts (eval suites are tiny next to a 100 TB corpus), so "
+        "the training side is one scan + explode + broadcast semi-ish "
+        "join + per-doc count with map-side combine. The corpus never "
+        "shuffles; no shingle string survives past its hash aggregate."
+    ),
+    "text_repetition": (
+        "Repetition signals: one explode feeds a two-level codegen "
+        "aggregate (token counts collapse map-side before the doc_id "
+        "shuffle); the n-gram distinct counts ride the same row as array "
+        "expressions; the final join is doc_id-to-doc_id between two "
+        "equally-partitioned aggregates."
+    ),
 }
 
 
