@@ -211,3 +211,77 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Watermarked sliding-window counts by event type.
+
+    Each event contributes to window/slide overlapping windows; state per
+    open window is evicted at the watermark exactly as in the tumbling
+    case. The batch twin is a groupBy over the same ``F.window`` columns —
+    the streaming test asserts equality on complete input.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def purchase_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior click
+    by the same user within ``horizon``.
+
+    Both inputs are watermarked so the join state is bounded: a buffered
+    click can be evicted once the purchase-side watermark passes
+    ``click.ts + horizon``. The time-range predicate makes this an
+    interval join — Spark keys state by user and prunes per the range.
+    Inner join only here; outer stream-stream joins emit nulls at
+    watermark expiry with the same state bounds.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_time"
+        ),
+        "purchase_value",
+    )

@@ -243,3 +243,85 @@ def test_dedup_stream_drops_redelivered_ids(spark, tmp_path):
     rows = spark.table("dedup_stream_test").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3]  # the re-delivery of 2 was deduped
+
+
+def test_sliding_counts_stream_equals_batch(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        sliding_counts_stream,
+    )
+
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory_sink(stream, "sliding_test")
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # sliding windows genuinely overlap: more window rows than tumbling
+    tumbling = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "2 hours").alias("w"), "event_type")
+        .count()
+    )
+    assert got.count() > tumbling.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        purchase_attribution_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = purchase_attribution_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got = run_to_memory_sink(stream, "attrib_test", output_mode="append")
+
+    b = load_table(spark, "events", sf_dir)
+    c = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 2 hours")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "click_time"
+            ),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_time"
+            ),
+            "purchase_value",
+        )
+    )
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
