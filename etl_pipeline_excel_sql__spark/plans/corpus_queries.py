@@ -144,6 +144,41 @@ def q_agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column.
+
+    Per-dimension scale = 127 / max|x| over the corpus (a max aggregate —
+    order-independent, so float-exact on both engines); codes come from
+    ``floor(x * 127 / maxabs + 0.5)`` (deterministic half-up for both
+    signs — engine ``round()`` semantics differ, ``floor`` doesn't).
+    Output is the long-form (vec_id, dim, code, abs reconstruction
+    error); storage drops 4× and the dequantized error is audited in the
+    same pass. At 100 TB: one explode + per-dim max (64 groups,
+    map-side combined) broadcast back over the scan — the corpus never
+    shuffles.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = F.broadcast(
+        ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("maxabs"))
+    )
+    code = F.floor(
+        F.col("x") * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)
+    ).cast("int")
+    quant = ex.join(stats, "dim").withColumn("code", code)
+    return quant.select(
+        "vec_id",
+        "dim",
+        "code",
+        F.abs(
+            F.col("code").cast("double") * F.col("maxabs") / F.lit(127.0)
+            - F.col("x")
+        ).alias("abs_err"),
+    )
+
+
 def q_agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-total histogram: 50k-wide buckets with count and exact sum."""
     o = load_table(spark, "orders", sf_dir)
@@ -218,6 +253,19 @@ ORACLE: dict[str, str] = {
         FROM ranked
         WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         GROUP BY o_orderpriority""",
+    "vec_quantize_int8": """
+        WITH ex AS (
+          SELECT vec_id, r.range AS dim,
+                 CAST(embedding[r.range + 1] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN range(0, 64) r
+        ), stats AS (
+          SELECT dim, MAX(abs(x)) AS maxabs FROM ex GROUP BY dim
+        )
+        SELECT vec_id, dim,
+               CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) AS code,
+               abs(CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) * maxabs
+                   / 127.0 - x) AS abs_err
+        FROM ex JOIN stats USING (dim)""",
     "agg_price_histogram": """
         SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                COUNT(*) AS n_orders,
@@ -232,4 +280,5 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "agg_median_price": q_agg_median_price,
     "agg_price_histogram": q_agg_price_histogram,
+    "vec_quantize_int8": q_vec_quantize_int8,
 }
