@@ -18,6 +18,7 @@ sf0.001 and sf0.01.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
+    analytics2_queries,
     analytics_queries,
     corpus_queries,
     extended_queries,
@@ -35,6 +36,7 @@ _ALL_QUERIES = {
     **tpch_queries.QUERIES,
     **tpch2_queries.QUERIES,
     **corpus_queries.QUERIES,
+    **analytics2_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -45,6 +47,7 @@ _ALL_ORACLE = {
     **tpch_queries.ORACLE,
     **tpch2_queries.ORACLE,
     **corpus_queries.ORACLE,
+    **analytics2_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

@@ -1,0 +1,159 @@
+"""Analytics widening, round 2: time rollups, skew-safe aggregation in the
+correctness gate, frame-based moving averages, and unpivot.
+
+* ``events_time_rollup`` — hypertable-style continuous aggregate: ROLLUP
+  over the (day, hour) time hierarchy, the shape a monitoring/metrics
+  store materializes incrementally.
+* ``agg_skew_salted`` — the two-stage salted aggregation from
+  ``operators/skew.py`` registered as an oracle-checked query: the oracle
+  is the PLAIN group-by, proving the salt+merge is value-identical (exact
+  decimal sums make the merge order-free).
+* ``window_moving_avg`` — 7-row trailing average per priority over a
+  deterministic (date, key) order; the frame sum stays DECIMAL so
+  slide-accumulation order can't perturb it, divided once as doubles.
+* ``unpivot_measures`` — wide→long melt of three lineitem measures via
+  ``STACK``; the oracle is the equivalent UNION ALL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.skew import salted_count_sum
+from etl_pipeline_excel_sql__spark.plans.analytics_queries import DEC, dec_out
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the (day, hour) hierarchy of the events stream.
+
+    One shuffle produces the hour, day, and grand-total levels together
+    (Spark expands grouping sets map-side). Value sums ride DECIMAL.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bucketed = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+            "hour"
+        ),
+        "value",
+    )
+    return bucketed.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_out(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+        ).alias("sum_value"),
+        F.grouping_id().cast("int").alias("grp_id"),
+    )
+
+
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation, oracle-checked against the direct form.
+
+    A hot grouping key (few distinct return flags over all of lineitem)
+    is exactly the shape that funnels one reducer at 100 TB; the salt
+    spreads stage one over ``salt_buckets`` partitions and the merge is
+    value-identical because counts and DECIMAL sums are associative.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_count_sum(
+        li, ["l_returnflag"], "l_extendedprice", salt_buckets=16
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        dec_out(F.col("sum_l_extendedprice")).alias("sum_price"),
+    )
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing average order total per priority.
+
+    The order key (o_orderdate, o_orderkey) is unique, so every engine
+    sees the same frame contents; the frame sum stays DECIMAL (exact
+    under any accumulate/retract strategy) and one double division at
+    the end renders the average.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            dec_out(
+                F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast(
+                    "decimal(38,2)"
+                )
+            )
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of three lineitem measures (quantity, price,
+    discount) via STACK — the inverse of the pivot query, and the common
+    first step of metric normalization pipelines. Pure row expansion: no
+    shuffle at all."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice,"
+            " 'disc', l_discount) AS (measure, value)"
+        ),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "events_time_rollup": """
+        WITH bucketed AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                 value
+          FROM events
+        )
+        SELECT day, hour,
+               COUNT(*) AS n_events,
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_value,
+               CAST(GROUPING(day, hour) AS INT) AS grp_id
+        FROM bucketed
+        GROUP BY ROLLUP (day, hour)""",
+    "agg_skew_salted": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag""",
+    "window_moving_avg": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem""",
+}
+
+QUERIES = {
+    "events_time_rollup": q_events_time_rollup,
+    "agg_skew_salted": q_agg_skew_salted,
+    "window_moving_avg": q_window_moving_avg,
+    "unpivot_measures": q_unpivot_measures,
+}
