@@ -111,6 +111,34 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_key_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE: walk each seed customer's implicit binary-key
+    hierarchy (parent = key div 2) to the root, labelling every ancestor.
+
+    Exercises Spark's WITH RECURSIVE surface (iterative union fixpoint —
+    the SQL twin of the connected-components loop in operators/clusters).
+    Depth is bounded by log2(max key), so the recursion is shallow no
+    matter the corpus size; each round is one join against the previous
+    frontier.
+    """
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "v_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start_key, node_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM v_rec_customer WHERE c_custkey % 131 = 0 AND c_custkey > 0
+          UNION ALL
+          SELECT start_key, node_key div 2, depth + 1
+          FROM chain WHERE node_key > 1
+        )
+        SELECT start_key, node_key, depth, c_name AS node_name
+        FROM chain JOIN v_rec_customer ON node_key = c_custkey
+        """
+    )
+
+
 ORACLE: dict[str, str] = {
     "events_time_rollup": """
         WITH bucketed AS (
@@ -141,6 +169,16 @@ ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "recursive_key_chain": """
+        WITH RECURSIVE chain(start_key, node_key, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer WHERE c_custkey % 131 = 0 AND c_custkey > 0
+          UNION ALL
+          SELECT start_key, node_key // 2, depth + 1
+          FROM chain WHERE node_key > 1
+        )
+        SELECT start_key, node_key, depth, c_name AS node_name
+        FROM chain JOIN customer ON node_key = c_custkey""",
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, 'qty' AS measure,
                l_quantity AS value FROM lineitem
@@ -156,4 +194,5 @@ QUERIES = {
     "agg_skew_salted": q_agg_skew_salted,
     "window_moving_avg": q_window_moving_avg,
     "unpivot_measures": q_unpivot_measures,
+    "recursive_key_chain": q_recursive_key_chain,
 }
