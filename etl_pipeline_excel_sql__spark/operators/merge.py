@@ -55,3 +55,68 @@ def merge_with_deletes(
     upserts = source.filter(~F.col(delete_flag))
     merged = merge_upsert(target, upserts.drop(delete_flag), key, update_cols)
     return merged.join(deletes, on=key, how="left_anti")
+
+
+def scd2_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    tracked_cols: list[str],
+    load_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD-2 MERGE: changed rows are *versioned*, not overwritten.
+
+    ``target`` carries interval columns (``valid_from``/``valid_to``
+    date-strings, ``valid_to`` NULL on the open version, ``is_current``);
+    ``source`` carries the key + tracked columns as of ``load_date``.
+
+    * matched, any tracked column differs → the current version closes
+      (``valid_to = load_date``, ``is_current = false``) and a new open
+      version begins at ``load_date``;
+    * matched, no change → untouched;
+    * source-only key → inserted as a new open version;
+    * target-only key and historical versions → untouched.
+
+    Null-safe comparison (``eqNullSafe``) so NULL→value and value→NULL
+    both count as changes. One full-outer shuffle on the key, same as
+    SCD-1; history rows pass through without joining.
+    """
+    cur = target.filter(F.col(is_current))
+    hist = target.filter(~F.col(is_current))
+    s = source.select(
+        F.col(key).alias("__s_key"),
+        *[F.col(c).alias(f"__s_{c}") for c in tracked_cols],
+    ).withColumn("__in_s", F.lit(True))
+    j = cur.join(s, cur[key] == F.col("__s_key"), "full_outer")
+    same = None
+    for c in tracked_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+        same = eq if same is None else (same & eq)
+    changed = (
+        F.col("__in_s").isNotNull() & F.col(key).isNotNull() & ~same
+    )
+    out_cols = [key, *tracked_cols, valid_from, valid_to, is_current]
+
+    unchanged = j.filter(
+        F.col("__s_key").isNull() | (F.col(key).isNotNull() & same)
+    ).select(*out_cols)
+    closed = j.filter(changed).select(
+        key,
+        *tracked_cols,
+        F.col(valid_from),
+        F.lit(load_date).alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    opened = j.filter(changed | F.col(key).isNull()).select(
+        F.col("__s_key").alias(key),
+        *[F.col(f"__s_{c}").alias(c) for c in tracked_cols],
+        F.lit(load_date).alias(valid_from),
+        F.lit(None).cast("string").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return hist.select(*out_cols).unionByName(unchanged).unionByName(
+        closed
+    ).unionByName(opened)

@@ -139,6 +139,65 @@ def q_recursive_key_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioning MERGE over the customer dimension.
+
+    Deterministic fixture built from the corpus: every customer is a
+    current version opened 2020-01-01 (keys ``% 10 == 1`` also carry one
+    closed 2019 version, exercising history passthrough); the 2021-06-01
+    source changes ``% 7 == 0`` balances (+100), re-sends ``% 11 == 3``
+    rows unchanged (must be a no-op), and introduces shifted new keys for
+    ``% 13 == 5`` (insert path). Changed rows close and re-open; nothing
+    else moves.
+    """
+    from etl_pipeline_excel_sql__spark.operators.merge import scd2_upsert
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    cur = c.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") - F.lit(50.0)).alias("c_acctbal"),
+        F.lit("2019-01-01").alias("valid_from"),
+        F.lit("2020-01-01").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    target = hist.unionByName(cur)
+    source = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(
+                (F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 11 == 3)
+            ).select("c_custkey", "c_name", "c_acctbal")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 5).select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+    )
+    return scd2_upsert(
+        target, source, "c_custkey", ["c_name", "c_acctbal"], "2021-06-01"
+    )
+
+
+
 ORACLE: dict[str, str] = {
     "events_time_rollup": """
         WITH bucketed AS (
@@ -179,6 +238,52 @@ ORACLE: dict[str, str] = {
         )
         SELECT start_key, node_key, depth, c_name AS node_name
         FROM chain JOIN customer ON node_key = c_custkey""",
+    "merge_scd2": """
+        WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        cur AS (
+          SELECT c_custkey, c_name, c_acctbal,
+                 '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+                 TRUE AS is_current
+          FROM c
+        ), hist AS (
+          SELECT c_custkey, c_name, c_acctbal - 50.0 AS c_acctbal,
+                 '2019-01-01' AS valid_from, '2020-01-01' AS valid_to,
+                 FALSE AS is_current
+          FROM c WHERE c_custkey % 10 = 1
+        ), src AS (
+          SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+          FROM c WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey, c_name, c_acctbal
+          FROM c WHERE c_custkey % 7 <> 0 AND c_custkey % 11 = 3
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name, c_acctbal
+          FROM c WHERE c_custkey % 13 = 5
+        ), matched AS (
+          SELECT cur.c_custkey,
+                 cur.c_name AS t_name, cur.c_acctbal AS t_bal,
+                 src.c_name AS s_name, src.c_acctbal AS s_bal,
+                 (cur.c_name IS NOT DISTINCT FROM src.c_name
+                  AND cur.c_acctbal IS NOT DISTINCT FROM src.c_acctbal)
+                   AS same
+          FROM cur JOIN src USING (c_custkey)
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT cur.* FROM cur
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM matched WHERE NOT same)
+        UNION ALL
+        SELECT c_custkey, t_name, t_bal, '2020-01-01', '2021-06-01', FALSE
+        FROM matched WHERE NOT same
+        UNION ALL
+        SELECT c_custkey, s_name, s_bal, '2021-06-01', CAST(NULL AS VARCHAR),
+               TRUE
+        FROM matched WHERE NOT same
+        UNION ALL
+        SELECT src.c_custkey, src.c_name, src.c_acctbal, '2021-06-01',
+               CAST(NULL AS VARCHAR), TRUE
+        FROM src
+        WHERE src.c_custkey NOT IN (SELECT c_custkey FROM cur)""",
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, 'qty' AS measure,
                l_quantity AS value FROM lineitem
@@ -195,4 +300,5 @@ QUERIES = {
     "window_moving_avg": q_window_moving_avg,
     "unpivot_measures": q_unpivot_measures,
     "recursive_key_chain": q_recursive_key_chain,
+    "merge_scd2": q_merge_scd2,
 }

@@ -348,3 +348,51 @@ def test_connected_components_iteration_cap(spark):
         connected_components(path, max_iters=2)
     ok = connected_components(path, max_iters=10).collect()
     assert {r.cluster_id for r in ok} == {0}
+
+
+def test_scd2_upsert_versions_changes_only(spark):
+    from etl_pipeline_excel_sql__spark.operators.merge import scd2_upsert
+
+    target = spark.createDataFrame(
+        [
+            # key 1: history + current (will change)
+            (1, "a", 10.0, "2019-01-01", "2020-01-01", False),
+            (1, "a", 11.0, "2020-01-01", None, True),
+            # key 2: current, re-sent unchanged (no-op)
+            (2, "b", 20.0, "2020-01-01", None, True),
+            # key 3: current, absent from source (untouched)
+            (3, "c", 30.0, "2020-01-01", None, True),
+            # key 4: current with NULL tracked value (NULL -> value = change)
+            (4, None, 40.0, "2020-01-01", None, True),
+        ],
+        "k int, name string, bal double, valid_from string, "
+        "valid_to string, is_current boolean",
+    )
+    source = spark.createDataFrame(
+        [
+            (1, "a", 12.0),   # changed balance
+            (2, "b", 20.0),   # unchanged
+            (4, "d", 40.0),   # NULL name -> 'd'
+            (5, "e", 50.0),   # brand-new key
+        ],
+        "k int, name string, bal double",
+    )
+    out = scd2_upsert(target, source, "k", ["name", "bal"], "2021-06-01")
+    rows = {
+        (r.k, r.valid_from): (r.name, r.bal, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert len(rows) == 8
+    # key 1: history intact, old version closed, new version open
+    assert rows[(1, "2019-01-01")] == ("a", 10.0, "2020-01-01", False)
+    assert rows[(1, "2020-01-01")] == ("a", 11.0, "2021-06-01", False)
+    assert rows[(1, "2021-06-01")] == ("a", 12.0, None, True)
+    # key 2: no-op resend leaves the single open version
+    assert rows[(2, "2020-01-01")] == ("b", 20.0, None, True)
+    # key 3: untouched
+    assert rows[(3, "2020-01-01")] == ("c", 30.0, None, True)
+    # key 4: NULL -> value counts as a change
+    assert rows[(4, "2020-01-01")] == (None, 40.0, "2021-06-01", False)
+    assert rows[(4, "2021-06-01")] == ("d", 40.0, None, True)
+    # key 5: fresh insert
+    assert rows[(5, "2021-06-01")] == ("e", 50.0, None, True)

@@ -57,6 +57,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write results as a driver-style JSON map to this path",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -73,6 +78,7 @@ def main() -> int:
         )
 
     failures = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -81,9 +87,15 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"err": f"spark error: {exc}"[:300]}
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            report[name] = {
+                "rows_only": True,
+                "spark_rows": len(s_rows),
+                "err": None,
+            }
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
@@ -92,6 +104,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"err": f"duckdb error: {exc}"[:300]}
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
 
@@ -111,12 +124,25 @@ def main() -> int:
                 only_d = list((md - ms).items())[:3]
                 msgs.append(f"values differ; spark-only={only_s} duck-only={only_d}")
         dt = time.time() - t0
+        report[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": ok,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "err": None,
+        }
         if ok:
             print(f"OK   {name} ({len(s_rows)} rows, {dt:.1f}s)")
         else:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(msgs))
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        Path(args.json).write_text(json.dumps(report, indent=2))
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
