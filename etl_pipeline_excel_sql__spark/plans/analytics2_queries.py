@@ -197,6 +197,28 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: per-region nation names, alphabetical, as
+    one comma-joined string.
+
+    ``collect_list`` alone has no ordering guarantee under parallel
+    merge, so the list goes through ``sort_array`` before joining — the
+    output is identical no matter the partitioning. The DuckDB twin is
+    ``string_agg(... ORDER BY ...)``.
+    """
+    n = load_table(spark, "nation", sf_dir)
+    r = F.broadcast(load_table(spark, "region", sf_dir))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
 
 ORACLE: dict[str, str] = {
     "events_time_rollup": """
@@ -284,6 +306,12 @@ ORACLE: dict[str, str] = {
                CAST(NULL AS VARCHAR), TRUE
         FROM src
         WHERE src.c_custkey NOT IN (SELECT c_custkey FROM cur)""",
+    "agg_listagg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, 'qty' AS measure,
                l_quantity AS value FROM lineitem
@@ -301,4 +329,5 @@ QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "recursive_key_chain": q_recursive_key_chain,
     "merge_scd2": q_merge_scd2,
+    "agg_listagg": q_agg_listagg,
 }
