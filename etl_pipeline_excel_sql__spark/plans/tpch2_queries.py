@@ -1,12 +1,10 @@
-"""TPC-H Q4/Q7/Q8/Q13/Q14/Q15/Q16/Q17/Q22-flavor queries (round-2 widening).
+"""TPC-H Q4-Q8, Q11-Q17, Q19, Q22-flavor queries (round-2 widening).
 
-Together with ``tpch_queries`` (Q2/Q9/Q18/Q20/Q21) this completes coverage
-of every *distinct operator shape* in the TPC-H suite that the corpus can
-express (the remaining numbers — Q1/Q3/Q5/Q6/Q10/Q11/Q12/Q19 — are
-scan+filter+aggregate/join shapes already exercised by
-``agg_pricing_summary``, ``join_multitable_revenue``, ``nation_volume``,
-``window_rank_topk`` et al.). Adaptations, since the corpus has no
-``partsupp`` and fewer columns than full TPC-H:
+Together with ``tpch_queries`` (Q2/Q9/Q18/Q20/Q21) every TPC-H number now
+maps to a named query: Q1 → ``agg_pricing_summary``, Q3 →
+``sql_topk_revenue``, Q10 → ``returned_items_report``, and the rest are
+here by name. Adaptations, since the corpus has no ``partsupp`` and fewer
+columns than full TPC-H:
 
 * Q4  — EXISTS semi-join: orders with any lineitem shipped >30 days after
   the order date ("late commit" proxy), counted per priority.
@@ -23,6 +21,11 @@ scan+filter+aggregate/join shapes already exercised by
   (aggregate-then-join, never a window over the fact table).
 * Q22 — dormant high-balance customers: scalar avg subquery + NOT EXISTS
   (anti-join against urgent orders), grouped by a name-derived code.
+* Q5  — cyclic join (customer and supplier share a nation); Q6 — pure
+  scan-filter-aggregate; Q11 — HAVING against a global scalar share
+  (supplier balance proxies partsupp value); Q12 — conditional class
+  counts (line status proxies shipmode); Q19 — OR-of-ANDs disjunction
+  across both join sides.
 
 Numeric parity follows the repo rule (see ``analytics_queries.dec_out``):
 money stays DECIMAL end-to-end, outputs render decimal → string → double,
@@ -522,3 +525,237 @@ QUERIES = {
     "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
     "tpch_q22_dormant_customers": q_tpch_q22_dormant_customers,
 }
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA revenue where customer and supplier share a nation (TPC-H Q5).
+
+    The signature is the cyclic join condition ``c_nationkey =
+    s_nationkey`` closing the customer→order→lineitem→supplier chain;
+    lineitem⋈orders is the only shuffle join, everything else broadcasts.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(load_table(spark, "nation", sf_dir))
+    r = F.broadcast(
+        load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_out(F.sum(_revenue()).cast("decimal(38,4)")).alias("revenue"))
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue delta (TPC-H Q6): pure scan-filter-aggregate.
+
+    Every predicate (date range, discount band, quantity cap) reaches the
+    parquet scan; the aggregate is one map-side-combined decimal sum —
+    the canonical row-group-pruning benchmark.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    amount = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(
+        "decimal(6,4)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_out(F.sum(amount).cast("decimal(38,6)")).alias("revenue"))
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations holding an outsized share of supplier balance (TPC-H Q11
+    shape; supplier acctbal proxies partsupp value — no partsupp table).
+
+    The HAVING-against-global-scalar becomes a broadcast join against the
+    1-row total; the share test multiplies the string-hopped doubles
+    (IEEE-deterministic) rather than re-scaling decimals.
+    """
+    s = load_table(spark, "supplier", sf_dir)
+    n = F.broadcast(load_table(spark, "nation", sf_dir))
+    per_nation = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast(DEC)).cast("decimal(38,2)").alias(
+                "bal"
+            )
+        )
+    )
+    total = F.broadcast(
+        s.agg(
+            F.sum(F.col("s_acctbal").cast(DEC)).cast("decimal(38,2)").alias(
+                "tot"
+            )
+        )
+    )
+    return (
+        per_nation.crossJoin(total)
+        .filter(dec_out(F.col("bal")) * F.lit(20.0) > dec_out(F.col("tot")))
+        .select("n_name", dec_out(F.col("bal")).alias("value"))
+    )
+
+
+def q_tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low-priority order counts per line status (TPC-H Q12 shape;
+    l_linestatus proxies shipmode — the corpus carries no shipmode).
+
+    The CASE pair inside one aggregate is the signature: a single shuffle
+    produces both conditional counts.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_tpch_q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR of three AND-groups (TPC-H Q19).
+
+    The disjunction mixes part and lineitem predicates, so it can only be
+    applied after the join — but each group's part-only conjuncts
+    (brand, size) still prune the broadcast build side, and the
+    lineitem-only bounds (quantity < 40) are pushed to the scan. The
+    shape exercises CNF extraction in the optimizer.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = F.broadcast(load_table(spark, "part", sf_dir))
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.filter(F.col("l_quantity") < 40)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(g1 | g2 | g3)
+        .agg(dec_out(F.sum(_revenue()).cast("decimal(38,4)")).alias("revenue"))
+    )
+
+
+ORACLE.update(
+    {
+        "tpch_q5_local_supplier": """
+        SELECT n_name,
+               CAST(CAST(CAST(SUM({rev}) AS DECIMAL(38,4)) AS VARCHAR)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name""".format(rev=_REV_SQL),
+        "tpch_q6_forecast_revenue": """
+        SELECT CAST(CAST(CAST(SUM(
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(6,4))
+               ) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+        "tpch_q11_important_stock": """
+        WITH per_nation AS (
+          SELECT n_name,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)))
+                      AS DECIMAL(38,2)) AS bal
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+        ), total AS (
+          SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2)))
+                      AS DECIMAL(38,2)) AS tot
+          FROM supplier
+        )
+        SELECT n_name, CAST(CAST(bal AS VARCHAR) AS DOUBLE) AS value
+        FROM per_nation, total
+        WHERE CAST(CAST(bal AS VARCHAR) AS DOUBLE) * 20.0
+              > CAST(CAST(tot AS VARCHAR) AS DOUBLE)""",
+        "tpch_q12_priority_classes": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus""",
+        "tpch_q19_or_of_ands": """
+        SELECT CAST(CAST(CAST(SUM({rev}) AS DECIMAL(38,4)) AS VARCHAR)
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < 40
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30))""".format(rev=_REV_SQL),
+    }
+)
+
+QUERIES.update(
+    {
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q12_priority_classes": q_tpch_q12_priority_classes,
+        "tpch_q19_or_of_ands": q_tpch_q19_or_of_ands,
+    }
+)
