@@ -156,6 +156,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) vector search: keyword predicate first, exact
+    cosine top-k over the survivors — the RAG-era retrieval pattern.
+
+    The keyword filter shrinks the corpus BEFORE any vector math (at
+    100 TB the predicate prunes via the documents scan and the join
+    carries only surviving ids); the probe side broadcasts as in
+    ``ann_brute_topk``, so the filtered corpus never shuffles.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    cand = docs.filter(
+        F.array_contains(ws_tokens(F.col("text")), "spark")
+    ).select(F.col("doc_id").alias("__cand_id"))
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.join(cand, emb.vec_id == F.col("__cand_id")).select(
+        "vec_id", "embedding"
+    )
+    return brute_force_topk(
+        corpus, emb.filter(F.col("vec_id") < 3), k=5, dims=EMB_DIMS
+    )
+
+
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, "documents", sf_dir))
     return extract_features(media, fake=True).select(
@@ -448,6 +471,19 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "neardup_cosine": _NEARDUP_COS_SQL,
+    "ann_filtered_topk": f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       {_cos_sql('q.embedding', 'c.embedding')} AS cosine_sim,
+       CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                     c.vec_id ASC) AS INT) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+CROSS JOIN (SELECT e.* FROM embeddings e
+            JOIN (SELECT doc_id FROM documents
+                  WHERE list_contains({_TOKS}, 'spark')) d
+              ON e.vec_id = d.doc_id) c
+WHERE c.vec_id <> q.vec_id
+QUALIFY rank <= 5""",
     "ann_brute_topk": _ANN_BRUTE_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "multimodal_extract": """
@@ -468,6 +504,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "neardup_cosine": q_neardup_cosine,
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_extract": q_multimodal_extract,
 }

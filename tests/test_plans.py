@@ -171,3 +171,28 @@ def test_repetition_signals_single_doc_shuffle(spark):
     plan = _plan(spark, "text_repetition")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_cyclic_join_broadcasts(spark):
+    """Q5's cyclic condition must not produce a cartesian or shuffle the
+    dimensions — only lineitem⋈orders may sort-merge."""
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_pushes_quantity_bound(spark):
+    """Q19: the lineitem-only bound (quantity < 40) must reach the scan
+    even though the OR-of-ANDs can only apply post-join."""
+    plan = _plan(spark, "tpch_q19_or_of_ands")
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,40" in plan.replace(" ", "")
+
+
+def test_ann_filtered_topk_filters_before_vectors(spark):
+    """Hybrid search: the keyword filter must prune via the documents
+    scan; the probe side broadcasts; the corpus never cartesian-joins
+    except against the tiny broadcast probe set."""
+    plan = _plan(spark, "ann_filtered_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
