@@ -19,6 +19,7 @@ sf0.001 and sf0.01.
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
+    analytics3_queries,
     analytics_queries,
     corpus_queries,
     extended_queries,
@@ -37,6 +38,7 @@ _ALL_QUERIES = {
     **tpch2_queries.QUERIES,
     **corpus_queries.QUERIES,
     **analytics2_queries.QUERIES,
+    **analytics3_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -48,6 +50,7 @@ _ALL_ORACLE = {
     **tpch2_queries.ORACLE,
     **corpus_queries.ORACLE,
     **analytics2_queries.ORACLE,
+    **analytics3_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.
