@@ -22,6 +22,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics3_queries,
     analytics_queries,
     corpus_queries,
+    sampling_queries,
     extended_queries,
     pipeline_queries,
     reference_queries,
@@ -39,6 +40,7 @@ _ALL_QUERIES = {
     **corpus_queries.QUERIES,
     **analytics2_queries.QUERIES,
     **analytics3_queries.QUERIES,
+    **sampling_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -51,6 +53,7 @@ _ALL_ORACLE = {
     **corpus_queries.ORACLE,
     **analytics2_queries.ORACLE,
     **analytics3_queries.ORACLE,
+    **sampling_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

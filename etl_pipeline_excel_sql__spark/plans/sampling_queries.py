@@ -1,0 +1,185 @@
+"""Training-data pipeline mechanics: deterministic sampling, output
+sharding, curriculum batching, and the Bloom-prefiltered join.
+
+Every "random" choice in a 100 TB pipeline must be a pure function of the
+data, or reruns/stragglers/speculative tasks produce different corpora.
+All sampling here keys on the engine-standard 60-bit md5 hash
+(``functions/hashing.md5_hash60``) — reproducible on any engine, any
+partitioning, any retry, and verifiable by the DuckDB oracle from the same
+definition.
+
+* ``sample_stratified`` — per-stratum Bernoulli sampling by hash
+  threshold: language-balanced subcorpora (downsample the dominant
+  language, keep the tail). A pure narrow filter — pushdown-friendly, no
+  shuffle, and the SAME rows at any scale-up.
+* ``shard_manifest`` — hash-sharded output assignment plus the per-shard
+  manifest (doc count, total chars, id range) a writer needs to size
+  training shards; at 100 TB this is ``repartition(shard)`` + parquet
+  writer, here the manifest aggregate is the checked artifact.
+* ``curriculum_buckets`` — length-bucketed batch assignment (the
+  sequence-packing sibling): docs bucketed by token-length band, then
+  numbered into fixed-size batches per bucket by a deterministic order.
+  One window shuffle on the bucket key.
+* ``join_bloom_prefilter`` — the ``operators/bloom.py`` composition:
+  Bloom-prefilter lineitem against urgent orders, then the exact
+  semi-join. The oracle is the PLAIN semi-join — proving the Bloom stage
+  is transparent (no false negatives survive, false positives removed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+from etl_pipeline_excel_sql__spark.functions.text import ws_token_count
+from etl_pipeline_excel_sql__spark.operators.bloom import (
+    bloom_build,
+    bloom_prefilter,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: Per-language keep-rate in basis points of the 10k hash space: halve the
+#: dominant language, keep 60% of the tail.
+SAMPLE_RATE_EN_BP = 2500
+SAMPLE_RATE_OTHER_BP = 6000
+
+N_SHARDS = 16
+BUCKET_TOKENS = 16  # tokens per length band
+BATCH_DOCS = 8  # docs per batch within a band
+
+#: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold Bernoulli sample, stratified by language."""
+    doc = load_table(spark, "documents", sf_dir)
+    bucket = md5_hash60(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ) % F.lit(10000).cast("bigint")
+    rate = F.when(
+        F.col("lang") == "en", F.lit(SAMPLE_RATE_EN_BP)
+    ).otherwise(F.lit(SAMPLE_RATE_OTHER_BP))
+    return doc.filter(bucket < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + per-shard writer manifest."""
+    doc = load_table(spark, "documents", sf_dir)
+    shard = (
+        md5_hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % F.lit(N_SHARDS).cast("bigint")
+    ).cast("int")
+    return (
+        doc.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch ids: (band, batch) for every document.
+
+    Batching by similar length minimizes padding waste in training; the
+    within-band order is (doc_id) so assignment is reproducible. The only
+    shuffle is the window partition on the band key.
+    """
+    doc = load_table(spark, "documents", sf_dir)
+    with_len = doc.select(
+        "doc_id", ws_token_count("text").cast("bigint").alias("n_tokens")
+    )
+    banded = with_len.withColumn(
+        "length_band", F.expr(f"n_tokens DIV {BUCKET_TOKENS}").cast("int")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("length_band").orderBy("doc_id")
+    )
+    batch = F.expr(f"cast(_rn - 1 as bigint) DIV {BATCH_DOCS}")
+    return (
+        banded.withColumn("_rn", rn)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "length_band",
+            batch.cast("int").alias("batch_id"),
+        )
+    )
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: lineitems of URGENT orders.
+
+    The Bloom words broadcast (~8 KB) and drop most non-matching lineitem
+    rows before any shuffle; the exact left-semi join then removes Bloom
+    false positives, making the result identical to the plain semi-join
+    (which is the oracle).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    words = bloom_build(urgent, "o_orderkey")
+    candidates = bloom_prefilter(li, "l_orderkey", words)
+    return (
+        candidates.join(
+            urgent,
+            candidates.l_orderkey == urgent.o_orderkey,
+            "left_semi",
+        )
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    )
+
+
+_hx = _H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
+_hs = _H60.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+ORACLE: dict[str, str] = {
+    "sample_stratified": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_hx} % 10000 <
+              CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN_BP}
+                   ELSE {SAMPLE_RATE_OTHER_BP} END""",
+    "shard_manifest": f"""
+        SELECT CAST({_hs} % {N_SHARDS} AS INT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM documents
+        GROUP BY 1""",
+    "curriculum_buckets": f"""
+        WITH lens AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens // {BUCKET_TOKENS} AS INT) AS length_band,
+               CAST((row_number() OVER (
+                     PARTITION BY n_tokens // {BUCKET_TOKENS}
+                     ORDER BY doc_id) - 1) // {BATCH_DOCS} AS INT)
+                 AS batch_id
+        FROM lens""",
+    "join_bloom_prefilter": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT')""",
+}
+
+QUERIES = {
+    "sample_stratified": q_sample_stratified,
+    "shard_manifest": q_shard_manifest,
+    "curriculum_buckets": q_curriculum_buckets,
+    "join_bloom_prefilter": q_join_bloom_prefilter,
+}

@@ -1,0 +1,86 @@
+"""Tests for deterministic sampling/sharding/curriculum and the Bloom
+join pre-filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.bloom import (
+    bloom_build,
+    bloom_prefilter,
+)
+from etl_pipeline_excel_sql__spark.plans.sampling_queries import (
+    BATCH_DOCS,
+    q_curriculum_buckets,
+    q_sample_stratified,
+    q_shard_manifest,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+
+def test_sample_stratified_is_deterministic_and_stratified(spark, sf_dir):
+    a = {r["doc_id"] for r in q_sample_stratified(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in q_sample_stratified(spark, sf_dir).collect()}
+    assert a == b and a  # same rows every run
+    doc = load_table(spark, "documents", sf_dir)
+    n_en = doc.filter(F.col("lang") == "en").count()
+    kept_en = (
+        q_sample_stratified(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    # en keep-rate targets 25%: binomial bounds are loose at sf0.001 sizes
+    assert 0.05 <= kept_en / n_en <= 0.50
+
+
+def test_shard_manifest_covers_all_docs(spark, sf_dir):
+    rows = q_shard_manifest(spark, sf_dir).collect()
+    doc = load_table(spark, "documents", sf_dir)
+    assert sum(r["n_docs"] for r in rows) == doc.count()
+    assert all(0 <= r["shard_id"] < 16 for r in rows)
+    # hash sharding should not leave any shard pathologically hot
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) <= 4 * max(1, min(counts))
+
+
+def test_curriculum_batches_are_full_within_band(spark, sf_dir):
+    rows = q_curriculum_buckets(spark, sf_dir).collect()
+    by_band: dict[int, list] = {}
+    for r in rows:
+        by_band.setdefault(r["length_band"], []).append(r)
+    for band, members in by_band.items():
+        batches: dict[int, int] = {}
+        for m in members:
+            batches[m["batch_id"]] = batches.get(m["batch_id"], 0) + 1
+        # every batch but the last (highest id) holds exactly BATCH_DOCS
+        last = max(batches)
+        for bid, n in batches.items():
+            assert n == BATCH_DOCS or bid == last
+        # docs in a band share the same token-length window
+        assert all(
+            m["n_tokens"] // 16 == band for m in members
+        )
+
+
+def test_bloom_prefilter_transparent_and_selective(spark, sf_dir):
+    """No false negatives (composition == exact semi-join) and the
+    pre-filter genuinely shrinks the probe side."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    words = bloom_build(urgent, "o_orderkey")
+    candidates = bloom_prefilter(li, "l_orderkey", words)
+    exact = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    n_li, n_cand, n_exact = li.count(), candidates.count(), exact.count()
+    # Bloom superset of the true matches, but far smaller than the table
+    assert n_exact <= n_cand < n_li
+    joined = candidates.join(
+        urgent, candidates.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    assert joined.count() == n_exact
+    # false-positive rate sane for m=2^16, k=2 at this key count
+    assert (n_cand - n_exact) <= max(50, int(0.2 * n_li))
