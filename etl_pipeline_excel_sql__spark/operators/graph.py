@@ -1,0 +1,141 @@
+"""Iterative graph algorithms as DataFrame loops — PageRank, integer-exact.
+
+The interesting engineering problem with iterative algorithms on a
+verification-gated engine is determinism: float PageRank accumulates
+per-partition partial sums whose order differs run-to-run, so two engines
+(or two runs) disagree in the last ulps. This implementation keeps every
+rank as a SCALED BIGINT and every per-edge contribution as integer floor
+division — addition of integers is associative, so the result is
+bit-identical on any engine, any partitioning, any retry, and an external
+SQL oracle can replay it exactly.
+
+Scale design (100 TB of edges):
+* the edge table is the big side; it is aggregated once to
+  ``(src, dst, w, tw)`` and its lineage truncated (``localCheckpoint``) so
+  the per-iteration plan re-reads a small materialized table instead of
+  re-deriving edges ``iters`` times;
+* the rank vector is |V| rows — broadcast to the edge side each iteration,
+  so the only shuffle per iteration is the ``groupBy(dst)`` contribution
+  sum (partial-aggregated map-side);
+* per-edge products stay under int64: rank ≤ scale (1e9) and the guard
+  below rejects weight sums that could overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**9
+PAGERANK_DAMPING_PCT = 85
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int = 8,
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+) -> DataFrame:
+    """Weighted PageRank with scaled-integer arithmetic.
+
+    ``edges``: columns ``src``, ``dst``, ``w`` (bigint weight).
+    ``nodes``: column ``node`` (must cover every vertex; vertices with no
+    in-edges get the teleport mass only). ``n_nodes`` is passed as a
+    static literal (it parameterizes the teleport term) so the plan needs
+    no driver-side count action.
+
+    Per iteration: ``r'[v] = base + (damping_pct * Σ_u floor(r[u]*w_uv /
+    outw[u])) DIV 100`` with ``base = ((100-damping_pct)*scale) DIV
+    (100*n_nodes)``. All floor divisions; rank mass shrinks by at most a
+    few ulps of the scale per iteration, identically in every engine.
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    ew = edges.join(outw, "src").select("src", "dst", "w", "tw")
+    # materialize once: the loop below references ew `iters` times and the
+    # final plan would otherwise re-aggregate the full edge table per
+    # iteration. The table is |E'| (distinct src,dst) rows — small.
+    ew = ew.localCheckpoint(eager=True)
+
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    srcs = ew.select("src").distinct()
+    r = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("bigint").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) DIV tw").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling nodes (no out-edges) redistribute their mass uniformly —
+        # without this, their rank evaporates each iteration and total mass
+        # collapses toward the teleport floor.
+        dang = (
+            r.join(srcs, r.node == srcs.src, "left_anti")
+            .agg(F.sum("r").alias("d"))
+            .select(F.coalesce("d", F.lit(0).cast("bigint")).alias("d"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"cast({base} as bigint) + ({damping_pct} * "
+                    f"(coalesce(c, cast(0 as bigint)) + d DIV {n_nodes}))"
+                    f" DIV 100"
+                ).alias("r"),
+            )
+        )
+    return r
+
+
+def pagerank_unrolled_sql(
+    edges_cte: str,
+    nodes_cte: str,
+    n_nodes: int,
+    iters: int = 8,
+    scale: int = PAGERANK_SCALE,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+) -> str:
+    """DuckDB oracle twin: the same iteration unrolled as chained CTEs.
+
+    ``edges_cte`` must yield (src, dst, w); ``nodes_cte`` must yield
+    (node). Returns the WITH-clause body up to and including ``r{iters}``;
+    the caller appends its own final SELECT over ``r{iters}``.
+    """
+    base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    parts = [
+        f"edges AS ({edges_cte})",
+        f"nodes AS ({nodes_cte})",
+        "outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, e.w, o.tw"
+        " FROM edges e JOIN outw o ON e.src = o.src)",
+        f"r0 AS (SELECT node, CAST({scale // n_nodes} AS BIGINT) AS r"
+        " FROM nodes)",
+    ]
+    parts.append("srcs AS (SELECT DISTINCT src FROM ew)")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT COALESCE(SUM(r), 0) AS d FROM r{i - 1}
+  WHERE node NOT IN (SELECT src FROM srcs))"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({damping_pct} * (COALESCE(s.c, 0)
+              + (SELECT d FROM d{i}) // {n_nodes})) // 100
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((p.r * e.w) // e.tw) AS c
+    FROM r{i - 1} p JOIN ew e ON p.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    return "WITH " + ",\n".join(parts)

@@ -24,6 +24,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     corpus_queries,
     sampling_queries,
     extended_queries,
+    graph_queries,
     pipeline_queries,
     reference_queries,
     tpch2_queries,
@@ -41,6 +42,7 @@ _ALL_QUERIES = {
     **analytics2_queries.QUERIES,
     **analytics3_queries.QUERIES,
     **sampling_queries.QUERIES,
+    **graph_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -54,6 +56,7 @@ _ALL_ORACLE = {
     **analytics2_queries.ORACLE,
     **analytics3_queries.ORACLE,
     **sampling_queries.ORACLE,
+    **graph_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

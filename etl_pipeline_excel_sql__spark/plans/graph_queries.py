@@ -1,0 +1,97 @@
+"""Graph analytics over the trade network: integer-exact PageRank.
+
+The nation-to-nation trade graph — an edge (supplier nation → customer
+nation) per lineitem, weighted by shipment count — ranked with
+``operators/graph.pagerank_integer``. The oracle replays the identical
+scaled-integer iteration as unrolled SQL CTEs, so the driver's value hash
+checks all 8 iterations bit-for-bit (no float tolerance anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.graph import (
+    pagerank_integer,
+    pagerank_unrolled_sql,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+N_NATIONS = 25
+PR_ITERS = 8
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supplier nation → customer nation, shipment count) edge list.
+
+    lineitem is the fact side; orders/customer/supplier broadcast. The
+    grouped edge list is at most |V|² = 625 rows regardless of data scale,
+    so everything after this aggregate is effectively free.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    nodes = nation.select(
+        F.col("n_nationkey").cast("int").alias("node")
+    )
+    ranks = pagerank_integer(
+        _trade_edges(spark, sf_dir),
+        nodes,
+        n_nodes=N_NATIONS,
+        iters=PR_ITERS,
+    )
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select(
+        F.col("node").alias("nation_key"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
+_EDGES_SQL = """
+  SELECT CAST(s_nationkey AS INT) AS src,
+         CAST(c_nationkey AS INT) AS dst,
+         COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2"""
+
+_NODES_SQL = "SELECT CAST(n_nationkey AS INT) AS node FROM nation"
+
+ORACLE: dict[str, str] = {
+    "pagerank_nations": pagerank_unrolled_sql(
+        _EDGES_SQL, _NODES_SQL, n_nodes=N_NATIONS, iters=PR_ITERS
+    )
+    + f"""
+SELECT node AS nation_key, n_name AS nation_name, r AS rank_scaled
+FROM r{PR_ITERS} JOIN nation ON node = n_nationkey""",
+}
+
+QUERIES = {
+    "pagerank_nations": q_pagerank_nations,
+}
