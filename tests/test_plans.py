@@ -196,3 +196,35 @@ def test_ann_filtered_topk_filters_before_vectors(spark):
     plan = _plan(spark, "ann_filtered_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_broadcasts_words_not_fact(spark):
+    """The Bloom word table (≤1024 rows) must broadcast for every probe
+    hash family; the lineitem fact side never shuffles into them."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_stratified_is_narrow(spark):
+    """Hash-threshold sampling must be a pure scan+filter: no shuffle at
+    all, and column pruning down to the four output columns."""
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" not in scan  # the heavy column is pruned
+
+
+def test_pagerank_broadcasts_rank_vector(spark):
+    """Each iteration broadcasts the |V|-row rank vector to the edge
+    table; the edge table itself is checkpointed, not re-derived."""
+    plan = _plan(spark, "pagerank_nations")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the checkpoint truncates lineage: no lineitem scan in the loop plan
+    assert "lineitem" not in plan
+
+
+def test_funnel_stages_shuffle_on_user(spark):
+    plan = _plan(spark, "funnel_conversion")
+    assert "CartesianProduct" not in plan
