@@ -81,27 +81,37 @@ def main() -> None:
     # at most one sample per query instead of both back-to-back. Raw
     # per-run arrays are kept in the output so round-over-round regressions
     # stay attributable (a min can mask a newly bimodal query).
+    # A single failing query must not zero out the whole bench (round 2
+    # lost every timing to one AnalysisException): failures are recorded
+    # structurally per-query and the run continues.
     raw_runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in BENCH_QUERIES:
-            raw_runs[name].append(round(run_one(spark, name, SF_DIR), 3))
-    timings = {name: min(runs) for name, runs in raw_runs.items()}
+            if name in errors:
+                continue
+            try:
+                raw_runs[name].append(round(run_one(spark, name, SF_DIR), 3))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    timings = {n: min(r) for n, r in raw_runs.items() if r}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall seconds at sf (local[{}])".format(
-                    spark.sparkContext.defaultParallelism
-                ),
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "raw_runs": raw_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-query wall seconds at sf (local[{}])".format(
+            spark.sparkContext.defaultParallelism
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "raw_runs": raw_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

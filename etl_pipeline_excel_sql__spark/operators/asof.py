@@ -34,14 +34,24 @@ def asof_join(
     right_values: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, latest right row with time ≤ left time.
+    """As-of join, all three directions, still exactly ONE shuffle.
 
-    ``direction='backward'`` only (the reference-free standard case).
-    Right-side ties on (key, time) resolve to the row that sorts last on the
-    value tuple — deterministic. Output: all left columns + ``right_values``.
+    * ``backward`` — latest right row with time ≤ left time (the common
+      case; kdb ``aj`` / pandas ``merge_asof`` default);
+    * ``forward`` — earliest right row with time ≥ left time;
+    * ``nearest`` — whichever of the two is closer in absolute time
+      distance; exact ties prefer the backward match (pandas semantics).
+
+    All directions ride the same union-and-window plan: both sides union on
+    (key, time) and a single ``partitionBy(key)`` window carries right-side
+    attributes backward and/or forward. ``nearest`` adds no extra shuffle —
+    it evaluates both frame directions inside the same window partition and
+    picks per-row. Right-side ties on (key, time) resolve to the row that
+    sorts last on the value tuple — deterministic. Output: all left columns
+    + ``right_values``.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
 
     # Right-side ties on (key, time) must resolve deterministically: keep the
     # row with the greatest value tuple (arbitrary but stable convention).
@@ -55,13 +65,18 @@ def asof_join(
     )
 
     left_cols = left.columns
+    # __rvals carries the right time too (__rt) so `nearest` can compare
+    # distances without a second pass over the data.
+    rstruct = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(v) for v in right_values]
+    )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left_cols).alias("__lrow"),
         F.lit(None).cast(
-            right.select(F.struct(*right_values).alias("s")).schema["s"].dataType
+            right.select(rstruct.alias("s")).schema["s"].dataType
         ).alias("__rvals"),
     )
     r = right.select(
@@ -71,19 +86,58 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
         ).alias("__lrow"),
-        F.struct(*right_values).alias("__rvals"),
+        rstruct.alias("__rvals"),
     )
-    # Right rows sort before left rows at equal timestamps (__is_left asc) so
-    # a simultaneous right row IS visible to the left row (≤ semantics).
-    w = (
+    merged = l.unionByName(r)
+
+    # At equal timestamps the right row must be visible to the left row in
+    # BOTH directions (≤ / ≥ semantics): backward sorts right-before-left
+    # (__is_left asc) and looks back; forward sorts left-before-right
+    # (__is_left desc) and looks ahead. Same partitionBy → one exchange;
+    # the second ordering costs only an extra local sort, no extra shuffle.
+    w_back = (
         Window.partitionBy("__k")
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l.unionByName(r).withColumn(
-        "__asof", F.last("__rvals", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = merged.filter(F.col("__is_left") == 1).select(
+    if direction in ("backward", "nearest"):
+        merged = merged.withColumn(
+            "__back", F.last("__rvals", ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        merged = merged.withColumn(
+            "__fwd", F.first("__rvals", ignorenulls=True).over(w_fwd)
+        )
+
+    if direction == "backward":
+        asof = F.col("__back")
+    elif direction == "forward":
+        asof = F.col("__fwd")
+    else:
+        # Distances in integer microseconds (exact — a double of epoch
+        # seconds can lose the micro digits and flip a tie). The cast chain
+        # handles timestamp / timestamp_ntz / date / numeric time columns
+        # uniformly on both sides.
+        def _us(c):  # noqa: ANN001, ANN202
+            return F.unix_micros(c.cast("timestamp"))
+
+        back_dist = _us(F.col("__t")) - _us(F.col("__back.__rt"))
+        fwd_dist = _us(F.col("__fwd.__rt")) - _us(F.col("__t"))
+        asof = (
+            F.when(F.col("__back").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__back"))
+            .when(back_dist <= fwd_dist, F.col("__back"))
+            .otherwise(F.col("__fwd"))
+        )
+
+    out = merged.withColumn("__asof", asof).filter(
+        F.col("__is_left") == 1
+    ).select(
         *[F.col("__lrow")[c].alias(c) for c in left_cols],
         *[F.col("__asof")[v].alias(v) for v in right_values],
     )

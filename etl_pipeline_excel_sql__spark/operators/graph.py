@@ -37,6 +37,7 @@ def pagerank_integer(
     iters: int = 8,
     scale: int = PAGERANK_SCALE,
     damping_pct: int = PAGERANK_DAMPING_PCT,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank with scaled-integer arithmetic.
 
@@ -50,6 +51,16 @@ def pagerank_integer(
     outw[u])) DIV 100`` with ``base = ((100-damping_pct)*scale) DIV
     (100*n_nodes)``. All floor divisions; rank mass shrinks by at most a
     few ulps of the scale per iteration, identically in every engine.
+
+    ``broadcast_ranks`` picks the join strategy for the per-iteration
+    rank×edge join. True (default) broadcasts the |V|-row rank vector to
+    the edge side — right whenever |V| fits in the broadcast budget (one
+    shuffle per iteration: the ``groupBy(dst)`` contribution sum). For
+    web-scale |V| that broadcast is the scale killer, so False switches to
+    a plain keyed shuffle join on ``src`` — ranks and edges co-partition
+    by src (two shuffles per iteration, both key-only rows), and no single
+    executor ever materializes the full rank vector. Results are
+    bit-identical either way (integer arithmetic is order-free).
     """
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     ew = edges.join(outw, "src").select("src", "dst", "w", "tw")
@@ -64,8 +75,11 @@ def pagerank_integer(
         "node", F.lit(scale // n_nodes).cast("bigint").alias("r")
     )
     for _ in range(iters):
+        rank_side = r.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            ew.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
+            ew.join(rank_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) DIV tw").alias("c"),
@@ -93,6 +107,12 @@ def pagerank_integer(
                 ).alias("r"),
             )
         )
+        # Truncate lineage every iteration: r{i} references r{i-1} twice
+        # (contrib + dangling mass), so the un-truncated plan doubles per
+        # iteration — 2^iters analysis cost. Checkpointing |V| rows per
+        # iteration is the standard iterative-algorithm pattern (GraphX
+        # does the same); values are unchanged.
+        r = r.localCheckpoint(eager=True)
     return r
 
 
@@ -111,24 +131,29 @@ def pagerank_unrolled_sql(
     the caller appends its own final SELECT over ``r{iters}``.
     """
     base = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    # Every chained CTE is AS MATERIALIZED: r{i} references r{i-1} twice
+    # (dangling-mass sum + contribution join), so inlined CTEs re-evaluate
+    # the whole chain — 2^iters blowup (observed: 4 minutes at sf0.001
+    # before materialization, seconds after). Same fix as the Spark side's
+    # per-iteration localCheckpoint.
     parts = [
-        f"edges AS ({edges_cte})",
-        f"nodes AS ({nodes_cte})",
+        f"edges AS MATERIALIZED ({edges_cte})",
+        f"nodes AS MATERIALIZED ({nodes_cte})",
         "outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src)",
-        "ew AS (SELECT e.src, e.dst, e.w, o.tw"
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.tw"
         " FROM edges e JOIN outw o ON e.src = o.src)",
-        f"r0 AS (SELECT node, CAST({scale // n_nodes} AS BIGINT) AS r"
-        " FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node,"
+        f" CAST({scale // n_nodes} AS BIGINT) AS r FROM nodes)",
     ]
-    parts.append("srcs AS (SELECT DISTINCT src FROM ew)")
+    parts.append("srcs AS MATERIALIZED (SELECT DISTINCT src FROM ew)")
     for i in range(1, iters + 1):
         parts.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r), 0) AS d FROM r{i - 1}
   WHERE node NOT IN (SELECT src FROM srcs))"""
         )
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT n.node,
          CAST({base} + ({damping_pct} * (COALESCE(s.c, 0)
               + (SELECT d FROM d{i}) // {n_nodes})) // 100

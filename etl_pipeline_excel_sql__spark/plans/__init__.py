@@ -11,10 +11,13 @@ numerically risky aggregates, the LLM-pipeline operators, and the TPC-H
 widening — into that window. Everything after it is family-redundant with a
 checked entry (e.g. ``set_except`` with ``set_union``, ``agg_cube`` with
 ``agg_rollup``, ``join_semi``/``window_first_last``/``ann_srp_buckets``
-with the richer ``tpch_q21``/``window_running_sum``+``window_zscore``/
-``neardup_cosine`` which exercise the same operators) or trivially typed,
-and stays verified by the local replica (``tools/check_oracle.py``) at
-sf0.001 and sf0.01.
+with the richer ``tpch_q21``/``window_zscore``/``neardup_cosine`` which
+exercise the same operators) or trivially typed, and stays verified by the
+local replica (``tools/check_oracle.py``) at sf0.001 and sf0.01. Round 3
+rotated ``pagerank_nations`` and ``join_bloom_prefilter`` into the window
+(displacing family-redundant ``agg_orders_by_status`` and
+``window_running_sum``) so the newest operator families get driver-gate
+history.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -82,13 +85,16 @@ DRIVER_PRIORITY = [
     "array_funcs",
     # numerically risky aggregates / windows (the round-1 hash failures)
     "agg_pricing_summary",
-    "agg_orders_by_status",
     "agg_rollup",
     "join_multitable_revenue",
-    "window_running_sum",
     "window_zscore",
     "set_union",
     "json_extract",
+    # round-2-new operators rotated in for their first driver-gate run
+    # (displacing agg_orders_by_status / window_running_sum, family-redundant
+    # with agg_pricing_summary+agg_rollup / window_zscore respectively)
+    "pagerank_nations",
+    "join_bloom_prefilter",
     "asof_join",
     "range_join",
     "sessionize",

@@ -300,6 +300,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's EARLIEST order
+    at-or-after the event time (same union-and-window plan, one shuffle)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the closer of the backward/forward matches in
+    absolute time distance; exact ties prefer backward (pandas semantics)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.col("o_totalprice").alias("near_totalprice"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: lineitems shipped within 90 days of their order date."""
     o = load_table(spark, "orders", sf_dir).select(
@@ -501,6 +549,48 @@ ORACLE: dict[str, str] = {
           QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
                    ORDER BY o_orderkey DESC, o_totalprice DESC) = 1
         ) o ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate""",
+    "asof_join_forward": """
+        SELECT event_id, user_id,
+               o_orderkey AS next_orderkey,
+               o_totalprice AS next_totalprice
+        FROM events
+        ASOF LEFT JOIN (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC, o_totalprice DESC) = 1
+        ) o ON events.user_id = o.o_custkey AND events.ts <= o.o_orderdate""",
+    "asof_join_nearest": """
+        WITH o AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderkey DESC, o_totalprice DESC) = 1
+        ), b AS (
+          SELECT event_id, user_id, ts,
+                 o_orderkey AS bk, o_totalprice AS bp, o_orderdate AS bd
+          FROM events
+          ASOF LEFT JOIN o ON events.user_id = o.o_custkey
+                          AND events.ts >= o.o_orderdate
+        ), f AS (
+          SELECT event_id,
+                 o_orderkey AS fk, o_totalprice AS fp, o_orderdate AS fd
+          FROM events
+          ASOF LEFT JOIN o ON events.user_id = o.o_custkey
+                          AND events.ts <= o.o_orderdate
+        )
+        SELECT b.event_id, b.user_id,
+               CASE WHEN b.bk IS NULL THEN f.fk
+                    WHEN f.fk IS NULL THEN b.bk
+                    WHEN epoch_us(b.ts) - epoch_us(CAST(b.bd AS TIMESTAMP))
+                         <= epoch_us(CAST(f.fd AS TIMESTAMP)) - epoch_us(b.ts)
+                    THEN b.bk ELSE f.fk END AS near_orderkey,
+               CASE WHEN b.bk IS NULL THEN f.fp
+                    WHEN f.fk IS NULL THEN b.bp
+                    WHEN epoch_us(b.ts) - epoch_us(CAST(b.bd AS TIMESTAMP))
+                         <= epoch_us(CAST(f.fd AS TIMESTAMP)) - epoch_us(b.ts)
+                    THEN b.bp ELSE f.fp END AS near_totalprice
+        FROM b JOIN f USING (event_id)""",
     "range_join": """
         SELECT o_orderkey, COUNT(*) AS n_shipped_90d
         FROM lineitem
@@ -557,6 +647,8 @@ QUERIES = {
     "topk_global": q_topk_global,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_nearest": q_asof_join_nearest,
     "range_join": q_range_join,
     "sessionize": q_sessionize,
     "window_agg_events": q_window_agg_events,

@@ -575,7 +575,13 @@ QUERIES.update(
 
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 array surface: split / size / element access / slice / contains /
-    sort / distinct over document token arrays."""
+    sort / distinct over document token arrays.
+
+    The array-valued results (``first_three``, ``first_five_sorted``) are
+    rendered to delimited strings: the verification harness canonicalizes
+    result frames via pandas sort/factorize, which requires hashable cells.
+    Same information, hashable dtype.
+    """
     from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 
     docs = load_table(spark, "documents", sf_dir)
@@ -585,12 +591,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
-        F.slice(toks, 1, 3).alias("first_three"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first_three"),
         F.array_contains(toks, "table").alias("has_table"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
-        F.sort_array(F.array_distinct(F.slice(toks, 1, 5))).alias(
-            "first_five_sorted"
-        ),
+        F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.slice(toks, 1, 5)))
+        ).alias("first_five_sorted"),
     )
 
 
@@ -599,10 +605,11 @@ ORACLE["array_funcs"] = f"""
            CAST(len(toks) AS INT) AS n_tokens,
            toks[1] AS first_token,
            toks[-1] AS last_token,
-           toks[1:3] AS first_three,
+           array_to_string(toks[1:3], ' ') AS first_three,
            list_contains(toks, 'table') AS has_table,
            CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
-           list_sort(list_distinct(toks[1:5])) AS first_five_sorted
+           array_to_string(list_sort(list_distinct(toks[1:5])), ' ')
+               AS first_five_sorted
     FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
 """.format(toks=_TOKS)
 QUERIES["array_funcs"] = q_array_funcs

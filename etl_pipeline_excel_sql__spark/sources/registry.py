@@ -55,20 +55,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one corpus table as a DataFrame (lazy parquet scan).
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain TIMESTAMP whatever the physical
+    parquet type happens to be in this environment.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); we read it as raw nanos
-    and truncate to microseconds with integer division (``div`` — a float
-    division would lose precision above 2**53).
+    The corpus has shipped ``ts`` in (at least) three forms across
+    environments: TIMESTAMP(NANOS) surfaced as raw-nanos ``bigint`` under
+    ``nanosAsLong``, TIMESTAMP(MICROS) with ``isAdjustedToUTC=false``
+    surfaced as ``timestamp_ntz``, and plain ``timestamp``. Branching on the
+    *observed* dtype here — once, for every consumer (batch ``load_table``
+    and the streaming source) — makes every downstream query dtype-agnostic.
     """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # Raw nanos: truncate to micros with integer division (`div` — float
+        # division would lose precision above 2**53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Session timezone is pinned UTC (ensure_session_confs), so the NTZ
+        # wall-clock values and the UTC instants are identical.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one corpus table as a DataFrame (lazy parquet scan)."""
     ensure_session_confs(spark)
     d = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{d}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -25,8 +25,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-#: events schema as the engine sees it (ts already micros; streaming reads
-#: re-derive it from the raw nanos long exactly like sources/registry.py).
+#: Synthetic-input schema used by the state/watermark unit tests, which
+#: construct raw-nanos long inputs by hand. The real corpus stream source
+#: (``read_events_stream``) does NOT assume this shape — it infers the
+#: on-disk schema from a batch read and normalizes via
+#: ``sources.registry.normalize_events_ts``.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -53,16 +56,30 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one batch with
     ``availableNow``; a production deployment points this at a Kafka topic
-    or a landing directory — everything downstream is identical)."""
+    or a landing directory — everything downstream is identical).
+
+    The stream schema is taken from a batch read of the same file so the
+    ``ts`` physical type (raw-nanos long / timestamp_ntz / timestamp —
+    it has varied across environments) is whatever is actually on disk,
+    then normalized by the same dtype-dispatching logic the batch path
+    uses. The batch read here is schema-only: no data job runs.
+    """
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        ensure_session_confs,
+        normalize_events_ts,
+    )
+
+    ensure_session_confs(spark)
+    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory; pathGlobFilter narrows it
     # to the events table (the corpus keeps one parquet file per table).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(on_disk_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts_stream(

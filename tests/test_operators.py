@@ -101,6 +101,49 @@ def test_asof_join_tie_resolution_deterministic(spark):
     assert out[0].val == "y"          # greatest value tuple wins
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 10, 301), (5, 99, 100)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 300, "c"), (77, 1, "zz")],
+        "k long, rt long, val string",
+    )
+    out = {r.eid: r.val for r in asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_values=["val"], direction="forward").collect()}
+    # 1: rt=100 >= t=100 (inclusive); 2: next is 300; 3: next is 100;
+    # 4: nothing at-or-after; 5: no key match
+    assert out == {1: "a", 2: "c", 3: "a", 4: None, 5: None}
+
+
+def test_asof_join_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 140), (2, 10, 160), (3, 10, 150), (4, 10, 5), (5, 10, 999)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b")], "k long, rt long, val string"
+    )
+    out = {r.eid: r.val for r in asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_values=["val"], direction="nearest").collect()}
+    # 1: 40 back vs 60 fwd -> a; 2: 60 back vs 40 fwd -> b;
+    # 3: exact tie (50/50) -> backward wins; 4: only forward exists;
+    # 5: only backward exists
+    assert out == {1: "a", 2: "b", 3: "a", 4: "a", 5: "b"}
+
+
+def test_asof_join_unknown_direction_rejected(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10, 100)], "eid long, k long, t long")
+    right = spark.createDataFrame([(10, 100, "x")], "k long, rt long, val string")
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "t", "rt", ["val"], direction="sideways")
+
+
 def test_range_join(spark):
     left = spark.createDataFrame([(1, 10, 5), (2, 10, 15)], "id long, k long, t long")
     right = spark.createDataFrame([(10, 0, 10)], "k2 long, lo long, hi long")
