@@ -23,6 +23,7 @@ history.
 from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
     analytics3_queries,
+    analytics4_queries,
     analytics_queries,
     corpus_queries,
     sampling_queries,
@@ -30,6 +31,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     graph_queries,
     pipeline_queries,
     reference_queries,
+    streaming_queries,
     tpch2_queries,
     tpch_queries,
 )
@@ -44,8 +46,10 @@ _ALL_QUERIES = {
     **corpus_queries.QUERIES,
     **analytics2_queries.QUERIES,
     **analytics3_queries.QUERIES,
+    **analytics4_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
+    **streaming_queries.QUERIES,
 }
 
 _ALL_ORACLE = {
@@ -58,8 +62,10 @@ _ALL_ORACLE = {
     **corpus_queries.ORACLE,
     **analytics2_queries.ORACLE,
     **analytics3_queries.ORACLE,
+    **analytics4_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
+    **streaming_queries.ORACLE,
 }
 
 # The 50 queries the driver's correctness gate will check, in order.

@@ -1,0 +1,100 @@
+"""Streaming pipelines registered as driver-checkable queries.
+
+These entries execute REAL Structured Streaming jobs — file-source stream →
+watermarked stateful aggregation → memory sink drained with ``availableNow``
+— and return the sink as a batch DataFrame. Because the corpus input is
+bounded and complete, the streamed result must equal the batch/SQL answer
+exactly, so each entry carries a normal DuckDB oracle and the driver's
+value-hash gate covers the streaming engine path end-to-end (watermark
+bookkeeping, state store, window merge), not just its batch twins.
+
+The reference has no streaming surface (SURVEY.md §2.12); this is the
+engine-extension tier. Scale notes are in streaming/events.py — state is
+watermark-bounded, grouping shuffles once, identical to batch.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_excel_sql__spark.streaming.events import (
+    read_events_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+    windowed_counts_stream,
+)
+
+#: memory-sink table names must be unique per started query within a session
+#: (the driver may invoke an entry more than once).
+_sink_seq = itertools.count()
+
+
+def _sink_name(prefix: str) -> str:
+    return f"{prefix}_{next(_sink_seq)}"
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts/sums computed BY THE STREAMING ENGINE.
+
+    Same answer as the batch ``window_agg_events`` (same oracle SQL): the
+    input is bounded, so the watermarked stream drains to the identical
+    complete result. Sum runs in decimal so partial-aggregation order can
+    never flip a float ulp between the streaming and SQL engines.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory_sink(
+        windowed_counts_stream(ev), _sink_name("stream_win_counts")
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` merging state.
+
+    The streaming session merge (30-min gap) must produce exactly the
+    sessions the batch lag/cumsum formulation finds — the oracle replays
+    that batch formulation in SQL, minus the session ordinal (a stream has
+    no global per-user session index until the watermark closes them all).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory_sink(
+        sessionize_stream(ev), _sink_name("stream_sessionize")
+    )
+
+
+ORACLE: dict[str, str] = {
+    # identical to the batch window_agg_events oracle — that is the point.
+    "stream_window_counts": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2""",
+    "stream_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sess GROUP BY user_id, session_idx""",
+}
+
+QUERIES = {
+    "stream_window_counts": q_stream_window_counts,
+    "stream_sessionize": q_stream_sessionize,
+}
