@@ -91,6 +91,67 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (lineitem × supplier) — the hot-key mitigation for
+    when the build side exceeds broadcast scale and one probe key dominates.
+    Salting only changes physical distribution: the result is the plain
+    join's multiset, which is exactly what the oracle checks."""
+    from etl_pipeline_excel_sql__spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return salted_join(li, s, key="l_suppkey", salt_buckets=8).select(
+        "l_orderkey", "l_suppkey", "s_name", "l_quantity"
+    )
+
+
+def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE moving median of a customer's trailing 5 orders.
+
+    No interpolation (even-count medians pick the lower element), so the
+    selected double is bit-identical on any engine. The frame's values ride
+    a ``collect_list`` → ``array_sort`` → ``element_at`` chain — all
+    JVM-side expressions inside the one window shuffle; frames are ≤5
+    elements so the per-row array never grows with data scale."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("o_totalprice").over(w))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.element_at(
+            frame, ((F.size(frame) + 1) / 2).cast("int")
+        ).alias("median5"),
+        F.size(frame).cast("int").alias("frame_n"),
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position: first 10 tokens of each document as
+    (doc_id, pos, token) rows — ``posexplode`` is the Spark-native lateral
+    unnest a tokenization/feature pipeline fans out with (map-side only,
+    no shuffle)."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(ws_tokens(F.col("text")), 1, 10)).alias(
+            "pos", "token"
+        ),
+    )
+
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
 ORACLE: dict[str, str] = {
     # every event belongs to the two hour-aligned starts covering it
     "window_sliding_counts": """
@@ -131,10 +192,34 @@ ORACLE: dict[str, str] = {
         FROM (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket
               FROM orders)
         GROUP BY bucket""",
+    "join_skew_salted": """
+        SELECT l_orderkey, l_suppkey, s_name, l_quantity
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    "window_moving_median": """
+        WITH framed AS (
+          SELECT o_custkey, o_orderkey,
+                 list_sort(list(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS frame
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey,
+               frame[(len(frame) + 1) // 2] AS median5,
+               CAST(len(frame) AS INT) AS frame_n
+        FROM framed""",
+    "explode_tokens": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, least(len(toks), 10))) AS i
+              FROM d)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token FROM e""",
 }
 
 QUERIES = {
     "window_sliding_counts": q_window_sliding_counts,
     "percentile_disc": q_percentile_disc,
     "histogram_totalprice": q_histogram_totalprice,
+    "join_skew_salted": q_join_skew_salted,
+    "window_moving_median": q_window_moving_median,
+    "explode_tokens": q_explode_tokens,
 }
