@@ -228,3 +228,48 @@ def test_pagerank_broadcasts_rank_vector(spark):
 def test_funnel_stages_shuffle_on_user(spark):
     plan = _plan(spark, "funnel_conversion")
     assert "CartesianProduct" not in plan
+
+
+def test_explode_tokens_is_narrow(spark):
+    """posexplode is map-side fan-out: no shuffle anywhere, and the scan
+    reads only (doc_id, text)."""
+    plan = _plan(spark, "explode_tokens")
+    assert "Exchange" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan
+
+
+def test_moving_median_single_window_shuffle(spark):
+    """The trailing-frame median must ride ONE window exchange on the
+    partition key — the sort+pick happens inside the frame expression."""
+    plan = _plan(spark, "window_moving_median")
+    assert "hashpartitioning(o_custkey" in plan
+    assert "CartesianProduct" not in plan
+    # in-frame median: no second aggregation pass over the raw table
+    assert plan.count("Window") == 1
+
+
+def test_percentile_disc_partitions_by_priority(spark):
+    plan = _plan(spark, "percentile_disc")
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_joins_on_salt(spark):
+    """The salted join's physical keys must include the salt column —
+    that is the mechanism that spreads a hot key over many reducers."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_directions_share_one_union_shuffle(spark):
+    """Forward and nearest ride the same union-and-window plan as
+    backward: the merged stream partitions once on the key; no M×N
+    inequality-join intermediate ever materializes."""
+    for name in ("asof_join_forward", "asof_join_nearest"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(__k" in plan
+        assert "CartesianProduct" not in plan
+        assert "Union" in plan
