@@ -282,3 +282,93 @@ QUERIES = {
     "agg_price_histogram": q_agg_price_histogram,
     "vec_quantize_int8": q_vec_quantize_int8,
 }
+
+
+def q_corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: quality gate → exact dedup (keep lowest
+    doc_id) → deterministic train/val/test assignment, as ONE composed
+    DataFrame DAG — the shape a real training-data build runs nightly.
+
+    Stage economics at 100 TB: the quality gate and the split tag are
+    narrow maps fused into the scan; the only shuffle is the dedup's
+    ``md5(text)`` hash partitioning, and it carries (hash, doc_id, small
+    metadata) — the verdict row for each document, never the text twice.
+    Every stage is a pure function of the row, so the pass is reproducible
+    on any cluster size or partitioning.
+    """
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import SPLIT_SALT
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(ws_tokens(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        n_tokens.cast("int").alias("n_tokens"),
+    ).filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 80)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    dedup_w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        staged.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _curate_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _HASH60,
+        SPLIT_SALT,
+    )
+
+    h = _HASH60.format(e=f"concat('{SPLIT_SALT}', CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH staged AS (
+          SELECT doc_id, lang, source, text,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens
+          FROM documents
+        ), gated AS (
+          SELECT * FROM staged
+          WHERE n_tokens BETWEEN 20 AND 80
+            AND lang IN ('en', 'de', 'fr')
+        ), deduped AS (
+          SELECT doc_id, lang, source, n_tokens,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM gated
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               CASE WHEN {h} % 100 < 80 THEN 'train'
+                    WHEN {h} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped WHERE rn = 1"""
+
+
+ORACLE["corpus_curate_pipeline"] = _curate_oracle()
+QUERIES["corpus_curate_pipeline"] = q_corpus_curate_pipeline
