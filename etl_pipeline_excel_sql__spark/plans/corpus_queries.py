@@ -300,22 +300,24 @@ def q_corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_tokens = F.size(ws_tokens(F.col("text")))
+    # md5 is computed in the scan projection so the dedup exchange carries
+    # the 32-byte hash, never the document body.
     staged = docs.select(
         "doc_id",
         "lang",
         "source",
-        "text",
+        F.md5(F.col("text")).alias("__h"),
         n_tokens.cast("int").alias("n_tokens"),
     ).filter(
         (F.col("n_tokens") >= 20)
         & (F.col("n_tokens") <= 80)
         & F.col("lang").isin("en", "de", "fr")
     )
-    dedup_w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    dedup_w = Window.partitionBy("__h").orderBy("doc_id")
     deduped = (
         staged.withColumn("__rn", F.row_number().over(dedup_w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "text")
+        .drop("__rn", "__h")
     )
     bucket = (
         F.conv(
