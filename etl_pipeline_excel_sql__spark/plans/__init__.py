@@ -24,6 +24,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
     analytics3_queries,
     analytics4_queries,
+    analytics5_queries,
     analytics_queries,
     corpus_queries,
     sampling_queries,
@@ -47,6 +48,7 @@ _ALL_QUERIES = {
     **analytics2_queries.QUERIES,
     **analytics3_queries.QUERIES,
     **analytics4_queries.QUERIES,
+    **analytics5_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
     **streaming_queries.QUERIES,
@@ -63,6 +65,7 @@ _ALL_ORACLE = {
     **analytics2_queries.ORACLE,
     **analytics3_queries.ORACLE,
     **analytics4_queries.ORACLE,
+    **analytics5_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
     **streaming_queries.ORACLE,

@@ -1,0 +1,171 @@
+"""Round-3 widening #2: semantics corners and warehouse-maintenance shapes.
+
+* ``dedup_events_first`` — batch twin of the streaming
+  ``dropDuplicatesWithinWatermark``: first occurrence per event_id in
+  (ts, event_id) order. One hash-partitioned window on the key.
+* ``join_null_safe`` — ``<=>`` (eqNullSafe) join semantics: NULL keys
+  MATCH each other, unlike plain ``=``. The oracle spells it
+  ``IS NOT DISTINCT FROM``.
+* ``union_by_name`` — schema-evolution union: differing column order and a
+  missing column null-filled (``allowMissingColumns``), the ingest shape
+  when a source adds a field mid-stream.
+* ``text_bpe_token_est`` — BPE-ish token estimate from a subword-style
+  regex pre-tokenization (letter runs / digit runs / punctuation runs),
+  the standard cheap proxy for tokenizer-true counts in corpus budgeting.
+  ASCII character classes only, so Java and RE2 regex semantics agree.
+* ``incremental_agg_merge`` — incremental view maintenance: partial
+  aggregate states from a base slice and a delta slice merged into the
+  exact full aggregate (count/decimal-sum are algebraic, so
+  merge-of-partials is value-identical to the direct GROUP BY — which is
+  exactly what the oracle computes). At 100 TB this is the pattern that
+  turns a nightly full recompute into a delta-sized job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: letter runs, digit runs, or punctuation runs — one match ≈ one subword.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def q_dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins dedup of the event stream by event_id (batch
+    form of the streaming dedup; same key, same verdict)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: rows whose (nullable) derived key matches the
+    dimension under ``<=>`` — NULL joins NULL, which a plain ``=`` drops."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "k string, status_name string",
+    )
+    return o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]), "inner").select(
+        "o_orderkey", "status_name"
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by column NAME across evolved schemas: the second slice lacks
+    ``o_totalprice`` (null-filled) and orders its columns differently."""
+    o = load_table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderstatus", "o_orderkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_text_bpe_token_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap tokenizer-count proxy: regex pre-tokenization match count and
+    its ratio to whitespace tokens (pure scan expressions, no shuffle)."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    bpe_n = F.size(F.expr(f"regexp_extract_all(text, '{BPE_REGEX}', 0)"))
+    ws_n = ws_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bpe_n.cast("int").alias("bpe_tokens"),
+        ws_n.cast("int").alias("ws_tokens"),
+        (bpe_n.cast("double") / F.nullif(ws_n, F.lit(0)).cast("double")).alias(
+            "subword_ratio"
+        ),
+    )
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: base-slice partial states merged
+    with delta-slice partial states must equal the direct full aggregate.
+
+    Both partials and the merge use count + DECIMAL sums (algebraic and
+    order-free), so the merged result is bit-identical to recomputing from
+    scratch — the oracle IS the from-scratch GROUP BY."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 5 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("decimal(38,2)").alias("total_price"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "dedup_events_first": """
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                           ORDER BY ts, user_id) AS rn
+              FROM events)
+        WHERE rn = 1""",
+    "join_null_safe": """
+        SELECT o_orderkey, status_name
+        FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders) o
+        JOIN (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+             d(k, status_name)
+          ON o.k IS NOT DISTINCT FROM d.k""",
+    "union_by_name": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 1""",
+    "text_bpe_token_est": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INT)
+                 AS bpe_tokens,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> '')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS DOUBLE)
+                 / NULLIF(len(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '')), 0) AS subword_ratio
+        FROM documents""",
+    "incremental_agg_merge": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                 AS total_price
+        FROM orders GROUP BY o_orderstatus""",
+}
+
+QUERIES = {
+    "dedup_events_first": q_dedup_events_first,
+    "join_null_safe": q_join_null_safe,
+    "union_by_name": q_union_by_name,
+    "text_bpe_token_est": q_text_bpe_token_est,
+    "incremental_agg_merge": q_incremental_agg_merge,
+}
