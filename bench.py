@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "tpch_q8_market_share",
     "decontam_overlap",
     "text_repetition",
+    # round-3 additions (appended; earlier ordering preserved for
+    # round-over-round comparison)
+    "corpus_curate_pipeline",
+    "pagerank_nations",
+    "asof_join_nearest",
 ]
 
 

@@ -117,6 +117,44 @@ COMMENTARY = {
         "expressions; the final join is doc_id-to-doc_id between two "
         "equally-partitioned aggregates."
     ),
+    "asof_join_nearest": (
+        "Nearest as-of: BOTH directions ride the single union exchange on "
+        "the key — backward via last-ignorenulls over the preceding frame, "
+        "forward via first-ignorenulls over the following frame with a "
+        "flipped tie order (an extra local sort, not an extra shuffle) — "
+        "then an integer-microsecond distance compare picks per row. Still "
+        "no M×N inequality intermediate."
+    ),
+    "pagerank_nations": (
+        "Integer-exact PageRank: the edge aggregate materializes once "
+        "(localCheckpoint) and each iteration broadcasts the |V|-row rank "
+        "vector, so the only per-round shuffle is the contribution "
+        "groupBy(dst) with map-side partials. Rank lineage is truncated "
+        "every round — the un-truncated plan doubles per iteration "
+        "(2^iters analysis cost, observed 65 s → ~2 s at sf0.001). For "
+        "|V| beyond broadcast scale, broadcast_ranks=False switches the "
+        "rank join to a keyed shuffle — plan-tested, bit-identical values."
+    ),
+    "corpus_curate_pipeline": (
+        "End-to-end curation: quality gate and split tag fuse into the "
+        "scan projection; md5(text) is computed BEFORE the dedup window's "
+        "exchange and the body dropped, so the one shuffle carries "
+        "(hash, id, small metadata) — never documents."
+    ),
+    "window_moving_median": (
+        "Exact trailing-frame median: collect_list→array_sort→element_at "
+        "runs inside the single customer-partitioned window exchange; the "
+        "frame caps at 5 elements so per-row memory is constant at any "
+        "corpus size, and picking (not interpolating) keeps the double "
+        "bit-identical across engines."
+    ),
+    "join_skew_salted": (
+        "Salted hot-key join: the small side expands salt_buckets× via "
+        "explode, the big side tags a random salt, and the join keys "
+        "include __salt — a hot key's probe rows spread over salt_buckets "
+        "reducers. Results equal the plain join (oracle-verified); salt "
+        "only changes physical placement."
+    ),
 }
 
 
