@@ -38,6 +38,7 @@ def pagerank_integer(
     scale: int = PAGERANK_SCALE,
     damping_pct: int = PAGERANK_DAMPING_PCT,
     broadcast_ranks: bool = True,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Weighted PageRank with scaled-integer arithmetic.
 
@@ -111,8 +112,11 @@ def pagerank_integer(
         # (contrib + dangling mass), so the un-truncated plan doubles per
         # iteration — 2^iters analysis cost. Checkpointing |V| rows per
         # iteration is the standard iterative-algorithm pattern (GraphX
-        # does the same); values are unchanged.
-        r = r.localCheckpoint(eager=True)
+        # does the same); values are unchanged. ``truncate_lineage=False``
+        # exists only so plan tests can inspect the iteration's logical
+        # plan (checkpointing collapses it to a LogicalRDD scan).
+        if truncate_lineage:
+            r = r.localCheckpoint(eager=True)
     return r
 
 

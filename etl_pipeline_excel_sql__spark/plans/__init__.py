@@ -111,11 +111,15 @@ DRIVER_PRIORITY = [
     "nation_volume",
     "merge_upsert",
     "fill_impute",
-    # TPC-H widening (round 2)
+    # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
+    # with q2/q9/q21, all locally green)
     "tpch_q2_mincost_supplier",
     "tpch_q9_profit",
-    "tpch_q18_large_orders",
     "tpch_q21_sole_late_supplier",
+    # round-3 additions: the streaming engine path and the composed
+    # curation pipeline — the two highest-leverage new rows
+    "stream_window_counts",
+    "corpus_curate_pipeline",
     # LLM-training-data pipeline operators
     "text_token_count",
     "text_quality",
@@ -124,7 +128,8 @@ DRIVER_PRIORITY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_keep_best",
+    # dedup_keep_best rotated out round 3 (thin variant of dedup_exact +
+    # dedup_clusters, both still in-window; locally green)
     "dedup_clusters",
     "neardup_cosine",
     "ann_brute_topk",

@@ -51,10 +51,12 @@ def test_pagerank_keyed_join_mode_matches_broadcast(spark):
     # broadcasts in bcast mode (rank vector + dangling-mass singleton) and
     # one in keyed mode (the singleton, legitimate at any |V|).
     one_b = pagerank_integer(
-        edges, nodes, n_nodes=5, iters=1, broadcast_ranks=True
+        edges, nodes, n_nodes=5, iters=1, broadcast_ranks=True,
+        truncate_lineage=False,
     )
     one_k = pagerank_integer(
-        edges, nodes, n_nodes=5, iters=1, broadcast_ranks=False
+        edges, nodes, n_nodes=5, iters=1, broadcast_ranks=False,
+        truncate_lineage=False,
     )
     plan_b = one_b._jdf.queryExecution().analyzed().toString()
     plan_k = one_k._jdf.queryExecution().analyzed().toString()
