@@ -374,3 +374,73 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bottom_k: int = 2,
+) -> DataFrame:
+    """Blocked exact n-gram CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Containment is the asymmetric near-dup metric Jaccard misses: a short
+    document fully embedded in a much longer one scores
+    ``containment ≈ 1`` while its Jaccard stays near |A|/|B| ≈ 0 — the
+    quote/boilerplate/prefix-copy case every corpus dedup pass needs
+    (Broder's resemblance-vs-containment distinction, public).
+
+    Candidate generation probes each document's ``bottom_k`` smallest
+    shingle hashes against the full inverted index of (hash → docs): if
+    A ⊆ B, every one of A's sketch hashes IS in B's hash set, so a fully
+    contained document is always a candidate — the bottom-k-vs-bottom-k
+    blocking Jaccard uses would miss it (B's own smallest hashes come
+    from B's extra content). Block size equals a shingle's document
+    frequency; ``max_df`` drops boilerplate shingles whose blocks would
+    otherwise grow with corpus size (a doc whose ONLY sketch hashes are
+    corpus-wide boilerplate is not a meaningful containment candidate).
+    Verification is exact over full shingle sets; integer set sizes
+    divide as doubles (IEEE-identical on any engine).
+    """
+    max_df = 1000
+    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    hrows = shingle_rows(df, text_col, id_col, shingle_n).select(
+        "__id",
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    ).distinct()
+    dfreq = hrows.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    index = hrows.join(
+        dfreq.filter(F.col("__df") <= max_df).select("__h"), on="__h"
+    )
+    w = Window.partitionBy("__id").orderBy("__h")
+    keys = (
+        hrows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= bottom_k)
+        .select(F.col("__id").alias("__probe_id"), F.col("__h"))
+    )
+    cand = (
+        keys.join(index, on="__h")
+        .filter(F.col("__probe_id") != F.col("__id"))
+        .select(
+            F.least("__probe_id", "__id").alias("id_a"),
+            F.greatest("__probe_id", "__id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    containment = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    return (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

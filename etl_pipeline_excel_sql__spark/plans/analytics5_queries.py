@@ -123,6 +123,42 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types in each user's trailing 10 events — windowed
+    distinct-count (no built-in COUNT(DISTINCT) over frames; the ≤10-row
+    frame rides collect_list→array_distinct inside one exchange)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("n_types_trailing10"),
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics composed ON TOP of the sessionize
+    operator's output — sessions per user, total events, longest session —
+    the operator-composition shape (aggregate over a windowed derivation,
+    partitioning reused across both layers)."""
+    from etl_pipeline_excel_sql__spark.plans.analytics_queries import (
+        q_sessionize,
+    )
+
+    sess = q_sessionize(spark, sf_dir)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "dedup_events_first": """
         SELECT event_id, user_id, event_type,
@@ -160,6 +196,34 @@ ORACLE: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
                  AS total_price
         FROM orders GROUP BY o_orderstatus""",
+    "window_distinct_types": """
+        SELECT event_id, user_id,
+               CAST(len(list_distinct(list(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS INT)
+                 AS n_types_trailing10
+        FROM events""",
+    "session_stats": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_idx, COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, session_idx
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               SUM(n_events) AS total_events,
+               MAX(n_events) AS max_session_events
+        FROM per_session GROUP BY user_id""",
 }
 
 QUERIES = {
@@ -168,4 +232,6 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "text_bpe_token_est": q_text_bpe_token_est,
     "incremental_agg_merge": q_incremental_agg_merge,
+    "window_distinct_types": q_window_distinct_types,
+    "session_stats": q_session_stats,
 }

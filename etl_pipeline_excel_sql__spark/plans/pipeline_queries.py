@@ -25,6 +25,7 @@ from etl_pipeline_excel_sql__spark.operators.dedup import (
     affine_consts,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -48,6 +49,7 @@ MINHASH_THRESHOLD = 0.1
 MINHASH_SHINGLE_N = 3
 NGRAM_THRESHOLD = 0.05
 NGRAM_BOTTOM_K = 2
+CONTAINMENT_THRESHOLD = 0.2
 SRP_NEARDUP_BITS = 6
 SRP_NEARDUP_TABLES = 3
 IVF_NCELLS = 8
@@ -119,6 +121,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_n=3,
         threshold=NGRAM_THRESHOLD,
+        bottom_k=NGRAM_BOTTOM_K,
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) — catches a
+    short document embedded in a longer one, which Jaccard scores near 0."""
+    return ngram_containment_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=CONTAINMENT_THRESHOLD,
         bottom_k=NGRAM_BOTTOM_K,
     )
 
@@ -301,6 +316,40 @@ WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
     / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
 """
 
+_CONTAINMENT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), hashes AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(sh, s -> {_HASH60.format(e='s')})) AS h
+  FROM base
+), idx AS (
+  SELECT doc_id, h FROM hashes
+  WHERE h IN (SELECT h FROM hashes GROUP BY h HAVING COUNT(*) <= 1000)
+), keys AS (
+  SELECT doc_id AS probe_id, UNNEST(
+    list_sort(list_transform(sh, s -> {_HASH60.format(e='s')}))[1:{NGRAM_BOTTOM_K}]
+  ) AS h
+  FROM base
+), cand AS (
+  SELECT DISTINCT least(k.probe_id, i.doc_id) AS id_a,
+                  greatest(k.probe_id, i.doc_id) AS id_b
+  FROM keys k JOIN idx i ON k.h = i.h
+  WHERE k.probe_id <> i.doc_id
+)
+SELECT id_a, id_b,
+  len(list_intersect(x.sh, y.sh))::DOUBLE
+    / least(len(x.sh), len(y.sh))::DOUBLE AS containment
+FROM cand
+JOIN base x ON x.doc_id = id_a
+JOIN base y ON y.doc_id = id_b
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+    / least(len(x.sh), len(y.sh))::DOUBLE >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def _srp_sql(bits: int = 8, dims: int = 64, plane_offset: int = 0) -> str:
     planes = []
     for jj in range(bits):
@@ -470,6 +519,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
     "neardup_cosine": _NEARDUP_COS_SQL,
     "ann_filtered_topk": f"""
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -502,6 +552,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "neardup_cosine": q_neardup_cosine,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_filtered_topk": q_ann_filtered_topk,

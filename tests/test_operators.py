@@ -76,6 +76,27 @@ def test_ngram_jaccard_blocked(spark):
     assert (1, 2) in pairs
 
 
+def test_containment_catches_embedded_document(spark):
+    """A short doc fully embedded in a long one: containment 1.0 even
+    though Jaccard is far below any useful threshold."""
+    from etl_pipeline_excel_sql__spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
+
+
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
         [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 99, 100)],
