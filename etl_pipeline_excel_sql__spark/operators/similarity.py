@@ -92,9 +92,14 @@ def cell_centroids(
     exploded = corpus.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "val")
     )
+    # float → DOUBLE → decimal: a direct float→decimal cast rounds
+    # differently across engines (Spark expands the binary value, DuckDB
+    # goes through the shortest decimal repr); double→decimal agrees, so
+    # the oracle's unrolled k-means rounds stay bit-identical.
     per_dim = exploded.groupBy("cell", "dim").agg(
         (
-            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            F.sum(F.col("val").cast("double").cast("decimal(20,10)"))
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("mean_val")
     )

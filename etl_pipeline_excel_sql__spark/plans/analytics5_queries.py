@@ -235,3 +235,112 @@ QUERIES = {
     "window_distinct_types": q_window_distinct_types,
     "session_stats": q_session_stats,
 }
+
+
+def q_corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length profile (p50/p90 discrete + count) — the
+    corpus-budgeting sweep run before any training mix decision. Same
+    integer-ceiling rank selection as ``percentile_disc``: no
+    interpolation, engine-exact."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", ws_token_count(F.col("text")).cast("int").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {q} + 99) DIV 100"),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{q}_tokens")
+        for q in (50, 90)
+    ]
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        *picks,
+    )
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding as flat (label, dim, mean_val) rows —
+    decimal-exact sums so the double mean is order-independent (the same
+    trick the IVF k-means update uses). One tiny (label, dim)-keyed
+    shuffle; the corpus never moves."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    # Quantize each component to integer micro-units with FLOOR before
+    # summing. Every step is engine-exact: float→double is lossless,
+    # ×1e6 is one IEEE multiply (identical bits everywhere), floor has no
+    # ties, and integer sum/floor-divide are associative. A decimal cast
+    # here is NOT portable — Spark rounds the double's shortest repr while
+    # DuckDB rounds its exact binary expansion, which disagrees when the
+    # shortest repr sits on a scale boundary (observed: one dimension off
+    # by 2e-12 at sf0.01).
+    micro = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast(
+        "bigint"
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(micro).alias("__sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            # FLOOR division (Spark's DIV truncates toward zero, DuckDB's
+            # // floors — they disagree on negative sums). The double
+            # division is floor-safe for |sum| < 2^53.
+            F.floor(F.col("__sum_micro") / F.col("n_vecs"))
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+    )
+
+
+_WS_N = (
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))"
+)
+
+ORACLE["corpus_length_profile"] = f"""
+    WITH ranked AS (
+      SELECT lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM (SELECT lang, CAST({_WS_N} AS INT) AS n_tokens FROM documents)
+    )
+    SELECT lang,
+           MAX(n) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END)
+             AS p50_tokens,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END)
+             AS p90_tokens
+    FROM ranked GROUP BY lang"""
+
+ORACLE["emb_label_centroids"] = """
+    SELECT label,
+           CAST(i - 1 AS INT) AS dim,
+           COUNT(*) AS n_vecs,
+           CAST(FLOOR(
+             SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0) AS BIGINT))
+               ::DOUBLE / COUNT(*)) AS BIGINT) AS mean_micro
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+    GROUP BY label, i"""
+
+QUERIES["corpus_length_profile"] = q_corpus_length_profile
+QUERIES["emb_label_centroids"] = q_emb_label_centroids

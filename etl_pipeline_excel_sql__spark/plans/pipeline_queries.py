@@ -408,7 +408,7 @@ def _kmeans_means_sql(src: str, dims: int) -> str:
     return f"""
   SELECT cell,
     list_transform(range(1, {dims + 1}), i ->
-      CAST(list_sum(list_transform(vecs, v -> v[i]::DECIMAL(20,10))) AS DOUBLE) / n
+      CAST(list_sum(list_transform(vecs, v -> v[i]::DOUBLE::DECIMAL(20,10))) AS DOUBLE) / n
     ) AS centroid
   FROM (SELECT cell, list(embedding) AS vecs, COUNT(*) AS n
         FROM {src} GROUP BY cell)"""
