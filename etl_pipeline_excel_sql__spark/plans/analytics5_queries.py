@@ -344,3 +344,74 @@ ORACLE["emb_label_centroids"] = """
 
 QUERIES["corpus_length_profile"] = q_corpus_length_profile
 QUERIES["emb_label_centroids"] = q_emb_label_centroids
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source capping: keep at most 10 documents per
+    source, chosen by a salted md5 order (not doc_id order, which would
+    bias toward old documents). The standard domain-capping pass of a web
+    corpus build — reproducible on any cluster because the keep-set is a
+    pure function of ids. One window shuffle on source."""
+    k = 10
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("cap:v1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens present in more than 5% of documents
+    (document frequency, not term frequency). Explode → distinct per doc →
+    df aggregate with map-side combine; the total-docs scalar broadcasts.
+    The exact baseline any sketch-based heavy-hitter pass is graded
+    against."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # tiny scalar action; literal below like n_nodes
+    tok_docs = docs.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("term")
+    )
+    return (
+        tok_docs.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") * 100 > F.lit(5) * F.lit(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.lit(n_docs)).alias("doc_frac"),
+        )
+    )
+
+
+ORACLE["cap_per_source"] = """
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('cap:v1:', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10"""
+
+ORACLE["heavy_hitter_terms"] = """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
+      )) AS term
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, COUNT(*) AS doc_freq,
+           COUNT(*)::DOUBLE / (SELECT n_docs FROM n) AS doc_frac
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) * 100 > 5 * (SELECT n_docs FROM n)"""
+
+QUERIES["cap_per_source"] = q_cap_per_source
+QUERIES["heavy_hitter_terms"] = q_heavy_hitter_terms
