@@ -201,6 +201,26 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling manifest through the REAL Arrow ``mapInPandas``
+    1-to-N path: each payload (fake duration = byte length, 1 byte ≈ 1 ms)
+    yields one content-addressed frame per 100 ms tick. The oracle replays the
+    deterministic fake in SQL — so the driver's value hash covers the
+    cardinality-changing Pandas-UDF execution itself, not a stand-in."""
+    from etl_pipeline_excel_sql__spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    frames = sample_frames(media, every_ms=100, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        "frame_ms",
+        F.lower(F.hex(F.col("payload"))).alias("frame_hash"),
+    )
+
+
 # --- DuckDB oracle SQL ------------------------------------------------------
 
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
@@ -541,6 +561,26 @@ QUALIFY rank <= 5""",
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_hash
         FROM documents""",
+    # replays sample_frames' deterministic fake: duration_ms =
+    # max(byte_length, 1); one frame per 1000 ms tick; frame bytes =
+    # md5(utf8(text) || ascii(ms)) — VARCHAR md5 hashes the same bytes.
+    "multimodal_frames": """
+        WITH d AS (
+          SELECT doc_id,
+                 text,
+                 greatest(octet_length(encode(text)), 1) AS duration_ms
+          FROM documents
+        ), e AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST((duration_ms + 99) // 100 AS BIGINT) - 1)) AS i
+          FROM d
+        )
+        SELECT doc_id AS media_id,
+               CAST(i AS BIGINT) AS frame_index,
+               CAST(i * 100 AS BIGINT) AS frame_ms,
+               md5(text || CAST(i * 100 AS VARCHAR)) AS frame_hash
+        FROM e""",
 }
 
 QUERIES = {
@@ -558,6 +598,7 @@ QUERIES = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_extract": q_multimodal_extract,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 
