@@ -264,6 +264,29 @@ def test_salted_join_joins_on_salt(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cap_per_source_single_window_shuffle_prunes_text(spark):
+    """Per-source capping: one exchange on source, and the heavy text
+    column never leaves the scan (pruned projection)."""
+    plan = _plan(spark, "cap_per_source")
+    assert "hashpartitioning(source" in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" not in scan
+
+
+def test_multimodal_frames_is_narrow(spark):
+    """The 1-to-N mapInPandas frame sampler is a pure narrow map — the
+    payload column never crosses an exchange."""
+    plan = _plan(spark, "multimodal_frames")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_curate_pipeline_exchange_carries_hash_not_text(spark):
+    plan = _plan(spark, "corpus_curate_pipeline")
+    ex = plan[plan.index("Exchange") :].splitlines()[0]
+    assert "__h" in ex and "text" not in ex
+
+
 def test_asof_directions_share_one_union_shuffle(spark):
     """Forward and nearest ride the same union-and-window plan as
     backward: the merged stream partitions once on the key; no M×N
