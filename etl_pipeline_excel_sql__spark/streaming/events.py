@@ -114,12 +114,22 @@ def windowed_counts_stream(
 
 
 def sessionize_stream(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame,
+    gap: str = "30 minutes 1 microsecond",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Gap-based sessionization with ``session_window`` (merging state).
 
     Equivalent to the batch lag/cumsum sessionization for a complete input:
-    both split a user's event sequence at >gap silences.
+    both split a user's event sequence at >gap silences. The default gap
+    carries a 1 µs pad because the two formulations disagree at EXACTLY the
+    gap boundary: the batch rule (``diff > 30min`` starts a session) keeps
+    a 30:00.000000 silence in-session, while ``session_window``'s window is
+    the half-open ``[start, start+gap)`` and would split it. With
+    microsecond-resolution timestamps, ``diff < 30min + 1µs`` and
+    ``diff <= 30min`` are identical predicates, so the pad makes the
+    streaming and batch sessionizations equivalent for every input rather
+    than merely for inputs with no exact-boundary silences.
     """
     return (
         events.withWatermark("ts", watermark)

@@ -37,6 +37,46 @@ def test_sessionize_stream_equals_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_sessionize_stream_exact_gap_boundary(spark, tmp_path):
+    """Events separated by EXACTLY the 30-minute gap must share a session,
+    matching the batch rule (diff > gap splits). session_window's half-open
+    window would split them without the 1 µs default pad."""
+    import glob
+    import os
+    import shutil
+
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    base = 1_700_000_000_000_000_000
+    m30 = 30 * 60 * 1_000_000_000
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + m30, 1, "click", 1.0, "{}"),  # exactly 30:00 later
+        (3, base + 2 * m30 + 1_000_000_000, 1, "click", 1.0, "{}"),  # 30:01
+    ]
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "w"))
+    os.makedirs(tmp_path / "src")
+    shutil.copy(
+        glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0],
+        tmp_path / "src" / "events.parquet",
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(str(tmp_path / "src"))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = run_to_memory_sink(sessionize_stream(ev), "boundary_gap_test")
+    assert sorted((r.user_id, r.n_events) for r in got.collect()) == [
+        (1, 1),
+        (1, 2),
+    ]
+
+
 def test_stream_static_enrichment(spark, sf_dir):
     from etl_pipeline_excel_sql__spark.sources.registry import load_table
     from etl_pipeline_excel_sql__spark.streaming.events import enrich_stream
