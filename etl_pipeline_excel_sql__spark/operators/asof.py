@@ -119,12 +119,21 @@ def asof_join(
     elif direction == "forward":
         asof = F.col("__fwd")
     else:
-        # Distances in integer microseconds (exact — a double of epoch
-        # seconds can lose the micro digits and flip a tie). The cast chain
-        # handles timestamp / timestamp_ntz / date / numeric time columns
-        # uniformly on both sides.
-        def _us(c):  # noqa: ANN001, ANN202
-            return F.unix_micros(c.cast("timestamp"))
+        from pyspark.sql.types import NumericType
+
+        # Distances exactly, per time-column type. Numeric time columns
+        # subtract directly — routing them through cast("timestamp") would
+        # interpret them as SECONDS and saturate at Long.MAX for values
+        # past ~2^63/1e6 (epoch-micros columns!), silently collapsing both
+        # distances to 0. Temporal columns go through unix_micros (integer
+        # micros — a double of epoch seconds can lose the micro digits and
+        # flip a tie).
+        if isinstance(merged.schema["__t"].dataType, NumericType):
+            def _us(c):  # noqa: ANN001, ANN202
+                return c
+        else:
+            def _us(c):  # noqa: ANN001, ANN202
+                return F.unix_micros(c.cast("timestamp"))
 
         back_dist = _us(F.col("__t")) - _us(F.col("__back.__rt"))
         fwd_dist = _us(F.col("__fwd.__rt")) - _us(F.col("__t"))

@@ -404,15 +404,23 @@ def ngram_containment_pairs(
     Verification is exact over full shingle sets; integer set sizes
     divide as doubles (IEEE-identical on any engine).
     """
+    from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+
     max_df = 1000
     df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
-    sets = shingle_sets(df, text_col, id_col, shingle_n)
-    hrows = shingle_rows(df, text_col, id_col, shingle_n).select(
-        "__id",
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__h"),
-    ).distinct()
+    # sets is consumed twice (both sides of the verify join) and hrows
+    # three times (df-cap, inverted index, bottom-k keys) — without
+    # materialization each consumer re-runs the shingle+md5 subtree over
+    # the full corpus. Both tables are (id, hash)-shaped, never documents.
+    sets = shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    hrows = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .select("__id", md5_hash60(F.col("__sh")).alias("__h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dfreq = hrows.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
     index = hrows.join(
         dfreq.filter(F.col("__df") <= max_df).select("__h"), on="__h"

@@ -36,7 +36,10 @@ def q_dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence-wins dedup of the event stream by event_id (batch
     form of the streaming dedup; same key, same verdict)."""
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    # The tie-break covers every OUTPUT column: a re-delivered event that
+    # shares (ts, user_id) but differs elsewhere must resolve to the same
+    # row on both engines or the value hash flakes.
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type")
     return (
         ev.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -164,7 +167,8 @@ ORACLE: dict[str, str] = {
         SELECT event_id, user_id, event_type,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
         FROM (SELECT *, row_number() OVER (PARTITION BY event_id
-                                           ORDER BY ts, user_id) AS rn
+                                           ORDER BY ts, user_id, event_type)
+                AS rn
               FROM events)
         WHERE rn = 1""",
     "join_null_safe": """
@@ -373,18 +377,23 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 
     docs = load_table(spark, "documents", sf_dir)
-    n_docs = docs.count()  # tiny scalar action; literal below like n_nodes
+    # The total-docs scalar stays relational (1-row broadcast aggregate) —
+    # an eager .count() here would run a job at plan-construction time.
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
     tok_docs = docs.select(
         "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("term")
     )
     return (
         tok_docs.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
-        .filter(F.col("doc_freq") * 100 > F.lit(5) * F.lit(n_docs))
+        .crossJoin(n_docs)
+        .filter(F.col("doc_freq") * 100 > F.lit(5) * F.col("__n_docs"))
         .select(
             "term",
             "doc_freq",
-            (F.col("doc_freq").cast("double") / F.lit(n_docs)).alias("doc_frac"),
+            (F.col("doc_freq").cast("double") / F.col("__n_docs")).alias(
+                "doc_frac"
+            ),
         )
     )
 

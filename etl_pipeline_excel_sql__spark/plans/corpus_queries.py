@@ -319,16 +319,10 @@ def q_corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__h")
     )
+    from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_hash60(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
         % 100
     )
     return deduped.select(

@@ -156,6 +156,24 @@ def test_asof_join_nearest(spark):
     assert out == {1: "a", 2: "b", 3: "a", 4: "a", 5: "b"}
 
 
+def test_asof_join_nearest_epoch_micros_longs(spark):
+    """Numeric time columns at epoch-microsecond magnitude (~1.7e15) must
+    compare by direct subtraction — the old cast-to-timestamp path
+    interpreted them as seconds and saturated, always picking backward."""
+    base = 1_700_000_000_000_000  # epoch micros
+    left = spark.createDataFrame(
+        [(1, 10, base + 900)], "eid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(10, base, "far_back"), (10, base + 1000, "near_fwd")],
+        "k long, rt long, val string",
+    )
+    out = {r.eid: r.val for r in asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_values=["val"], direction="nearest").collect()}
+    assert out == {1: "near_fwd"}  # 100 forward vs 900 backward
+
+
 def test_asof_join_unknown_direction_rejected(spark):
     import pytest as _pytest
 

@@ -216,12 +216,33 @@ def test_sample_stratified_is_narrow(spark):
 
 
 def test_pagerank_broadcasts_rank_vector(spark):
-    """Each iteration broadcasts the |V|-row rank vector to the edge
-    table; the edge table itself is checkpointed, not re-derived."""
-    plan = _plan(spark, "pagerank_nations")
+    """The per-iteration plan (inspected un-truncated — the default
+    per-round checkpoint collapses it to a LogicalRDD scan) broadcasts
+    the rank vector to the edge side, and the edge aggregate's own eager
+    checkpoint keeps lineitem out of the loop."""
+    from etl_pipeline_excel_sql__spark.operators.graph import pagerank_integer
+    from etl_pipeline_excel_sql__spark.plans.graph_queries import (
+        N_NATIONS,
+        _trade_edges,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+    import pyspark.sql.functions as F
+
+    nodes = load_table(spark, "nation", SF).select(
+        F.col("n_nationkey").cast("int").alias("node")
+    )
+    one_iter = pagerank_integer(
+        _trade_edges(spark, SF),
+        nodes,
+        n_nodes=N_NATIONS,
+        iters=1,
+        truncate_lineage=False,
+    )
+    plan = one_iter._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the checkpoint truncates lineage: no lineitem scan in the loop plan
+    # the edge checkpoint truncates lineage: lineitem never re-scans in
+    # the loop even with rank lineage kept
     assert "lineitem" not in plan
 
 
