@@ -17,7 +17,12 @@ local replica (``tools/check_oracle.py``) at sf0.001 and sf0.01. Round 3
 rotated ``pagerank_nations`` and ``join_bloom_prefilter`` into the window
 (displacing family-redundant ``agg_orders_by_status`` and
 ``window_running_sum``) so the newest operator families get driver-gate
-history.
+history. Round 4 rotated five never-driver-checked families in —
+``stream_sessionize``, ``merge_scd2``, ``recursive_key_chain``,
+``sample_stratified``, ``dedup_containment`` — displacing
+``filter_nonblank`` / ``to_str_trim`` (both subsumed by ``diff_cells``),
+``join_left_probe`` (same), ``nation_volume`` (redundant with
+``join_multitable_revenue``), and ``fill_impute`` (all five locally green).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -76,16 +81,13 @@ DRIVER_PRIORITY = [
     # SURVEY §2 reference core (F/P/J/T/O/D operators + flagship pipeline)
     "filter_eq",
     "filter_in",
-    "filter_nonblank",
     "drop_cols",
     "rename_positional",
     "date_fmt",
     "pct_fmt",
     "null_literal",
-    "to_str_trim",
     "order_custom",
     "dedup_lastwins",
-    "join_left_probe",
     "join_anti_new",
     "diff_cells",
     "word_diff",
@@ -108,9 +110,7 @@ DRIVER_PRIORITY = [
     "range_join",
     "sessionize",
     "window_agg_events",
-    "nation_volume",
     "merge_upsert",
-    "fill_impute",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
     "tpch_q2_mincost_supplier",
@@ -120,6 +120,15 @@ DRIVER_PRIORITY = [
     # curation pipeline — the two highest-leverage new rows
     "stream_window_counts",
     "corpus_curate_pipeline",
+    # round-4 rotation: five families with zero driver history get their
+    # first gate run (displacing filter_nonblank / to_str_trim /
+    # join_left_probe / nation_volume / fill_impute, all family-redundant
+    # and locally green — see module docstring)
+    "stream_sessionize",
+    "merge_scd2",
+    "recursive_key_chain",
+    "sample_stratified",
+    "dedup_containment",
     # LLM-training-data pipeline operators
     "text_token_count",
     "text_quality",
