@@ -14,9 +14,10 @@ neighbors; a fixpoint is reached in graph-diameter rounds. Near-dup
 components are dense blobs (diameter 2-4 in practice), so the loop is
 short; each round is one shuffle join + one shuffle aggregate, both on the
 (node, label) pair — never on document payloads. Lineage is truncated
-per-round with an eager ``localCheckpoint`` so the plan stays flat no
-matter how many rounds run (the convergence test forces the same
-materialization it checkpoints — no double compute). For graphs with long
+per-round (``operators/iterative.LineageTruncator``) so the plan stays
+flat no matter how many rounds run, and the changed-label count that
+decides convergence IS the job that materializes the round's cut — one
+job per round, no separate convergence action. For graphs with long
 chains (not the near-dup shape) the published large-star/small-star
 contraction [Kiveris et al., "Connected Components in MapReduce and
 Beyond"] drops the round count to O(log^2 n); the loop body here is the
@@ -28,12 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+
 
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve an undirected pair graph into components.
 
@@ -46,7 +50,19 @@ def connected_components(
 
     Raises ``RuntimeError`` if the graph has not converged after
     ``max_iters`` rounds (diameter > max_iters — not a near-dup shape).
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    ``localCheckpoint`` (fast, sandbox default, NOT fault-tolerant) to a
+    reliable ``checkpoint`` under the given directory (HDFS/S3 on a
+    cluster) so an executor loss mid-loop cannot kill a long job.
+    Values are identical either way.
     """
+    spark = pairs.sparkSession
+    # Separate truncators: edges are read every round and must never be
+    # retired; the label loop retires round N-1's storage once round N
+    # has materialized (bounded: ≤1 round of (node,label) rows alive).
+    edge_trunc = LineageTruncator(spark, checkpoint_dir)
+    loop_trunc = LineageTruncator(spark, checkpoint_dir)
     sym = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -56,17 +72,15 @@ def connected_components(
     # Materialize the edge set ONCE: it is re-read every round (and pair
     # generators like minhash_lsh_pairs have expensive subtrees — without
     # this, each round re-runs the full LSH pipeline).
-    edges = (
-        sym.union(nodes.select("u", F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    edges = edge_trunc.truncate(
+        sym.union(nodes.select("u", F.col("u").alias("v"))).distinct()
     )
 
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(max_iters):
-        nxt = (
+        plan = (
             edges.join(
                 labels.select(F.col("node").alias("u"), "lbl"), on="u"
             )
@@ -78,13 +92,16 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
                 F.col("new_lbl").alias("lbl"),
             )
-            .localCheckpoint()
         )
-        converged = (
-            nxt.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count() == 0
+        # The changed-label count doubles as the materializing action for
+        # the round's lineage cut: one job per round. (A full count, never
+        # limit(1) — every partition must compute for the cut to be whole.)
+        nxt, changed = loop_trunc.truncate_with(
+            plan,
+            lambda d: d.filter(F.col("lbl") != F.col("old_lbl")).count(),
         )
         labels = nxt.select("node", "lbl")
-        if converged:
+        if changed == 0:
             break
     else:
         raise RuntimeError(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+
 PAGERANK_SCALE = 10**9
 PAGERANK_DAMPING_PCT = 85
 
@@ -39,6 +41,7 @@ def pagerank_integer(
     damping_pct: int = PAGERANK_DAMPING_PCT,
     broadcast_ranks: bool = True,
     truncate_lineage: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank with scaled-integer arithmetic.
 
@@ -62,13 +65,24 @@ def pagerank_integer(
     by src (two shuffles per iteration, both key-only rows), and no single
     executor ever materializes the full rank vector. Results are
     bit-identical either way (integer arithmetic is order-free).
+
+    ``checkpoint_dir`` switches per-iteration lineage truncation from
+    ``localCheckpoint`` to a reliable ``checkpoint`` under the given
+    directory so executor loss cannot kill a long run; each iteration
+    also retires the previous iteration's checkpoint storage, so block /
+    file usage stays O(|V|) however many iterations run.
     """
+    spark = edges.sparkSession
+    # Separate truncators: ew is read every iteration and never retired;
+    # the rank loop retires iteration i-1's storage once i materializes.
+    ew_trunc = LineageTruncator(spark, checkpoint_dir)
+    r_trunc = LineageTruncator(spark, checkpoint_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     ew = edges.join(outw, "src").select("src", "dst", "w", "tw")
     # materialize once: the loop below references ew `iters` times and the
     # final plan would otherwise re-aggregate the full edge table per
     # iteration. The table is |E'| (distinct src,dst) rows — small.
-    ew = ew.localCheckpoint(eager=True)
+    ew = ew_trunc.truncate(ew)
 
     base = ((100 - damping_pct) * scale) // (100 * n_nodes)
     srcs = ew.select("src").distinct()
@@ -112,11 +126,13 @@ def pagerank_integer(
         # (contrib + dangling mass), so the un-truncated plan doubles per
         # iteration — 2^iters analysis cost. Checkpointing |V| rows per
         # iteration is the standard iterative-algorithm pattern (GraphX
-        # does the same); values are unchanged. ``truncate_lineage=False``
-        # exists only so plan tests can inspect the iteration's logical
-        # plan (checkpointing collapses it to a LogicalRDD scan).
+        # does the same); values are unchanged, and the truncator retires
+        # r{i-1}'s blocks/files once r{i} is materialized so storage does
+        # not grow with iters. ``truncate_lineage=False`` exists only so
+        # plan tests can inspect the iteration's logical plan
+        # (checkpointing collapses it to a LogicalRDD scan).
         if truncate_lineage:
-            r = r.localCheckpoint(eager=True)
+            r = r_trunc.truncate(r)
     return r
 
 
