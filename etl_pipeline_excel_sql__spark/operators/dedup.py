@@ -383,6 +383,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bottom_k: int = 2,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Blocked exact n-gram CONTAINMENT: |A∩B| / min(|A|,|B|).
 
@@ -400,13 +401,14 @@ def ngram_containment_pairs(
     from B's extra content). Block size equals a shingle's document
     frequency; ``max_df`` drops boilerplate shingles whose blocks would
     otherwise grow with corpus size (a doc whose ONLY sketch hashes are
-    corpus-wide boilerplate is not a meaningful containment candidate).
+    corpus-wide boilerplate is not a meaningful containment candidate —
+    callers tuning for a larger corpus can raise the cap; keep any
+    external oracle's constant in sync with it).
     Verification is exact over full shingle sets; integer set sizes
     divide as doubles (IEEE-identical on any engine).
     """
     from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
 
-    max_df = 1000
     df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     # sets is consumed twice (both sides of the verify join) and hrows
     # three times (df-cap, inverted index, bottom-k keys) — without

@@ -193,7 +193,8 @@ def sample_frames(
     Demonstrates the cardinality-changing iterator shape: each input row
     yields one output row per sampled frame, still inside one Arrow batch
     stream (no shuffle, memory bounded per batch). The decoder is stubbed:
-    the fake derives a duration from the payload length (1 KiB ≈ 1 s) and
+    the fake derives a duration from the payload length (1 byte ≈ 1 ms,
+    ``duration_ms = max(len(data), 1)``) and
     emits a content-addressed pseudo-frame per ``every_ms`` tick; a real
     deployment swaps ``_frame_at`` for an ffmpeg/pyav call with identical
     plumbing.

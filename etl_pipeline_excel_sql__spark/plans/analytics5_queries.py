@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
-#: letter runs, digit runs, or punctuation runs — one match ≈ one subword.
+#: letter runs, digit runs, or INDIVIDUAL punctuation characters (the
+#: third alternative has no ``+`` on purpose: BPE-style vocabularies
+#: rarely merge punctuation, so each symbol counts as its own token) —
+#: one match ≈ one subword.
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 

@@ -566,18 +566,27 @@ ORACLE: dict[str, str] = {
           FROM orders
           QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
                    ORDER BY o_orderkey DESC, o_totalprice DESC) = 1
-        ), b AS (
+        ), ev AS (
+          -- rn uniquely tags each PHYSICAL event row: the engine emits one
+          -- output row per event row even under event-id re-delivery (the
+          -- corpus models duplicates — see dedup_events_first), so the
+          -- backward/forward halves must re-pair 1:1 on rn, not on
+          -- event_id, or duplicates fan out k^2 here vs k in the engine.
           SELECT event_id, user_id, ts,
+                 row_number() OVER (ORDER BY event_id, user_id, ts) AS rn
+          FROM events
+        ), b AS (
+          SELECT rn, event_id, user_id, ts,
                  o_orderkey AS bk, o_totalprice AS bp, o_orderdate AS bd
-          FROM events
-          ASOF LEFT JOIN o ON events.user_id = o.o_custkey
-                          AND events.ts >= o.o_orderdate
+          FROM ev
+          ASOF LEFT JOIN o ON ev.user_id = o.o_custkey
+                          AND ev.ts >= o.o_orderdate
         ), f AS (
-          SELECT event_id,
+          SELECT rn,
                  o_orderkey AS fk, o_totalprice AS fp, o_orderdate AS fd
-          FROM events
-          ASOF LEFT JOIN o ON events.user_id = o.o_custkey
-                          AND events.ts <= o.o_orderdate
+          FROM ev
+          ASOF LEFT JOIN o ON ev.user_id = o.o_custkey
+                          AND ev.ts <= o.o_orderdate
         )
         SELECT b.event_id, b.user_id,
                CASE WHEN b.bk IS NULL THEN f.fk
@@ -590,7 +599,7 @@ ORACLE: dict[str, str] = {
                     WHEN epoch_us(b.ts) - epoch_us(CAST(b.bd AS TIMESTAMP))
                          <= epoch_us(CAST(f.fd AS TIMESTAMP)) - epoch_us(b.ts)
                     THEN b.bp ELSE f.fp END AS near_totalprice
-        FROM b JOIN f USING (event_id)""",
+        FROM b JOIN f USING (rn)""",
     "range_join": """
         SELECT o_orderkey, COUNT(*) AS n_shipped_90d
         FROM lineitem

@@ -562,8 +562,8 @@ QUALIFY rank <= 5""",
                md5(text) AS content_hash
         FROM documents""",
     # replays sample_frames' deterministic fake: duration_ms =
-    # max(byte_length, 1); one frame per 1000 ms tick; frame bytes =
-    # md5(utf8(text) || ascii(ms)) — VARCHAR md5 hashes the same bytes.
+    # max(byte_length, 1); one frame per 100 ms tick (every_ms=100); frame
+    # bytes = md5(utf8(text) || ascii(ms)) — VARCHAR md5 hashes same bytes.
     "multimodal_frames": """
         WITH d AS (
           SELECT doc_id,
