@@ -646,6 +646,9 @@ def q_fill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     v = F.when(F.col("event_type") != "error", F.col("value"))
     w = Window.partitionBy("event_type")
+    # Float-parity idiom: sum as decimal (associative, partition-order
+    # free), render decimal→string→double so both engines parse the same
+    # correctly-rounded double. Don't collapse to a plain double SUM.
     mean = (
         F.sum(v.cast("decimal(18,6)")).over(w).cast("string").cast("double")
         / F.count(v).over(w)

@@ -96,6 +96,12 @@ def windowed_counts_stream(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # Cross-engine float parity: a double SUM accumulates in
+            # partition order and differs in the last ulps run-to-run and
+            # engine-to-engine; summing as decimal is associative (exact),
+            # and the decimal→string→double render parses to the same
+            # double on Spark and DuckDB. Do not "simplify" this chain —
+            # it is what makes the value hash deterministic.
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(38,6)")
             .cast("string")
