@@ -92,9 +92,21 @@ class LineageTruncator:
 
     # -- public API ------------------------------------------------------
     def truncate(self, df: DataFrame) -> DataFrame:
-        """Eagerly materialize a lineage cut of ``df``; free the prior one."""
-        out, _ = self.truncate_with(df, lambda d: d.count())
-        return out
+        """Eagerly materialize a lineage cut of ``df``; free the prior one.
+
+        Uses Spark's own eager checkpoint (which counts the INTERNAL row
+        RDD) rather than ``truncate_with(df, count)``: a DataFrame-level
+        count would analyze + codegen a fresh aggregate plan every
+        iteration — measured ~0.1 s/iteration of pure driver overhead in
+        the PageRank loop.
+        """
+        before_ids = _persisted_rdd_ids(self._spark)
+        before_files = self._rdd_dirs() if self._reliable else set()
+        cut = df.checkpoint(eager=True) if self._reliable else (
+            df.localCheckpoint(eager=True)
+        )
+        self._retire_prior(before_ids, before_files)
+        return cut
 
     def truncate_with(
         self, df: DataFrame, action: Callable[[DataFrame], T]
@@ -114,10 +126,16 @@ class LineageTruncator:
             df.localCheckpoint(eager=False)
         )
         result = action(cut)
-        # Now the new cut is fully materialized: retire the prior round.
+        self._retire_prior(before_ids, before_files)
+        return cut, result
+
+    def _retire_prior(
+        self, before_ids: set[int], before_files: set[str]
+    ) -> None:
+        """The new cut is fully materialized: free the previous round's
+        storage and remember the new round's for next time."""
         _unpersist_rdd_ids(self._spark, self._prior_rdd_ids)
         self._prior_rdd_ids = _persisted_rdd_ids(self._spark) - before_ids
         if self._reliable:
             self._delete_files(self._prior_files)
             self._prior_files = self._rdd_dirs() - before_files
-        return cut, result
