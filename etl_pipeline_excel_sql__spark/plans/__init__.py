@@ -32,6 +32,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics5_queries,
     analytics_queries,
     corpus_queries,
+    corpus2_queries,
     sampling_queries,
     extended_queries,
     graph_queries,
@@ -50,6 +51,7 @@ _ALL_QUERIES = {
     **tpch_queries.QUERIES,
     **tpch2_queries.QUERIES,
     **corpus_queries.QUERIES,
+    **corpus2_queries.QUERIES,
     **analytics2_queries.QUERIES,
     **analytics3_queries.QUERIES,
     **analytics4_queries.QUERIES,
@@ -67,6 +69,7 @@ _ALL_ORACLE = {
     **tpch_queries.ORACLE,
     **tpch2_queries.ORACLE,
     **corpus_queries.ORACLE,
+    **corpus2_queries.ORACLE,
     **analytics2_queries.ORACLE,
     **analytics3_queries.ORACLE,
     **analytics4_queries.ORACLE,

@@ -1,0 +1,277 @@
+"""Round-4 training-data pipeline operators: chunking, per-domain quotas,
+n-gram LM scoring, and vocabulary-coverage rates.
+
+Four shapes a 100-TB curation pipeline needs that the round-3 registry
+did not yet cover:
+
+* ``doc_chunk_windows`` — overlapping token-window chunking (RAG / context
+  packing prep). Pure narrow explode: ``sequence`` of chunk starts →
+  ``explode`` → ``slice``; no shuffle at all, output is
+  (doc, chunk_idx)-keyed and streams straight to a sharded writer.
+* ``domain_quota_sample`` — per-source document caps (anti-domination:
+  no single crawl domain may exceed CAP docs). One window shuffle on the
+  source key; the rank order is the engine-standard md5 hash so reruns,
+  stragglers, and both engines pick the SAME survivors.
+* ``ngram_lm_score`` — corpus-trained bigram-model fluency score per
+  document (the CCNet-style "perplexity filter" structure). Two phases
+  in one DAG: model = bigram counts (one shuffle of (doc, w1, w2, k)
+  rows, already pre-aggregated per doc map-side), then score = one keyed
+  join of those same compressed rows against the model. Scores are
+  scaled-integer conditional probabilities — ``(c2 * SCALE) DIV c1`` —
+  so the result is bit-identical on any engine/partitioning (a float
+  ``log`` here would diverge in the last ulps between engines; a real
+  deployment maps the scaled ratios through log driver-side if it needs
+  nats — the distributed heavy lifting is identical).
+* ``vocab_coverage`` — top-V corpus vocabulary → per-doc out-of-vocab
+  rate in basis points (tokenizer-fit signal). Global top-V is a
+  model-sized aggregate broadcast back; per-doc rates are a narrow
+  array_contains filter over the token array — the corpus itself never
+  shuffles.
+
+All thresholds are scaled integers (basis points / DIV), never floats:
+cross-engine float division parity is a known trap (see
+``plans/analytics_queries.dec_out``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: Chunk window / stride in tokens (25% overlap).
+CHUNK_W = 32
+CHUNK_S = 24
+#: Max documents any single source may contribute.
+QUOTA_CAP = 120
+#: Scaled-integer probability unit for the bigram model.
+LM_SCALE = 1_000_000
+#: Vocabulary size for coverage (corpus has 31 distinct tokens at test SF;
+#: 24 leaves a real OOV tail).
+VOCAB_V = 24
+
+#: DuckDB twin of ws_tokens (same as pipeline_queries._TOKS).
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks: starts at 0, S, 2S, … < n_tokens;
+    each chunk takes up to W tokens. Empty docs yield no chunks."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    out = (
+        docs.select("doc_id", toks.alias("__toks"), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "__toks",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(CHUNK_S))
+            ).alias("__start"),
+        )
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, CHUNK_W)
+    return out.select(
+        "doc_id",
+        (F.col("__start") / CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most QUOTA_CAP docs per source, chosen by deterministic
+    md5-hash rank (not doc_id order, which would bias toward old docs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    rank_key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("quota_rank"),
+        )
+        .filter(F.col("quota_rank") <= QUOTA_CAP)
+    )
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean scaled conditional bigram probability per document, under a
+    bigram model trained on the full corpus in the same DAG.
+
+    Per-occurrence score ``(c2 * LM_SCALE) DIV c1`` where c2 = corpus
+    count of (w1, w2) and c1 = corpus count of w1 as a bigram prefix;
+    per-doc value is the k-weighted floor mean. Docs with < 2 tokens have
+    no bigrams and are excluded (they carry no fluency evidence).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__toks") - 1)
+        ).alias("__i"),
+        "__toks",
+    ).select(
+        "doc_id",
+        F.element_at("__toks", F.col("__i")).alias("w1"),
+        F.element_at("__toks", F.col("__i") + 1).alias("w2"),
+    )
+    # Compress to per-doc bigram multiplicities FIRST: every later shuffle
+    # moves (doc, w1, w2, k) rows, never raw occurrences.
+    d = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    # Model is bigram-type-sized, tiny next to the corpus; the prefix
+    # total c1 is a window over the model, not another corpus pass.
+    m = d.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    m = m.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1"))
+    )
+    scored = d.join(m, ["w1", "w2"]).select(
+        "doc_id",
+        "k",
+        F.expr(f"(c2 * CAST({LM_SCALE} AS BIGINT)) DIV c1").alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.expr("SUM(k * s) DIV SUM(k)").cast("bigint").alias(
+            "lm_score_scaled"
+        ),
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate (basis points) per doc against the corpus
+    top-VOCAB_V vocabulary (count DESC, token ASC tie-break)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    counts = (
+        base.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-V + merge, unlike a rank() window which would drag
+    # the whole (possibly millions-of-types) vocab table into ONE
+    # partition. Total order (count DESC, token ASC) makes the cut
+    # deterministic under ties.
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(VOCAB_V)
+        .groupBy()
+        .agg(F.collect_set("tok").alias("__vocab"))
+    )
+    # __vocab is a single V-word row — broadcast; the corpus never
+    # shuffles, OOV counting is a narrow array filter.
+    withv = base.crossJoin(F.broadcast(vocab))
+    n = F.size("__toks")
+    oov = F.size(
+        F.filter(
+            F.col("__toks"),
+            lambda t: ~F.array_contains(F.col("__vocab"), t),
+        )
+    )
+    return withv.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+    ).withColumn(
+        "oov_bp", F.expr("(n_oov * 10000) DIV n_tokens").cast("bigint")
+    )
+
+
+QUERIES = {
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "domain_quota_sample": q_domain_quota_sample,
+    "ngram_lm_score": q_ngram_lm_score,
+    "vocab_coverage": q_vocab_coverage,
+}
+
+ORACLE = {
+    "doc_chunk_windows": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), s AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, n - 1, {CHUNK_S})) AS start
+          FROM nz
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_S} AS BIGINT) AS chunk_idx,
+               CAST(least({CHUNK_W}, n - start) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(
+                 toks[start + 1 : least(start + {CHUNK_W}, n)], ' '
+               ) AS chunk_text
+        FROM s""",
+    "domain_quota_sample": f"""
+        SELECT doc_id, source, quota_rank
+        FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS quota_rank
+          FROM documents)
+        WHERE quota_rank <= {QUOTA_CAP}""",
+    "ngram_lm_score": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2
+        ), b AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, n - 1)) AS i
+          FROM nz
+        ), pairs AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b
+        ), d AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS k
+          FROM pairs GROUP BY doc_id, w1, w2
+        ), m AS (
+          SELECT w1, w2, SUM(k) AS c2 FROM d GROUP BY w1, w2
+        ), m2 AS (
+          SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM m
+        ), scored AS (
+          SELECT d.doc_id, d.k, (m2.c2 * {LM_SCALE}) // m2.c1 AS s
+          FROM d JOIN m2 USING (w1, w2)
+        )
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(k * s) // SUM(k) AS BIGINT) AS lm_score_scaled
+        FROM scored GROUP BY doc_id""",
+    "vocab_coverage": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks FROM t WHERE len(toks) > 0
+        ), counts AS (
+          SELECT unnest(toks) AS tok FROM nz
+        ), ranked AS (
+          SELECT tok, row_number() OVER (
+            ORDER BY COUNT(*) DESC, tok ASC
+          ) AS r
+          FROM counts GROUP BY tok
+        ), vocab AS (
+          SELECT list(tok) AS v FROM ranked WHERE r <= {VOCAB_V}
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> NOT list_contains(v, x)))
+                    AS BIGINT) AS n_oov,
+               CAST((len(list_filter(toks, x -> NOT list_contains(v, x)))
+                     * 10000) // len(toks) AS BIGINT) AS oov_bp
+        FROM nz CROSS JOIN vocab""",
+}
