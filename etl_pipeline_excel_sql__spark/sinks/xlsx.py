@@ -11,9 +11,12 @@ engine's needs, not a general library:
   ints, floats, and ISO-formatted dates);
 * per-cell PatternFill solid colors (K5 diff highlighting);
 * rich-text runs with per-run font colors (D3 word-level diffs);
-* a stored ``xl/vbaSource/Sheet1.vba`` text part for the recorded K4 macro
-  (a real ``vbaProject.bin`` is an OLE2 binary only a VBA host can build;
-  storing the source keeps the part inert for Excel and lossless for us).
+* the K4 macro persisted BOTH ways: a real ``xl/vbaProject.bin`` built to
+  the public [MS-CFB]/[MS-OVBA] specs (``sinks/vba_bin.py``; workbook
+  switches to the macroEnabled content type + vbaProject relationship),
+  and the ``xl/vbaSource/*.vba`` text parts as the lossless read-back
+  path. In-container validation is spec-citation + round-trip through
+  independent spec-driven readers — no Excel exists here to open it.
 
 Reference behaviors replicated: fill colors ``FF94DCF8``/``FFED8EDA``
 (Compare.py:14-15), red rich-text words (Compare.py:87-110).
@@ -41,6 +44,20 @@ _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </Types>
 """
 
+#: Macro-enabled variant: same parts plus the [MS-OVBA] binary project.
+#: The workbook main part switches to the macroEnabled content type and
+#: the .bin default maps to the vbaProject type — the OPC layout ECMA-376
+#: prescribes for .xlsm.
+_CONTENT_TYPES_MACRO = _CONTENT_TYPES.replace(
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml",
+    "application/vnd.ms-excel.sheet.macroEnabled.main+xml",
+).replace(
+    '<Default Extension="xml" ContentType="application/xml"/>',
+    '<Default Extension="xml" ContentType="application/xml"/>\n'
+    '<Default Extension="bin" '
+    'ContentType="application/vnd.ms-office.vbaProject"/>',
+)
+
 _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
@@ -59,6 +76,13 @@ _WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
 </Relationships>
 """
+
+_WORKBOOK_RELS_MACRO = _WORKBOOK_RELS.replace(
+    "</Relationships>",
+    '<Relationship Id="rId3" '
+    'Type="http://schemas.microsoft.com/office/2006/relationships/vbaProject"'
+    ' Target="vbaProject.bin"/>\n</Relationships>',
+)
 
 
 def col_letter(col: int) -> str:
@@ -157,13 +181,34 @@ def grid_to_xlsx(grid: CellGrid, path: str, sheet_name: str = "Sheet1") -> None:
         "</worksheet>"
     )
 
+    has_macros = bool(grid.vba_modules)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr(
+            "[Content_Types].xml",
+            _CONTENT_TYPES_MACRO if has_macros else _CONTENT_TYPES,
+        )
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr("xl/workbook.xml", _WORKBOOK.format(name=escape(sheet_name)))
-        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            _WORKBOOK_RELS_MACRO if has_macros else _WORKBOOK_RELS,
+        )
         z.writestr("xl/styles.xml", _styles_xml(fill_colors))
         z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if has_macros:
+            # Real [MS-OVBA] binary project (see sinks/vba_bin.py for the
+            # conformance story) — the macro-enabled OPC layout Excel
+            # expects: bin part + vbaProject relationship + macroEnabled
+            # main content type. The plain-text source parts below stay
+            # as the lossless read-back path.
+            from etl_pipeline_excel_sql__spark.sinks.vba_bin import (
+                build_vba_project_bin,
+            )
+
+            z.writestr(
+                "xl/vbaProject.bin",
+                build_vba_project_bin(dict(grid.vba_modules)),
+            )
         for module, code in sorted(grid.vba_modules.items()):
             z.writestr(f"xl/vbaSource/{module}.vba", code)
 
