@@ -759,3 +759,135 @@ QUERIES.update(
         "tpch_q19_or_of_ands": q_tpch_q19_or_of_ands,
     }
 )
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped BUILDING-segment orders by revenue (TPC-H Q3).
+
+    The corpus orders table carries o_orderpriority, not Q3's
+    o_shippriority — the priority column swaps in with identical plan
+    shape. lineitem⋈orders is the one shuffle join (customer filter
+    broadcasts); the top-10 is a TakeOrdered over the aggregated output
+    with a total order (exact decimal revenue DESC, orderkey ASC), so
+    both engines pick the same rows deterministically.
+    """
+    cutoff = "1996-03-15"
+    c = F.broadcast(
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("__rev"))
+    )
+    return (
+        agg.orderBy(F.col("__rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            dec_out(F.col("__rev")).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter (Q10).
+
+    Revenue aggregates by custkey FIRST (the only corpus-sized shuffle),
+    then joins the customer dimension and the broadcast nation lookup —
+    the aggregate side is |customers-with-returns| rows, so the dimension
+    join never moves lineitem-scale data.
+    """
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("__rev"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nat = F.broadcast(
+        load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            dec_out(F.col("__rev")).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+ORACLE.update(
+    {
+        "tpch_q3_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 CAST(SUM({rev}) AS DECIMAL(38,4)) AS rev
+          FROM customer, orders, lineitem
+          WHERE c_mktsegment = 'BUILDING'
+            AND c_custkey = o_custkey
+            AND l_orderkey = o_orderkey
+            AND o_orderdate < TIMESTAMP '1996-03-15'
+            AND l_shipdate  > TIMESTAMP '1996-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY rev DESC, l_orderkey ASC
+          LIMIT 10)""".format(rev=_REV_SQL),
+        "tpch_q10_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM (
+          SELECT c_custkey, c_name, c_acctbal, n_name,
+                 CAST(SUM({rev}) AS DECIMAL(38,4)) AS rev
+          FROM customer, orders, lineitem, nation
+          WHERE c_custkey = o_custkey
+            AND l_orderkey = o_orderkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1996-04-01'
+            AND l_returnflag = 'R'
+            AND c_nationkey = n_nationkey
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY rev DESC, c_custkey ASC
+          LIMIT 20)""".format(rev=_REV_SQL),
+    }
+)
+
+QUERIES.update(
+    {
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    }
+)
