@@ -317,3 +317,48 @@ def test_asof_directions_share_one_union_shuffle(spark):
         assert "hashpartitioning(__k" in plan
         assert "CartesianProduct" not in plan
         assert "Union" in plan
+
+
+def test_doc_chunk_windows_is_shuffle_free(spark):
+    """Chunking is a pure narrow plan: sequence->explode->slice with no
+    Exchange — at 100 TB it streams scan-to-writer."""
+    plan = _plan(spark, "doc_chunk_windows")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_vocab_coverage_topv_is_take_ordered(spark):
+    """The global top-V vocabulary must be TakeOrdered (per-partition
+    top-V + merge), not a single-partition rank window."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_ngram_lm_score_shuffles_multiplicities_not_occurrences(spark):
+    """Every Exchange key set in the LM plan is (doc_id,w1,w2)/(w1[,w2]) —
+    aggregated multiplicity rows. No exchange may carry the raw exploded
+    occurrence stream (no 'pos'/'__i' column in any Exchange)."""
+    plan = _plan(spark, "ngram_lm_score")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__i" not in line
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_aggregates_before_dimension_join(spark):
+    """Q10's big shuffle is the per-custkey revenue aggregate; the
+    customer dimension joins AFTER it, and nation broadcasts."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "BroadcastHashJoin" in plan  # nation (and small sides at toy SF)
+    assert "CartesianProduct" not in plan
+    # the aggregate over revenue must appear deeper in the plan than the
+    # c_name column's first appearance (i.e. the dimension join consumes
+    # the aggregate's output, not raw lineitem rows)
+    lines = plan.splitlines()
+    agg_depth = min(
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "__rev" in l
+    )
+    join_depth = min(i for i, l in enumerate(lines) if "c_name" in l)
+    assert join_depth < agg_depth  # joins print above their inputs
