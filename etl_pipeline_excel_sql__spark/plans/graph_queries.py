@@ -95,3 +95,51 @@ FROM r{PR_ITERS} JOIN nation ON node = n_nationkey""",
 QUERIES = {
     "pagerank_nations": q_pagerank_nations,
 }
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the MinHash near-dup pair graph.
+
+    A triangle = three documents pairwise above the similarity threshold
+    — the densest copy-groups. Runs the degree-oriented wedge join
+    (``operators/graph.triangle_participation``) over the same canonical
+    pair list ``dedup_minhash`` emits; the oracle re-derives the pairs in
+    SQL and closes triangles with a three-way self-join.
+    """
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        triangle_participation,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    return triangle_participation(pairs)
+
+
+def _triangles_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _MINHASH_SQL,
+    )
+
+    # MATERIALIZED: the triangle join references pairs three times; an
+    # inlined CTE would re-run the whole LSH pipeline per reference.
+    return f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_SQL}),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+)
+GROUP BY node"""
+
+
+ORACLE["dedup_triangles"] = _triangles_sql()
+QUERIES["dedup_triangles"] = q_dedup_triangles
