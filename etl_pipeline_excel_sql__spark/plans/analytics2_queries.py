@@ -331,3 +331,82 @@ QUERIES = {
     "merge_scd2": q_merge_scd2,
     "agg_listagg": q_agg_listagg,
 }
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample of the event stream with LOCF gap fill — the
+    hypertable/time-bucket rollup pattern every TSDB workload needs.
+
+    Per event_type: hourly buckets from that type's first to last hour
+    (``sequence`` → ``explode`` builds the grid DISTRIBUTED, sized by the
+    per-type hour span, never collected to the driver), left-joined with
+    the observed per-hour aggregate; missing hours get ``n_events = 0``
+    and carry the last observed hour's sum forward (``last(...,
+    ignorenulls=True)`` over an unbounded-preceding window — one shuffle
+    on event_type, same key as the aggregate). Bucket ids are integer
+    epoch-hours (``unix_micros DIV 3600e6``, truncation = floor for
+    positive epochs on both engines); sums ride DECIMAL and render via
+    the standard string hop.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.expr("unix_micros(ts) DIV 3600000000").alias("bucket_hour")
+    obs = ev.select("event_type", bucket, "value").groupBy(
+        "event_type", "bucket_hour"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("__sum"),
+    )
+    rng = obs.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("__lo"), F.max("bucket_hour").alias("__hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(
+            "bucket_hour"
+        ),
+    )
+    j = grid.join(obs, ["event_type", "bucket_hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket_hour").cast("bigint").alias("bucket_hour"),
+        F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("__n").isNull().alias("is_gap"),
+        dec_out(F.last("__sum", ignorenulls=True).over(w)).alias(
+            "filled_value"
+        ),
+    )
+
+
+ORACLE["events_gap_fill"] = """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket_hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+  FROM obs GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS bucket_hour
+  FROM rng
+)
+SELECT g.event_type,
+       CAST(g.bucket_hour AS BIGINT) AS bucket_hour,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_events,
+       o.n IS NULL AS is_gap,
+       CAST(CAST(last_value(o.s IGNORE NULLS) OVER (
+              PARTITION BY g.event_type ORDER BY g.bucket_hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS VARCHAR) AS DOUBLE) AS filled_value
+FROM grid g LEFT JOIN obs o
+  ON g.event_type = o.event_type AND g.bucket_hour = o.bucket_hour"""
+
+QUERIES["events_gap_fill"] = q_events_gap_fill
