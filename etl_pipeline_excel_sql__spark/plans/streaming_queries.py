@@ -23,6 +23,7 @@ from etl_pipeline_excel_sql__spark.streaming.events import (
     read_events_stream,
     run_to_memory_sink,
     sessionize_stream,
+    sliding_counts_stream,
     windowed_counts_stream,
 )
 
@@ -63,7 +64,32 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2 h window / 1 h slide) counts BY THE STREAMING
+    ENGINE — each event feeds exactly window/slide = 2 open windows, and
+    watermark eviction closes them in order. The oracle expands the two
+    window starts per event explicitly (hour bucket and the hour before),
+    proving the overlap accounting matches SQL exactly."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory_sink(
+        sliding_counts_stream(ev), _sink_name("stream_sliding")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "stream_sliding_counts": """
+        WITH s AS (
+          SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS s1
+          FROM events
+        ), ex AS (
+          SELECT event_type, s1 AS ws FROM s
+          UNION ALL
+          SELECT event_type, s1 - INTERVAL 1 HOUR AS ws FROM s
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM ex GROUP BY 1, 2""",
     # identical to the batch window_agg_events oracle — that is the point.
     "stream_window_counts": """
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
@@ -97,4 +123,5 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
+    "stream_sliding_counts": q_stream_sliding_counts,
 }
