@@ -17,12 +17,15 @@ local replica (``tools/check_oracle.py``) at sf0.001 and sf0.01. Round 3
 rotated ``pagerank_nations`` and ``join_bloom_prefilter`` into the window
 (displacing family-redundant ``agg_orders_by_status`` and
 ``window_running_sum``) so the newest operator families get driver-gate
-history. Round 4 rotated five never-driver-checked families in —
+history. Round 4 rotated seven never-driver-checked families in —
 ``stream_sessionize``, ``merge_scd2``, ``recursive_key_chain``,
-``sample_stratified``, ``dedup_containment`` — displacing
+``sample_stratified``, ``dedup_containment``, plus the round-4-new
+``stream_sliding_counts`` and ``ngram_lm_score`` — displacing
 ``filter_nonblank`` / ``to_str_trim`` (both subsumed by ``diff_cells``),
 ``join_left_probe`` (same), ``nation_volume`` (redundant with
-``join_multitable_revenue``), and ``fill_impute`` (all five locally green).
+``join_multitable_revenue``), ``fill_impute``, ``merge_upsert``
+(r2+r3 history; ``merge_scd2`` keeps the family), and
+``text_token_count`` (subsumed by ``text_quality``) — all locally green.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -113,7 +116,10 @@ DRIVER_PRIORITY = [
     "range_join",
     "sessionize",
     "window_agg_events",
-    "merge_upsert",
+    # merge_upsert rotated out round 4 (driver history in r2+r3;
+    # merge_scd2 keeps the MERGE family in-window) for the round-4
+    # streaming sliding-window row
+    "stream_sliding_counts",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
     "tpch_q2_mincost_supplier",
@@ -132,8 +138,10 @@ DRIVER_PRIORITY = [
     "recursive_key_chain",
     "sample_stratified",
     "dedup_containment",
-    # LLM-training-data pipeline operators
-    "text_token_count",
+    # LLM-training-data pipeline operators (text_token_count rotated out
+    # round 4 — subsumed by text_quality's token stats — for the
+    # corpus-trained bigram LM scorer, a new family with zero history)
+    "ngram_lm_score",
     "text_quality",
     "text_tfidf_topk",
     "dedup_exact",
