@@ -410,3 +410,57 @@ FROM grid g LEFT JOIN obs o
   ON g.event_type = o.event_type AND g.bucket_hour = o.bucket_hour"""
 
 QUERIES["events_gap_fill"] = q_events_gap_fill
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix (first-order Markov counts).
+
+    Orders each user's events by the total order (ts, event_id) — the
+    tie-break makes consecutive-pair formation deterministic on both
+    engines — then counts (from_type → to_type) transitions and each
+    transition's share of its from-state in basis points (integer DIV,
+    exact everywhere). One window shuffle on user_id; the transition
+    aggregate is |types|² rows, model-sized, so the share window runs on
+    the model, never the event stream.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    pairs = ev.select(
+        prev.alias("from_type"), F.col("event_type").alias("to_type")
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.expr(
+            "(n_transitions * 10000) DIV SUM(n_transitions)"
+            " OVER (PARTITION BY from_type)"
+        ).cast("bigint").alias("share_bp"),
+    )
+
+
+ORACLE["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, event_type AS to_type FROM seq
+  WHERE from_type IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST((n_transitions * 10000) // SUM(n_transitions)
+            OVER (PARTITION BY from_type) AS BIGINT) AS share_bp
+FROM counts"""
+
+QUERIES["event_transitions"] = q_event_transitions
