@@ -33,6 +33,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics3_queries,
     analytics4_queries,
     analytics5_queries,
+    analytics6_queries,
     analytics_queries,
     corpus_queries,
     corpus2_queries,
@@ -59,6 +60,7 @@ _ALL_QUERIES = {
     **analytics3_queries.QUERIES,
     **analytics4_queries.QUERIES,
     **analytics5_queries.QUERIES,
+    **analytics6_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
     **streaming_queries.QUERIES,
@@ -77,6 +79,7 @@ _ALL_ORACLE = {
     **analytics3_queries.ORACLE,
     **analytics4_queries.ORACLE,
     **analytics5_queries.ORACLE,
+    **analytics6_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
     **streaming_queries.ORACLE,

@@ -1,0 +1,215 @@
+"""Round-4 widening #2: time-RANGE window frames, grouped mode, and
+robust (MAD) outlier detection.
+
+* ``window_range_frame`` — a TRUE time-range frame (``RANGE BETWEEN
+  INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``), distinct from the
+  row-count frames in ``window_moving_avg``: the frame width is measured
+  in event time, so bursty users aggregate over many rows and quiet
+  users over few. Spark expresses it as ``rangeBetween`` over integer
+  epoch-micros (``unix_micros`` — exact, never a double of seconds);
+  peers with equal timestamps are all in-frame on both engines, which is
+  what keeps the result deterministic under ties.
+* ``agg_mode_per_user`` — most frequent event type per user with a
+  deterministic tie-break (highest count, then lexicographically
+  smallest type). Two aggregates, both map-side combined; the second
+  uses ``min_by`` over the composite ``(-cnt, type)`` key (it compiles
+  to SortAggregate — struct buffers aren't hash-mutable — but keeps the
+  partial/final split), so no Window ever materializes per-user rank
+  rows — the plan that survives a billion users.
+* ``events_anomaly_mad`` — robust per-type outlier counts via median /
+  median-absolute-deviation. Both medians are EXACT, by the same rank
+  arithmetic as ``agg_median_price`` (engine ``median()`` interpolation
+  is implementation-defined, so neither side uses it); the ``3 × MAD``
+  gate is a single deterministic IEEE multiply-compare. Scale note: the
+  two rank windows partition by event_type (low cardinality), which is
+  the honest cost of EXACT medians — the approximate path at 100 TB is
+  ``percentile_approx``; the exact path distributes each type's sort
+  across its partition range, and this formulation keeps only
+  ``(event_type, value)`` pairs in the shuffle, never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: trailing window width for window_range_frame, in microseconds.
+RANGE_FRAME_US = 3_600_000_000
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour count/sum per user with a time-RANGE frame.
+
+    The decimal sum + string render is the cross-engine float-parity
+    idiom (see streaming/events.py) — window sums accumulate in frame
+    order, which only stays engine-identical because decimal addition is
+    associative.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_trail_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .cast("string")
+        .cast("double")
+        .alias("sum_trail_1h"),
+    )
+
+
+def q_agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type, ties broken toward the smaller string.
+
+    ``min_by`` over ``(-cnt, event_type)`` picks (max count, min type) in
+    one partial-aggregated exchange — no window rank rows.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    picked = cnt.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("event_type"), F.col("cnt")),
+            F.struct(
+                (-F.col("cnt")).alias("neg_cnt"),
+                F.col("event_type").alias("tie"),
+            ),
+        ).alias("p")
+    )
+    return picked.select(
+        "user_id",
+        F.col("p.event_type").alias("mode_event_type"),
+        F.col("p.cnt").alias("n_occurrences"),
+    )
+
+
+def _median_by_rank(ranked: DataFrame, val: str, out: str) -> DataFrame:
+    """Exact per-group median of ``val`` from a (group, val, rn, cnt)
+    frame: the value at rank (cnt+1)//2 averaged with the value at rank
+    (cnt+2)//2 (the same rank when cnt is odd — one row survives the OR).
+    Averaging two doubles is a commutative add + halve: bit-identical on
+    both engines regardless of which engine visits which row first."""
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(cnt + 1) div 2"))
+        | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        (F.sum(val) / F.count(F.lit(1))).alias(out)
+    )
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier audit: exact median, exact MAD, and the
+    count of events whose absolute deviation exceeds 3 × MAD."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    wcnt = Window.partitionBy("event_type")
+    ranked_v = ev.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+    )
+    med = _median_by_rank(ranked_v, "v", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    ranked_d = dev.select(
+        "event_type",
+        "d",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+    )
+    mad = _median_by_rank(ranked_d, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med_value"),
+            F.min("mad").alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3.0) * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "window_range_frame": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               COUNT(*) OVER w AS n_trail_1h,
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+                    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_trail_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "agg_mode_per_user": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type AS mode_event_type, cnt AS n_occurrences
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type ASC) = 1""",
+    "events_anomaly_mad": """
+        WITH ev AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        ), r1 AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM ev
+        ), med AS (
+          SELECT event_type, SUM(v) / COUNT(*) AS med FROM r1
+          WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+          GROUP BY event_type
+        ), dev AS (
+          SELECT ev.event_type, v, med, abs(v - med) AS d
+          FROM ev JOIN med USING (event_type)
+        ), r2 AS (
+          SELECT event_type, d,
+                 row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM dev
+        ), mad AS (
+          SELECT event_type, SUM(d) / COUNT(*) AS mad FROM r2
+          WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+          GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               MIN(med) AS med_value,
+               MIN(mad.mad) AS mad_value,
+               CAST(SUM(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               COUNT(*) AS n_total
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type""",
+}
+
+QUERIES = {
+    "window_range_frame": q_window_range_frame,
+    "agg_mode_per_user": q_agg_mode_per_user,
+    "events_anomaly_mad": q_events_anomaly_mad,
+}

@@ -712,6 +712,60 @@ FROM comp
 QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup KEEP SET: embedding near-dup pairs
+    (label block × SRP-LSH, exact cosine ≥ threshold) resolved into
+    components, keeping one representative per component (the minimum
+    vec_id) plus every vector that belongs to no near-dup pair.
+
+    This is the stage after ``neardup_cosine``/``dedup_clusters`` that a
+    training pipeline actually consumes: the surviving corpus. The
+    non-representatives are dropped with a left-anti join, so the corpus
+    scan never shuffles — only the (small) drop list does, and it
+    broadcasts. The oracle replays the pair SQL plus the same
+    min-reachable-id recursive fixpoint.
+    """
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_neardup_pairs(
+        emb,
+        threshold=COSINE_THRESHOLD,
+        block_col="label",
+        dims=EMB_DIMS,
+        srp_bits=SRP_NEARDUP_BITS,
+        srp_tables=SRP_NEARDUP_TABLES,
+    )
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias("vec_id")
+    )
+    return emb.join(F.broadcast(drop), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
+ORACLE["semantic_dedup_keep"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_NEARDUP_COS_SQL}),
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS lbl FROM sym
+  UNION
+  SELECT s.v AS node, reach.lbl FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+"""
+QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
+
+
 TFIDF_K = 5
 
 

@@ -18,8 +18,10 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.streaming.events import (
+    purchase_attribution_stream,
     read_events_stream,
     run_to_memory_sink,
     sessionize_stream,
@@ -76,7 +78,43 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join by the streaming engine: purchases
+    attributed to a prior click by the same user within 2 hours.
+
+    Both sides are watermarked file streams; the time-range predicate
+    bounds the join state (a buffered click is evictable once the
+    purchase watermark passes click_ts + horizon). On the bounded corpus
+    the drained append-mode result must equal the plain batch interval
+    join the oracle runs — so the driver's value hash covers the
+    streaming join state machine itself, not a batch stand-in.
+    """
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_memory_sink(
+        purchase_attribution_stream(clicks, purchases),
+        _sink_name("stream_attrib"),
+        output_mode="append",
+    )
+
+
 ORACLE: dict[str, str] = {
+    "stream_join_attrib": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 2 HOUR""",
     "stream_sliding_counts": """
         WITH s AS (
           SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS s1
@@ -124,4 +162,5 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
     "stream_sliding_counts": q_stream_sliding_counts,
+    "stream_join_attrib": q_stream_join_attrib,
 }

@@ -362,3 +362,37 @@ def test_tpch_q10_aggregates_before_dimension_join(spark):
     )
     join_depth = min(i for i, l in enumerate(lines) if "c_name" in l)
     assert join_depth < agg_depth  # joins print above their inputs
+
+
+def test_window_range_frame_uses_range_spec(spark):
+    """A RANGE frame over epoch-micros, not a ROWS frame: the frame is
+    event-time-true (bursts widen it, quiet periods shrink it) and one
+    hash exchange on user_id covers both window aggregates."""
+    plan = _plan(spark, "window_range_frame")
+    assert "specifiedwindowframe(RangeFrame" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_agg_mode_per_user_is_two_partial_aggregates(spark):
+    """Mode-per-group must stay two partial-aggregated exchanges (the
+    min_by lands as SortAggregate — struct buffers aren't hash-mutable —
+    but keeps its map-side partial). A row_number formulation would add
+    a Window over every (user, type) row instead."""
+    plan = _plan(spark, "agg_mode_per_user")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_semantic_dedup_keep_anti_join_broadcasts_drop_list(spark):
+    """The corpus side of the keep-set anti-join must not shuffle — only
+    the (small) drop list moves, as a broadcast."""
+    plan = _plan(spark, "semantic_dedup_keep")
+    anti = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftAnti" in ln
+    ]
+    assert anti and all(
+        "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in anti
+    ), anti
