@@ -26,6 +26,14 @@ history. Round 4 rotated seven never-driver-checked families in —
 ``join_multitable_revenue``), ``fill_impute``, ``merge_upsert``
 (r2+r3 history; ``merge_scd2`` keeps the family), and
 ``text_token_count`` (subsumed by ``text_quality``) — all locally green.
+A second round-4 rotation gave the newest zero-history families their
+first gate run: ``stream_join_attrib`` (the stream-stream interval join
+itself), ``semantic_dedup_keep`` (SemDeDup keep-set), and
+``window_range_frame`` (time-RANGE frames) displaced ``filter_in`` (F2,
+four rounds of driver history; F-family kept in-window by ``filter_eq``),
+``set_union`` (r1–r4 history; set family locally green), and
+``json_extract`` (r1–r4 history) — all three incomers oracle-green at
+sf0.01 locally before rotation.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -89,7 +97,6 @@ _ALL_ORACLE = {
 DRIVER_PRIORITY = [
     # SURVEY §2 reference core (F/P/J/T/O/D operators + flagship pipeline)
     "filter_eq",
-    "filter_in",
     "drop_cols",
     "rename_positional",
     "date_fmt",
@@ -108,8 +115,12 @@ DRIVER_PRIORITY = [
     "agg_rollup",
     "join_multitable_revenue",
     "window_zscore",
-    "set_union",
-    "json_extract",
+    # second round-4 rotation: three round-4-new families get their first
+    # driver run (displacing filter_in / set_union / json_extract — r1-r4
+    # history, families kept in-window or locally green; see docstring)
+    "window_range_frame",
+    "stream_join_attrib",
+    "semantic_dedup_keep",
     # round-2-new operators rotated in for their first driver-gate run
     # (displacing agg_orders_by_status / window_running_sum, family-redundant
     # with agg_pricing_summary+agg_rollup / window_zscore respectively)

@@ -191,14 +191,119 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: passage segmenter width (words) and boilerplate document-frequency cap
+#: for text_passage_dedup.
+PASSAGE_W = 10
+PASSAGE_MAX_DF = 2
+
+
+def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate removal (the RefinedWeb/CCNet line-dedup
+    shape): segment each document into passages, drop every passage whose
+    exact content appears in more than PASSAGE_MAX_DF distinct documents,
+    and reassemble the survivors in order.
+
+    The corpus has no newlines, so the segmenter is a deterministic
+    PASSAGE_W-word splitter standing in for ``split(text, '\\n')`` — the
+    dedup/reassembly plumbing is identical for real web text.
+
+    Scale shape: the document-frequency aggregate and the anti-join key on
+    the passage's md5 digest, so the exchange carries 32-char digests,
+    never passage text; the boilerplate set (rare by definition of the
+    cap) broadcasts into the anti-join, and reassembly groups by doc_id —
+    one corpus-keyed shuffle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    seg = base.filter(F.col("__n") > 0).select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(PASSAGE_W))
+        ).alias("__start"),
+    )
+    passage = F.concat_ws(
+        " ", F.slice(F.col("__toks"), F.col("__start") + 1, PASSAGE_W)
+    )
+    p = seg.select(
+        "doc_id",
+        (F.col("__start") / PASSAGE_W).cast("bigint").alias("pos"),
+        passage.alias("p"),
+        F.md5(passage).alias("h"),
+    )
+    boiler = (
+        p.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > PASSAGE_MAX_DF)
+        .select("h")
+    )
+    kept = p.join(F.broadcast(boiler), "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        "doc_id",
+        F.expr(f"(__n + {PASSAGE_W} - 1) div {PASSAGE_W}")
+        .cast("bigint")
+        .alias("n_passages"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "domain_quota_sample": q_domain_quota_sample,
     "ngram_lm_score": q_ngram_lm_score,
     "vocab_coverage": q_vocab_coverage,
+    "text_passage_dedup": q_text_passage_dedup,
 }
 
 ORACLE = {
+    "text_passage_dedup": f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+        ), seg AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n - 1, {PASSAGE_W})) AS start
+          FROM base WHERE n > 0
+        ), p AS (
+          SELECT doc_id,
+                 CAST(start // {PASSAGE_W} AS BIGINT) AS pos,
+                 array_to_string(
+                   toks[start + 1 : start + {PASSAGE_W}], ' ') AS passage
+          FROM seg
+        ), boiler AS (
+          SELECT md5(passage) AS h FROM p
+          GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > {PASSAGE_MAX_DF}
+        ), kept AS (
+          SELECT doc_id, pos, passage FROM p
+          WHERE md5(passage) NOT IN (SELECT h FROM boiler)
+        ), rebuilt AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(passage, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST((n + {PASSAGE_W} - 1) // {PASSAGE_W} AS BIGINT)
+                 AS n_passages,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(clean_text, '') AS clean_text
+        FROM base b LEFT JOIN rebuilt USING (doc_id)""",
     "doc_chunk_windows": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents

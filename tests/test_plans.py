@@ -396,3 +396,16 @@ def test_semantic_dedup_keep_anti_join_broadcasts_drop_list(spark):
     assert anti and all(
         "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in anti
     ), anti
+
+
+def test_text_passage_dedup_shuffles_digests_and_broadcasts_boiler(spark):
+    """The document-frequency pipeline must key its exchanges on the md5
+    digest (32 chars), never the passage text, and the boilerplate set
+    must broadcast into the anti-join."""
+    plan = _plan(spark, "text_passage_dedup")
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin [h#" in ln for ln in anti), anti
+    assert "hashpartitioning(h#" in plan
+    # reassembly adds exactly one doc_id-keyed exchange; nothing shuffles
+    # the exploded passage rows by anything else
+    assert plan.count("Exchange hashpartitioning") == 3
