@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.streaming.events import (
+    dedup_events_stream,
     purchase_attribution_stream,
     read_events_stream,
     run_to_memory_sink,
+    running_user_totals_stream,
     sessionize_stream,
     sliding_counts_stream,
     windowed_counts_stream,
@@ -102,7 +104,43 @@ def q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) under the
+    value gate: the surviving key set after stateful first-wins dedup must
+    equal DISTINCT event_id. Only the key is emitted — which payload row
+    survives is batch-order-dependent by design (at-least-once semantics),
+    but the KEY SET is exact, and that is the contract the state machine
+    has to honor."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = dedup_events_stream(ev).select("event_id")
+    return run_to_memory_sink(
+        deduped, _sink_name("stream_dedup_ids"), output_mode="append"
+    )
+
+
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (``applyInPandasWithState``) under the
+    value gate: per-user lifetime counts and FLOOR-quantized integer
+    micro-unit sums (integer addition is associative, so the drained
+    update-mode state equals the batch GROUP BY bit-for-bit — a float sum
+    here would hash differently per Arrow batch order)."""
+    ev = read_events_stream(spark, sf_dir)
+    totals = running_user_totals_stream(ev, exact_micros=True)
+    return run_to_memory_sink(
+        totals, _sink_name("stream_user_totals"), output_mode="update"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "stream_dedup_ids": """
+        SELECT DISTINCT event_id FROM events""",
+    "stream_user_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_value_micros
+        FROM events
+        GROUP BY user_id""",
     "stream_join_attrib": """
         SELECT c.user_id,
                c.event_id AS click_id,
@@ -163,4 +201,6 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_join_attrib": q_stream_join_attrib,
+    "stream_dedup_ids": q_stream_dedup_ids,
+    "stream_user_totals": q_stream_user_totals,
 }

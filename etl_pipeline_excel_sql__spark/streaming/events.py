@@ -178,7 +178,7 @@ def run_to_memory_sink(
 
 
 def running_user_totals_stream(
-    events: DataFrame, state_timeout_ms: int = 0
+    events: DataFrame, state_timeout_ms: int = 0, exact_micros: bool = False
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     per-user lifetime event count and value sum, emitted on every update.
@@ -188,6 +188,13 @@ def running_user_totals_stream(
     eviction). State is one tiny row per user; batches arrive as Arrow
     pandas frames. GroupStateTimeout can evict idle users when a timeout
     is configured.
+
+    ``exact_micros=True`` switches the sum to FLOOR-quantized integer
+    micro-units (``floor(v * 1e6 + 0.5)`` per row, int64 accumulation) and
+    renames it ``total_value_micros`` — a float sum depends on Arrow batch
+    row order and can never be value-hash-gated; integer addition is
+    associative, so the quantized total is bit-identical to any batch
+    engine applying the same per-row formula.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -197,27 +204,50 @@ def running_user_totals_stream(
         StructType,
     )
 
+    val_field = (
+        StructField("total_value_micros", LongType())
+        if exact_micros
+        else StructField("total_value", DoubleType())
+    )
     output_schema = StructType(
         [
             StructField("user_id", LongType()),
             StructField("n_events", LongType()),
-            StructField("total_value", DoubleType()),
+            val_field,
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("s", DoubleType())]
+        [
+            StructField("n", LongType()),
+            StructField(
+                "s", LongType() if exact_micros else DoubleType()
+            ),
+        ]
     )
 
     def update(key, pdfs, state: "GroupState"):
+        import numpy as np
         import pandas as pd
 
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, 0 if exact_micros else 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            if exact_micros:
+                v = pdf["value"].to_numpy(dtype="float64")
+                s += int(
+                    np.floor(v * 1e6 + 0.5).astype("int64").sum()
+                )
+            else:
+                s += float(pdf["value"].sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                (
+                    "total_value_micros" if exact_micros else "total_value"
+                ): [s],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
