@@ -154,7 +154,67 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: band width for band_join_recent_errors, in microseconds (10 minutes).
+BAND_US = 600_000_000
+
+
+def q_band_join_recent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS time-band join: for every event, how many ``error`` events
+    occurred corpus-wide in the trailing 10 minutes.
+
+    There is no equi-key, which on Spark naively becomes a broadcast
+    nested-loop (or cartesian) — the classic band-join scale trap. The
+    scalable formulation replicates each PROBE row into the two
+    band-width buckets its window can span and equi-joins on the bucket
+    id, then applies the exact band filter: the join is a plain hash
+    join, each build row lands in exactly one bucket, and no pair outside
+    adjacent buckets is ever materialized. Bucket width = band width, so
+    probe replication is exactly 2×, independent of data volume.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.unix_micros(F.col("ts")).alias("ets"))
+        .withColumn("bucket", F.expr(f"ets div {BAND_US}"))
+    )
+    probe = ev.select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("pts")
+    )
+    probe2 = probe.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"pts div {BAND_US}"),
+                F.expr(f"pts div {BAND_US} - 1"),
+            )
+        ),
+    )
+    j = probe2.join(err, "bucket").filter(
+        (F.col("ets") <= F.col("pts"))
+        & (F.col("ets") >= F.col("pts") - BAND_US)
+    )
+    cnt = j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return probe.join(cnt, "event_id", "left").select(
+        "event_id",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_recent_errors"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "band_join_recent_errors": """
+        WITH err AS (
+          SELECT ts AS ets FROM events WHERE event_type = 'error'
+        ), cnt AS (
+          SELECT e.event_id, COUNT(*) AS n
+          FROM events e
+          JOIN err ON ets <= e.ts
+                  AND ets >= e.ts - INTERVAL 10 MINUTE
+          GROUP BY e.event_id
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_recent_errors
+        FROM events e LEFT JOIN cnt USING (event_id)""",
     "window_range_frame": """
         SELECT event_id, user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
@@ -212,4 +272,5 @@ QUERIES = {
     "window_range_frame": q_window_range_frame,
     "agg_mode_per_user": q_agg_mode_per_user,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "band_join_recent_errors": q_band_join_recent_errors,
 }

@@ -409,3 +409,15 @@ def test_text_passage_dedup_shuffles_digests_and_broadcasts_boiler(spark):
     # reassembly adds exactly one doc_id-keyed exchange; nothing shuffles
     # the exploded passage rows by anything else
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_band_join_is_hash_join_on_buckets(spark):
+    """The keyless time-band join must equi-join on the bucket id — a
+    BroadcastNestedLoopJoin/CartesianProduct here is the band-join scale
+    trap this formulation exists to avoid."""
+    plan = _plan(spark, "band_join_recent_errors")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join [bucket" in plan or "hashpartitioning(bucket" in plan or (
+        "BroadcastHashJoin [bucket" in plan
+    ), plan[:500]
