@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "corpus_curate_pipeline",
     "pagerank_nations",
     "asof_join_nearest",
+    # round-4 additions (appended; earlier ordering preserved for
+    # round-over-round comparison)
+    "window_range_frame",
+    "band_join_recent_errors",
+    "text_passage_dedup",
 ]
 
 
