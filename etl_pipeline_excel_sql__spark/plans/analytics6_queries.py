@@ -201,7 +201,55 @@ def q_band_join_recent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    EXACT sliding-window DISTINCT, which no window frame can express
+    (COUNT(DISTINCT) over frames doesn't exist, and merging per-day
+    distinct counts undercounts repeat users).
+
+    The scalable formulation: collapse to distinct (day, user) pairs
+    first (the corpus's only big aggregate), then replicate each pair
+    into the 7 window-end days it contributes to and run an ordinary
+    COUNT(DISTINCT) per window end. Replication is 7× the per-day-
+    distinct pairs — bounded by users × days, independent of raw event
+    volume — and windows ending on days with no events are dropped by
+    the calendar semi-join.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = pairs.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(
+        "user_id", F.expr("date_add(day, i)").alias("win_end")
+    )
+    days = pairs.select("day").distinct()
+    return (
+        contrib.join(days, contrib.win_end == days.day)
+        .groupBy("win_end")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd").alias("day"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "rolling_active_users": """
+        WITH pairs AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), contrib AS (
+          SELECT user_id, day + CAST(t.i AS INT) AS win_end
+          FROM pairs CROSS JOIN range(0, 7) t(i)
+        ), days AS (SELECT DISTINCT day FROM pairs)
+        SELECT strftime(win_end, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS wau
+        FROM contrib JOIN days ON win_end = days.day
+        GROUP BY 1""",
     "band_join_recent_errors": """
         WITH err AS (
           SELECT ts AS ets FROM events WHERE event_type = 'error'
@@ -273,4 +321,5 @@ QUERIES = {
     "agg_mode_per_user": q_agg_mode_per_user,
     "events_anomaly_mad": q_events_anomaly_mad,
     "band_join_recent_errors": q_band_join_recent_errors,
+    "rolling_active_users": q_rolling_active_users,
 }

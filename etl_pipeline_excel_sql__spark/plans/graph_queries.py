@@ -143,3 +143,97 @@ GROUP BY node"""
 
 ORACLE["dedup_triangles"] = _triangles_sql()
 QUERIES["dedup_triangles"] = q_dedup_triangles
+
+
+def q_graph_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the near-dup graph: per node,
+    ``2·T / (d·(d-1))`` as integer basis points (``20000·T div d(d-1)``
+    — pure integer arithmetic, so no cross-engine float division).
+
+    Distinguishes tight copy-CLIQUES (coefficient → 10000) from hub-and-
+    spoke near-dup stars (coefficient → 0), which need different dedup
+    treatment (drop-all-but-one vs keep-the-hub-review-the-spokes). The
+    pair list is materialized once and feeds both the degree aggregate
+    and the wedge-join triangle count (same single-materialization
+    practice as triangle_participation itself).
+    """
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        triangle_participation,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+    )
+
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    tri = triangle_participation(pairs)
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "(20000 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("coeff_bp"),
+    )
+
+
+def _cluster_coeff_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _MINHASH_SQL,
+    )
+
+    return f"""
+WITH pairs AS MATERIALIZED ({_MINHASH_SQL}),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+tcnt AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  )
+  GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (
+    SELECT id_a AS node FROM pairs
+    UNION ALL SELECT id_b AS node FROM pairs
+  )
+  GROUP BY node
+)
+SELECT deg.node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN degree >= 2
+                 THEN (20000 * COALESCE(n_triangles, 0))
+                      // (degree * (degree - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_bp
+FROM deg LEFT JOIN tcnt USING (node)"""
+
+
+ORACLE["graph_cluster_coeff"] = _cluster_coeff_sql()
+QUERIES["graph_cluster_coeff"] = q_graph_cluster_coeff
