@@ -187,13 +187,20 @@ def pagerank_unrolled_sql(
 
 
 def triangle_participation(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    with_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented wedge join.
 
     ``pairs`` is a canonical undirected edge list (``id_a < id_b``, no
     duplicates). Returns ``(node, n_triangles)`` for every node that
-    closes at least one triangle.
+    closes at least one triangle; with ``with_degrees=True``, returns
+    ``(node, degree, n_triangles)`` for EVERY node in the edge list
+    (n_triangles 0 where none close), reusing the degree aggregate the
+    orientation step already computes — callers needing both must not
+    re-derive degrees from a second pass over the pair generator.
 
     The scale problem with naive triangle enumeration is the high-degree
     wedge blowup: a node of degree d spawns d² wedge candidates, and the
@@ -243,6 +250,19 @@ def triangle_participation(
         .union(tri.select(F.col("x").alias("node")))
         .union(tri.select(F.col("y").alias("node")))
     )
-    return nodes.groupBy("node").agg(
+    counts = nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    if not with_degrees:
+        return counts
+    return (
+        deg.select(F.col("n").alias("node"), F.col("d").alias("degree"))
+        .join(counts, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
     )

@@ -95,8 +95,10 @@ def q_agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _median_by_rank(ranked: DataFrame, val: str, out: str) -> DataFrame:
-    """Exact per-group median of ``val`` from a (group, val, rn, cnt)
+def _median_by_rank(
+    ranked: DataFrame, val: str, out: str, group: str = "event_type"
+) -> DataFrame:
+    """Exact per-``group`` median of ``val`` from a (group, val, rn, cnt)
     frame: the value at rank (cnt+1)//2 averaged with the value at rank
     (cnt+2)//2 (the same rank when cnt is odd — one row survives the OR).
     Averaging two doubles is a commutative add + halve: bit-identical on
@@ -105,7 +107,7 @@ def _median_by_rank(ranked: DataFrame, val: str, out: str) -> DataFrame:
         (F.col("rn") == F.expr("(cnt + 1) div 2"))
         | (F.col("rn") == F.expr("(cnt + 2) div 2"))
     )
-    return mid.groupBy("event_type").agg(
+    return mid.groupBy(group).agg(
         (F.sum(val) / F.count(F.lit(1))).alias(out)
     )
 
@@ -250,20 +252,20 @@ ORACLE: dict[str, str] = {
                COUNT(DISTINCT user_id) AS wau
         FROM contrib JOIN days ON win_end = days.day
         GROUP BY 1""",
-    "band_join_recent_errors": """
+    "band_join_recent_errors": f"""
         WITH err AS (
           SELECT ts AS ets FROM events WHERE event_type = 'error'
         ), cnt AS (
           SELECT e.event_id, COUNT(*) AS n
           FROM events e
           JOIN err ON ets <= e.ts
-                  AND ets >= e.ts - INTERVAL 10 MINUTE
+                  AND epoch_us(ets) >= epoch_us(e.ts) - {BAND_US}
           GROUP BY e.event_id
         )
         SELECT e.event_id, e.event_type,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_recent_errors
         FROM events e LEFT JOIN cnt USING (event_id)""",
-    "window_range_frame": """
+    "window_range_frame": f"""
         SELECT event_id, user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
                COUNT(*) OVER w AS n_trail_1h,
@@ -271,7 +273,8 @@ ORACLE: dict[str, str] = {
                     AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_trail_1h
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+                     RANGE BETWEEN {RANGE_FRAME_US} PRECEDING
+                     AND CURRENT ROW)""",
     "agg_mode_per_user": """
         WITH c AS (
           SELECT user_id, event_type, COUNT(*) AS cnt

@@ -152,10 +152,10 @@ def q_graph_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distinguishes tight copy-CLIQUES (coefficient → 10000) from hub-and-
     spoke near-dup stars (coefficient → 0), which need different dedup
-    treatment (drop-all-but-one vs keep-the-hub-review-the-spokes). The
-    pair list is materialized once and feeds both the degree aggregate
-    and the wedge-join triangle count (same single-materialization
-    practice as triangle_participation itself).
+    treatment (drop-all-but-one vs keep-the-hub-review-the-spokes).
+    ``with_degrees=True`` reuses the degree aggregate the operator's
+    orientation step already computes over its one materialized pair
+    list — no second pass over the LSH pair generator.
     """
     from etl_pipeline_excel_sql__spark.operators.graph import (
         triangle_participation,
@@ -164,29 +164,16 @@ def q_graph_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_dedup_minhash,
     )
 
-    pairs = (
-        q_dedup_minhash(spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    tri = triangle_participation(pairs)
-    deg = (
-        pairs.select(F.col("id_a").alias("node"))
-        .union(pairs.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return deg.join(tri, "node", "left").select(
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    tri = triangle_participation(pairs, with_degrees=True)
+    return tri.select(
         "node",
-        F.col("degree").cast("bigint").alias("degree"),
-        F.coalesce("n_triangles", F.lit(0))
-        .cast("bigint")
-        .alias("n_triangles"),
+        "degree",
+        "n_triangles",
         F.when(
             F.col("degree") >= 2,
             F.expr(
-                "(20000 * coalesce(n_triangles, 0))"
-                " div (degree * (degree - 1))"
+                "(20000 * n_triangles) div (degree * (degree - 1))"
             ),
         )
         .otherwise(F.lit(0))

@@ -123,11 +123,25 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     value gate: per-user lifetime counts and FLOOR-quantized integer
     micro-unit sums (integer addition is associative, so the drained
     update-mode state equals the batch GROUP BY bit-for-bit — a float sum
-    here would hash differently per Arrow batch order)."""
+    here would hash differently per Arrow batch order).
+
+    Update mode emits one row per user per micro-batch, so the drained
+    table holds intermediate totals whenever the source splits into
+    multiple batches (multi-file directory, maxFilesPerTrigger). A user's
+    emitted n_events is strictly increasing (no emission for batches with
+    none of their rows), so the max_by reduction keeps exactly the final
+    state — the query is batch-split-agnostic instead of silently
+    assuming one batch."""
     ev = read_events_stream(spark, sf_dir)
     totals = running_user_totals_stream(ev, exact_micros=True)
-    return run_to_memory_sink(
+    drained = run_to_memory_sink(
         totals, _sink_name("stream_user_totals"), output_mode="update"
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value_micros", "n_events").alias(
+            "total_value_micros"
+        ),
     )
 
 

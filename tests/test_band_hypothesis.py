@@ -10,15 +10,15 @@ document-frequency cap.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from etl_pipeline_excel_sql__spark.plans.analytics6_queries import BAND_US
+
 # --- band join ---------------------------------------------------------
 
-#: timestamps in *microseconds*, clustered so windows overlap and land on
-#: exact bucket boundaries (multiples of the band width included).
-BAND_US = 600_000_000
+# timestamps in *microseconds*, clustered so windows overlap and land on
+# exact bucket boundaries (multiples of the band width included).
 TS = st.integers(min_value=0, max_value=4 * BAND_US).map(
     lambda v: (v // 100_000_000) * 100_000_000  # 0.1-bucket granularity
 )
@@ -33,41 +33,48 @@ def _brute_counts(probes, builds):
 
 
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(probes=probe_rows, builds=build_rows)
-def test_bucketed_band_join_equals_brute_force(spark, probes, builds):
-    """The bucket-replicated equi-join + exact filter must equal the
-    brute-force O(n*m) band count for every probe row — including rows
-    exactly on bucket boundaries and window edges."""
+def test_bucketed_band_join_equals_brute_force(
+    spark, probes, builds, tmp_path_factory
+):
+    """The PRODUCTION band-join query must equal the brute-force O(n*m)
+    band count for every event row — including rows exactly on bucket
+    boundaries and window edges, and the error rows themselves (which
+    self-match at distance 0)."""
     from pyspark.sql import functions as F
 
-    probe = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(probes)], "pid long, pts long"
+    from etl_pipeline_excel_sql__spark.plans.analytics6_queries import (
+        q_band_join_recent_errors,
     )
-    build = spark.createDataFrame([(t,) for t in builds], "ets long")
-    build_b = build.withColumn("bucket", F.expr(f"ets div {BAND_US}"))
-    probe2 = probe.withColumn(
-        "bucket",
-        F.explode(
-            F.array(
-                F.expr(f"pts div {BAND_US}"),
-                F.expr(f"pts div {BAND_US} - 1"),
-            )
-        ),
+
+    rows = [(i, t, 1, "view", 0.0) for i, t in enumerate(probes)] + [
+        (1000 + j, t, 1, "error", 0.0) for j, t in enumerate(builds)
+    ]
+    sf_dir = tmp_path_factory.mktemp("band_sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(sf_dir / "events.parquet")
     )
-    j = probe2.join(build_b, "bucket").filter(
-        (F.col("ets") <= F.col("pts"))
-        & (F.col("ets") >= F.col("pts") - BAND_US)
-    )
-    cnt = {
-        int(r.pid): int(r.n)
-        for r in j.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    got = {
+        int(r.event_id): int(r.n_recent_errors)
+        for r in q_band_join_recent_errors(spark, str(sf_dir)).collect()
     }
-    got = [cnt.get(i, 0) for i in range(len(probes))]
-    assert got == _brute_counts(probes, builds)
+    want_probe = _brute_counts(probes, builds)
+    want_build = _brute_counts(builds, builds)
+    assert [got[i] for i in range(len(probes))] == want_probe
+    assert [got[1000 + j] for j in range(len(builds))] == want_build
 
 
 # --- passage dedup -----------------------------------------------------
@@ -120,8 +127,6 @@ def test_passage_dedup_equals_brute_force(spark, texts, tmp_path_factory):
     per-document reference exactly, including all-boilerplate documents
     (empty clean_text) and passages repeated within one document (the df
     counts DISTINCT docs, so self-repeats never trip the cap)."""
-    import json
-
     from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
         PASSAGE_MAX_DF,
         PASSAGE_W,
