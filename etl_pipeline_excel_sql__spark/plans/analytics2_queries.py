@@ -412,6 +412,120 @@ FROM grid g LEFT JOIN obs o
 QUERIES["events_gap_fill"] = q_events_gap_fill
 
 
+def q_events_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with LINEAR-interpolation gap fill — the
+    numeric complement of ``events_gap_fill``'s LOCF carry.
+
+    All interpolation arithmetic is INTEGER: per-hour sums are
+    FLOOR-quantized micro-units (``floor(v·1e6 + 0.5)`` per row, int64
+    sums — associative, engine-exact), and the interpolated value is
+    ``prev + (next−prev)·(h−h_prev) DIV (h_next−h_prev)`` (Spark ``DIV``
+    and DuckDB ``//`` both truncate, including for negative slopes, so
+    the fill is bit-identical with no float division anywhere). Grid and
+    shuffle shape identical to the LOCF twin: one exchange on event_type
+    carries the grid join and BOTH direction windows (backward
+    last-ignore-nulls, forward first-ignore-nulls — same sort order).
+    Interior gaps always have both neighbors because the grid spans each
+    type's observed [lo, hi]; endpoint rows are observed by construction.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.expr("unix_micros(ts) DIV 3600000000").alias("bucket_hour")
+    micros = F.expr(
+        "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    obs = (
+        ev.select("event_type", bucket, micros.alias("__m"))
+        .groupBy("event_type", "bucket_hour")
+        .agg(F.sum("__m").alias("__v"))
+    )
+    rng = obs.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("__lo"), F.max("bucket_hour").alias("__hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(
+            "bucket_hour"
+        ),
+    )
+    j = grid.join(obs, ["event_type", "bucket_hour"], "left").withColumn(
+        "__oh",
+        F.when(F.col("__v").isNotNull(), F.col("bucket_hour")),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    x = j.select(
+        "event_type",
+        "bucket_hour",
+        "__v",
+        F.last("__v", ignorenulls=True).over(wb).alias("__pv"),
+        F.last("__oh", ignorenulls=True).over(wb).alias("__ph"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__nv"),
+        F.first("__oh", ignorenulls=True).over(wf).alias("__nh"),
+    )
+    return x.select(
+        "event_type",
+        F.col("bucket_hour").cast("bigint").alias("bucket_hour"),
+        F.col("__v").isNull().alias("is_gap"),
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .otherwise(
+            F.expr(
+                "__pv + ((__nv - __pv) * (bucket_hour - __ph))"
+                " div (__nh - __ph)"
+            )
+        )
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+
+
+ORACLE["events_interp_linear"] = """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket_hour,
+         SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+  FROM obs GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS bucket_hour
+  FROM rng
+), j AS (
+  SELECT g.event_type, g.bucket_hour, o.v,
+         CASE WHEN o.v IS NOT NULL THEN g.bucket_hour END AS oh
+  FROM grid g LEFT JOIN obs o
+    ON g.event_type = o.event_type AND g.bucket_hour = o.bucket_hour
+), x AS (
+  SELECT event_type, bucket_hour, v,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(oh IGNORE NULLS) OVER wb AS ph,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(oh IGNORE NULLS) OVER wf AS nh
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket_hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       CAST(bucket_hour AS BIGINT) AS bucket_hour,
+       v IS NULL AS is_gap,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + ((nv - pv) * (bucket_hour - ph)) // (nh - ph)
+            END AS BIGINT) AS value_micros
+FROM x"""
+
+QUERIES["events_interp_linear"] = q_events_interp_linear
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user next-event transition matrix (first-order Markov counts).
 

@@ -20,8 +20,10 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
 from etl_pipeline_excel_sql__spark.streaming.events import (
     dedup_events_stream,
+    enrich_stream,
     purchase_attribution_stream,
     read_events_stream,
     run_to_memory_sink,
@@ -145,7 +147,27 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the value gate: the event stream
+    left-joins the (batch, broadcast) customer dimension per micro-batch.
+    Stateless — composes freely with downstream watermarked aggregations;
+    the drained append-mode result must equal the batch left join."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = enrich_stream(ev, cust, "user_id").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+    return run_to_memory_sink(
+        enriched, _sink_name("stream_enrich"), output_mode="append"
+    )
+
+
 ORACLE: dict[str, str] = {
+    "stream_enrich": """
+        SELECT event_id, user_id, c_name, c_mktsegment
+        FROM events LEFT JOIN customer ON user_id = c_custkey""",
     "stream_dedup_ids": """
         SELECT DISTINCT event_id FROM events""",
     "stream_user_totals": """
@@ -217,4 +239,5 @@ QUERIES = {
     "stream_join_attrib": q_stream_join_attrib,
     "stream_dedup_ids": q_stream_dedup_ids,
     "stream_user_totals": q_stream_user_totals,
+    "stream_enrich": q_stream_enrich,
 }
