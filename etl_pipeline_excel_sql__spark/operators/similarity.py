@@ -430,3 +430,56 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def gram_matrix(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Distributed Gram matrix X'X over the embedding corpus (upper
+    triangle) — the one-pass reduction PCA / whitening / covariance
+    preprocessing needs.
+
+    Arrow ``mapInPandas`` computes per-batch partial Grams as a single
+    numpy ``int64`` matmul over FLOOR-quantized micro-units
+    (``floor(x·scale + 0.5)`` per element): integer products and sums are
+    associative, so the merged result is bit-identical under any batch
+    split or partition order — a float matmul here would drift in the
+    last ulps per batch boundary and could never be value-hash-gated.
+    Magnitudes: |q| ≤ |x|·scale, so unit-norm-ish embeddings stay far
+    inside int64 through products and corpus-level sums.
+
+    Scale shape: each batch emits dims·(dims+1)/2 rows (model-sized, data
+    -volume-independent); the only exchange carries (i, j, partial) —
+    the classic map-side-reduced Gram that needs no driver collect and
+    no O(n·d²) explode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_dims = dims
+
+    def partial_gram(batches):
+        iu = np.triu_indices(n_dims)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Q = np.floor(X * scale + 0.5).astype("int64")
+            G = Q.T @ Q
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "partial": G[iu],
+                }
+            )
+
+    parts = corpus.select(vec_col).mapInPandas(
+        partial_gram, "i int, j int, partial long"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.sum("partial").cast("bigint").alias("gram")
+    )

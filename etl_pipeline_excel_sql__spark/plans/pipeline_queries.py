@@ -766,6 +766,37 @@ WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
 QUERIES["semantic_dedup_keep"] = q_semantic_dedup_keep
 
 
+def q_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed X'X Gram matrix over the embedding corpus — the REAL
+    Arrow ``mapInPandas`` numeric path under the value gate: per-batch
+    int64 numpy matmuls over floor-quantized micro-units merge to a
+    bit-exact corpus Gram under any batch split (see
+    operators/similarity.gram_matrix). The oracle replays the same
+    quantization with an explode + self-join in SQL.
+    """
+    from etl_pipeline_excel_sql__spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    return gram_matrix(
+        load_table(spark, "embeddings", sf_dir), dims=EMB_DIMS
+    )
+
+
+ORACLE["emb_gram_matrix"] = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i.range AS INT) AS dim,
+         CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000.0
+              + 0.5) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(0, {EMB_DIMS}) i
+)
+SELECT a.dim AS i, b.dim AS j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2"""
+QUERIES["emb_gram_matrix"] = q_emb_gram_matrix
+
+
 TFIDF_K = 5
 
 
