@@ -33,7 +33,11 @@ itself), ``semantic_dedup_keep`` (SemDeDup keep-set), and
 four rounds of driver history; F-family kept in-window by ``filter_eq``),
 ``set_union`` (r1–r4 history; set family locally green), and
 ``json_extract`` (r1–r4 history) — all three incomers oracle-green at
-sf0.01 locally before rotation.
+sf0.01 locally before rotation. A third rotation swapped
+``band_join_recent_errors`` / ``text_passage_dedup`` / ``emb_gram_matrix``
+(round-4-new, locally green at sf0.01) for ``range_join`` / ``sessionize``
+/ ``tpch_q2_mincost_supplier`` (r2–r4 driver history; their families stay
+in-window via the keyless band join, ``stream_sessionize``, and q9/q21).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -127,16 +131,21 @@ DRIVER_PRIORITY = [
     "pagerank_nations",
     "join_bloom_prefilter",
     "asof_join",
-    "range_join",
-    "sessionize",
     "window_agg_events",
+    # third round-4 rotation: the newest zero-history families displace
+    # range_join (r2-r4 history; band_join_recent_errors carries the
+    # richer KEYLESS variant of the family), sessionize (r2-r4 history;
+    # stream_sessionize keeps sessions in-window), and tpch_q2 (r2-r4
+    # history; q9+q21 keep TPC-H in-window)
+    "band_join_recent_errors",
+    "text_passage_dedup",
+    "emb_gram_matrix",
     # merge_upsert rotated out round 4 (driver history in r2+r3;
     # merge_scd2 keeps the MERGE family in-window) for the round-4
     # streaming sliding-window row
     "stream_sliding_counts",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
-    "tpch_q2_mincost_supplier",
     "tpch_q9_profit",
     "tpch_q21_sole_late_supplier",
     # round-3 additions: the streaming engine path and the composed
