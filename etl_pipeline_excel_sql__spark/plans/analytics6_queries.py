@@ -240,7 +240,72 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over sessions: for every unordered
+    event-type pair, in how many (user, session) baskets both occur —
+    the support-counting step of frequent-itemset mining.
+
+    Sessions are the same 30-minute-gap definition as ``sessionize``
+    (lag + running sum over one user_id exchange). The basket self-join
+    runs on the DISTINCT (user, session, type) set — bounded by baskets ×
+    |types|, not event volume — and ``type_a < type_b`` keeps each pair
+    canonical, so the join fan-out per basket is at most C(|types|, 2).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > gap_us,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(wsum)
+        .alias("session_idx"),
+    )
+    basket = sess.distinct()
+    a = basket.select(
+        "user_id", "session_idx", F.col("event_type").alias("type_a")
+    )
+    b = basket.select(
+        "user_id", "session_idx", F.col("event_type").alias("type_b")
+    )
+    pairs = a.join(b, ["user_id", "session_idx"]).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "session_cooccurrence": """
+        WITH flagged AS (
+          SELECT user_id, event_type, ts, event_id,
+            CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT DISTINCT user_id, event_type,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+          FROM flagged
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_sessions
+        FROM sess a
+        JOIN sess b ON a.user_id = b.user_id
+                   AND a.session_idx = b.session_idx
+                   AND a.event_type < b.event_type
+        GROUP BY 1, 2""",
     "rolling_active_users": """
         WITH pairs AS (
           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -325,4 +390,5 @@ QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "band_join_recent_errors": q_band_join_recent_errors,
     "rolling_active_users": q_rolling_active_users,
+    "session_cooccurrence": q_session_cooccurrence,
 }
