@@ -155,6 +155,39 @@ COMMENTARY = {
         "reducers. Results equal the plain join (oracle-verified); salt "
         "only changes physical placement."
     ),
+    "band_join_recent_errors": (
+        "Keyless time-band join via bucket replication: the probe side "
+        "explodes into the 2 band-width buckets its window can span, the "
+        "build side lands in exactly 1, and the join is a plain hash join "
+        "on the bucket id with the exact band predicate as a filter — "
+        "never a BroadcastNestedLoopJoin, which is what a naive "
+        "inequality join compiles to."
+    ),
+    "text_passage_dedup": (
+        "Passage boilerplate removal: the document-frequency aggregate "
+        "and the anti-join key on md5 digests (32 chars), so no exchange "
+        "ever carries passage text; the boilerplate set (rare by "
+        "definition of the frequency cap) broadcasts into the anti-join; "
+        "reassembly is one doc_id-keyed exchange."
+    ),
+    "window_range_frame": (
+        "TRUE time-RANGE frame over integer epoch-micros: one hash "
+        "exchange on user_id covers both frame aggregates; the frame "
+        "width is event time, so the plan is identical whether a user "
+        "has 3 events or 3 million in the hour."
+    ),
+    "emb_gram_matrix": (
+        "Distributed Gram matrix: Arrow mapInPandas emits model-sized "
+        "(dims²/2-row) integer partial matmuls per batch; the single "
+        "exchange carries (i, j, partial) — data volume never shuffles, "
+        "and integer partials merge bit-exactly under any batch split."
+    ),
+    "semantic_dedup_keep": (
+        "SemDeDup keep-set: SRP-LSH candidate pairs → exact cosine verify "
+        "→ min-label components; the final subtraction is a broadcast "
+        "anti-join of the (small) drop list against the corpus scan — the "
+        "embedding corpus never shuffles to compute the surviving set."
+    ),
 }
 
 
