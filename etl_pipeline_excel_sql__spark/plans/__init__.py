@@ -46,6 +46,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics4_queries,
     analytics5_queries,
     analytics6_queries,
+    analytics7_queries,
     analytics_queries,
     corpus_queries,
     corpus2_queries,
@@ -73,6 +74,7 @@ _ALL_QUERIES = {
     **analytics4_queries.QUERIES,
     **analytics5_queries.QUERIES,
     **analytics6_queries.QUERIES,
+    **analytics7_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
     **streaming_queries.QUERIES,
@@ -92,6 +94,7 @@ _ALL_ORACLE = {
     **analytics4_queries.ORACLE,
     **analytics5_queries.ORACLE,
     **analytics6_queries.ORACLE,
+    **analytics7_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
     **streaming_queries.ORACLE,
