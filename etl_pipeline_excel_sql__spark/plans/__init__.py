@@ -38,6 +38,14 @@ sf0.01 locally before rotation. A third rotation swapped
 (round-4-new, locally green at sf0.01) for ``range_join`` / ``sessionize``
 / ``tpch_q2_mincost_supplier`` (r2–r4 driver history; their families stay
 in-window via the keyless band join, ``stream_sessionize``, and q9/q21).
+A fourth rotation gave the round-4c batch its first gate run:
+``agg_trimmed_mean`` (robust order statistics), ``events_twap``
+(time-weighted LOCF aggregation), and ``basket_lift`` (association-rule
+mining) displaced ``null_literal`` (trivially typed, r1–r4 history),
+``window_agg_events`` (r1–r4 history; window family kept in-window by
+``window_zscore`` and ``window_range_frame``), and ``dedup_simhash``
+(r1–r4 history; the dedup family keeps five other in-window rows) — all
+three incomers oracle-green at sf0.001 AND sf0.01 locally first.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -108,7 +116,9 @@ DRIVER_PRIORITY = [
     "rename_positional",
     "date_fmt",
     "pct_fmt",
-    "null_literal",
+    # null_literal rotated out round 4 (trivially typed, r1-r4 history)
+    # for the robust-statistics family's first driver row
+    "agg_trimmed_mean",
     "order_custom",
     "dedup_lastwins",
     "join_anti_new",
@@ -134,7 +144,10 @@ DRIVER_PRIORITY = [
     "pagerank_nations",
     "join_bloom_prefilter",
     "asof_join",
-    "window_agg_events",
+    # window_agg_events rotated out round 4 (r1-r4 history; window family
+    # kept by window_zscore + window_range_frame) for the time-weighted
+    # LOCF aggregate — a new family with zero history
+    "events_twap",
     # third round-4 rotation: the newest zero-history families displace
     # range_join (r2-r4 history; band_join_recent_errors carries the
     # richer KEYLESS variant of the family), sessionize (r2-r4 history;
@@ -172,7 +185,9 @@ DRIVER_PRIORITY = [
     "text_tfidf_topk",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
+    # dedup_simhash rotated out round 4 (r1-r4 history; five dedup rows
+    # stay in-window) for association-rule mining's first driver row
+    "basket_lift",
     "dedup_ngram_jaccard",
     # dedup_keep_best rotated out round 3 (thin variant of dedup_exact +
     # dedup_clusters, both still in-window; locally green)

@@ -421,3 +421,37 @@ def test_band_join_is_hash_join_on_buckets(spark):
     assert "Join [bucket" in plan or "hashpartitioning(bucket" in plan or (
         "BroadcastHashJoin [bucket" in plan
     ), plan[:500]
+
+
+def test_basket_lift_broadcasts_dims_no_cartesian(spark):
+    """part and the brand-count sides must broadcast; the only nested-loop
+    is the singleton n_orders crossJoin. The pair self-join keys on
+    l_orderkey — never an all-pairs brand product."""
+    plan = _plan(spark, "basket_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # singleton total broadcast is the only nested loop allowed
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark):
+    """Global k smallest priorities must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a full Sort + Limit."""
+    plan = _plan(spark, "text_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """The wide-to-long melt must profile all four measures from ONE
+    parquet scan — four separate scans is the anti-pattern."""
+    plan = _plan(spark, "profile_columns")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_m4_downsample_is_aggregate_not_window(spark):
+    """M4 first/last compile to min_by/max_by aggregates — a per-row
+    Window rank here would materialize rank rows for every point."""
+    plan = _plan(spark, "events_m4_downsample")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
