@@ -9,7 +9,7 @@ re-filters the frame once per ministry; at scale that would be N full passes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,3 +33,42 @@ def categorical_order(
     if not keep_unlisted:
         out = out.filter(F.col("_ord") <= len(categories))
     return out.orderBy("_ord", *(tiebreak_cols or []))
+
+
+def global_row_numbers(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    out: str = "rn",
+) -> DataFrame:
+    """Dense global ordinals over (bucket, *order_cols) WITHOUT the
+    single-partition window trap.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+    whole table through one task — the classic ordered-export scale
+    killer. This is the two-phase formulation: (1) per-bucket counts →
+    prefix-sum offsets (a window over #buckets rows — tiny by
+    construction), broadcast back; (2) per-bucket row_number, which
+    distributes across buckets. Global ordinal = offset + local rank.
+
+    Correctness requires ``bucket_col`` to be a PREFIX of the intended
+    global order (e.g. month is a prefix of (date, key) order); callers
+    choose a bucket with enough cardinality to spread the sort.
+    """
+    cnts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
+    woff = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cnts.select(
+        bucket_col,
+        F.coalesce(F.sum("__n").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    wloc = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(offsets), bucket_col)
+        .withColumn(out, F.col("__off") + F.row_number().over(wloc))
+        .drop("__off")
+    )

@@ -46,6 +46,14 @@ mining) displaced ``null_literal`` (trivially typed, r1–r4 history),
 ``window_zscore`` and ``window_range_frame``), and ``dedup_simhash``
 (r1–r4 history; the dedup family keeps five other in-window rows) — all
 three incomers oracle-green at sf0.001 AND sf0.01 locally first.
+A fifth rotation covered the ops/export batch: ``global_row_number``
+(distributed global ordinals — the oracle is the naive single-partition
+window, so a driver pass certifies the two-phase decomposition) and
+``table_fingerprint`` (replica-verification digests) displaced
+``rename_positional`` (P2, r1–r4 history; P-family kept by
+``drop_cols``) and ``word_diff`` (D3, r1–r4 history; D-family kept by
+``diff_cells``); ``sample_fixed_per_group`` stays local-only
+(family-redundant with in-window ``sample_stratified``).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -56,6 +64,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics6_queries,
     analytics7_queries,
     analytics_queries,
+    ops_queries,
     corpus_queries,
     corpus2_queries,
     sampling_queries,
@@ -83,6 +92,7 @@ _ALL_QUERIES = {
     **analytics5_queries.QUERIES,
     **analytics6_queries.QUERIES,
     **analytics7_queries.QUERIES,
+    **ops_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
     **streaming_queries.QUERIES,
@@ -103,6 +113,7 @@ _ALL_ORACLE = {
     **analytics5_queries.ORACLE,
     **analytics6_queries.ORACLE,
     **analytics7_queries.ORACLE,
+    **ops_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
     **streaming_queries.ORACLE,
@@ -113,7 +124,9 @@ DRIVER_PRIORITY = [
     # SURVEY §2 reference core (F/P/J/T/O/D operators + flagship pipeline)
     "filter_eq",
     "drop_cols",
-    "rename_positional",
+    # rename_positional rotated out round 4 (P2, r1-r4 history; P-family
+    # kept by drop_cols) for the distributed-global-ordinals operator
+    "global_row_number",
     "date_fmt",
     "pct_fmt",
     # null_literal rotated out round 4 (trivially typed, r1-r4 history)
@@ -123,7 +136,9 @@ DRIVER_PRIORITY = [
     "dedup_lastwins",
     "join_anti_new",
     "diff_cells",
-    "word_diff",
+    # word_diff rotated out round 4 (D3, r1-r4 history; D-family kept by
+    # diff_cells) for the replica-verification fingerprint family
+    "table_fingerprint",
     "download_pipeline",
     "agg_rowcount",
     "array_funcs",

@@ -1,0 +1,134 @@
+"""Operational / export utilities: scalable global ordinals, order-free
+table fingerprints, and fixed-size per-group samples.
+
+* ``global_row_number`` — dense global ordinals for ordered export
+  (``operators/ordering.global_row_numbers``). The naive
+  ``row_number() OVER (ORDER BY ...)`` funnels the whole table through
+  ONE task; the two-phase formulation (per-bucket counts → broadcast
+  prefix-sum offsets → per-bucket rank) distributes the sort across
+  month buckets while producing the identical numbering — the oracle IS
+  the naive global window, proving the decomposition exact.
+* ``table_fingerprint`` — replica-verification digest per return flag:
+  row count, XOR of 60-bit row hashes (order-free, overflow-free), and
+  the full decimal sum of hashes (catches the duplicate-pair
+  cancellation XOR alone would miss — a duplicated row flips XOR back
+  but moves the sum). Floats enter the row representation ONLY through
+  the decimal(18,6)→string render, never double→string (engine float
+  formatting differs; decimal rendering is the proven parity idiom).
+  At 10^12 rows the decimal sum stays < 10^31 — inside decimal(38,0).
+  This is how two copies of a 100 TB table are compared without moving
+  either: ship one fingerprint row per group, not data.
+* ``sample_fixed_per_group`` — exactly min(k, |group|) documents per
+  language by hash order: the deterministic eval-set builder (the
+  Bernoulli sampler can't promise exact k; the rank over the hash
+  order can). One exchange on lang; per-group state is a rank counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+from etl_pipeline_excel_sql__spark.operators.ordering import (
+    global_row_numbers,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+#: documents kept per language by sample_fixed_per_group.
+FIXED_K = 50
+
+
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinals over orders by (o_orderdate, o_orderkey)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    numbered = global_row_numbers(
+        orders, "month", ["o_orderdate", "o_orderkey"]
+    )
+    return numbered.select("o_orderkey", F.col("rn").cast("bigint").alias("rn"))
+
+
+#: columns entering the fingerprint, with floats rendered via decimal.
+_FP_EXPR = (
+    "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
+    "CAST(l_quantity AS DECIMAL(18,6)), "
+    "CAST(l_extendedprice AS DECIMAL(18,6)), "
+    "CAST(l_discount AS DECIMAL(18,6)), "
+    "CAST(l_tax AS DECIMAL(18,6)))"
+)
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-group digest of lineitem for replica verification."""
+    li = load_table(spark, "lineitem", sf_dir)
+    h = md5_hash60(F.expr(_FP_EXPR))
+    rows = li.select("l_returnflag", h.alias("h"))
+    return rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("fp_xor"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fp_sum"),
+    )
+
+
+def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(k, |group|) docs per language, by hash rank."""
+    doc = load_table(spark, "documents", sf_dir)
+    h = md5_hash60(
+        F.concat(F.lit("fixedk:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        doc.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= FIXED_K)
+        .select("doc_id", "lang", "n_chars", "rank_in_lang")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "global_row_number": """
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders""",
+    "table_fingerprint": f"""
+        WITH rows_h AS (
+          SELECT l_returnflag,
+                 {_H60.format(x='''concat_ws('|', l_orderkey, l_linenumber,
+                   l_returnflag, l_linestatus,
+                   CAST(l_quantity AS DECIMAL(18,6)),
+                   CAST(l_extendedprice AS DECIMAL(18,6)),
+                   CAST(l_discount AS DECIMAL(18,6)),
+                   CAST(l_tax AS DECIMAL(18,6)))''')} AS h
+          FROM lineitem
+        )
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               bit_xor(h) AS fp_xor,
+               CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS fp_sum
+        FROM rows_h
+        GROUP BY l_returnflag""",
+    "sample_fixed_per_group": f"""
+        SELECT doc_id, lang, n_chars, rank_in_lang
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   {_H60.format(x="'fixedk:' || CAST(doc_id AS VARCHAR)")},
+                   doc_id) AS rank_in_lang
+          FROM documents
+        )
+        WHERE rank_in_lang <= {FIXED_K}""",
+}
+
+QUERIES = {
+    "global_row_number": q_global_row_number,
+    "table_fingerprint": q_table_fingerprint,
+    "sample_fixed_per_group": q_sample_fixed_per_group,
+}
