@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "window_range_frame",
     "band_join_recent_errors",
     "text_passage_dedup",
+    # round-4c/4d additions (appended; earlier ordering preserved)
+    "basket_lift",
+    "events_twap",
+    "global_row_number",
 ]
 
 

@@ -63,6 +63,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics5_queries,
     analytics6_queries,
     analytics7_queries,
+    analytics8_queries,
     analytics_queries,
     ops_queries,
     corpus_queries,
@@ -92,6 +93,7 @@ _ALL_QUERIES = {
     **analytics5_queries.QUERIES,
     **analytics6_queries.QUERIES,
     **analytics7_queries.QUERIES,
+    **analytics8_queries.QUERIES,
     **ops_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
@@ -113,6 +115,7 @@ _ALL_ORACLE = {
     **analytics5_queries.ORACLE,
     **analytics6_queries.ORACLE,
     **analytics7_queries.ORACLE,
+    **analytics8_queries.ORACLE,
     **ops_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
