@@ -188,6 +188,40 @@ COMMENTARY = {
         "anti-join of the (small) drop list against the corpus scan — the "
         "embedding corpus never shuffles to compute the surviving set."
     ),
+    "global_row_number": (
+        "Distributed global ordinals: per-bucket counts feed a "
+        "single-partition prefix-sum over #buckets rows (tiny by "
+        "construction), offsets broadcast back, and the table-sized rank "
+        "runs per bucket — the naive row_number() OVER (ORDER BY …) "
+        "would funnel the whole table through one task. The oracle IS "
+        "that naive window, proving the decomposition identical."
+    ),
+    "basket_lift": (
+        "Association-rule mining: the pair self-join runs on the "
+        "DISTINCT (order, brand) set keyed on the order id — per-basket "
+        "fan-out is bounded by C(|brands|,2), independent of line-item "
+        "volume; brand totals and the basket count broadcast back, and "
+        "every statistic is integer ppm — exact at any partitioning."
+    ),
+    "events_twap": (
+        "Time-weighted average (LOCF): one (user, day) exchange serves "
+        "both the lead() duration window and the final aggregate; "
+        "value×duration accumulates exactly in decimal with integer "
+        "epoch-micro weights, so the merge is order-free."
+    ),
+    "events_m4_downsample": (
+        "M4 downsampling: (min, max, first, last) per series-hour via "
+        "min_by/max_by over the (epoch-micros, event_id) total order — "
+        "one partial-aggregated exchange, no Window operator, no per-row "
+        "rank rows; the plan that feeds a line chart from a trillion "
+        "points."
+    ),
+    "table_fingerprint": (
+        "Replica-verification digest: count + XOR of 60-bit row hashes + "
+        "full decimal hash sum per group, one partial-aggregated "
+        "exchange carrying three numbers per group — compare two copies "
+        "of a 100 TB table without moving either."
+    ),
 }
 
 
