@@ -13,6 +13,12 @@ and cumulative inventory/backlog tracking.
   in exact ppm. The classifier-evaluation pattern: predictions are an
   expression (no UDF), the matrix is one (actual, predicted) aggregate,
   and class totals broadcast back for the rate.
+* ``scd2_pointintime`` — as-of lookup against the SCD2 dimension built by
+  ``merge_scd2``: the version set valid at each probe instant
+  (``valid_from <= D < valid_to``, NULL = open). Probe dates broadcast,
+  the version table never shuffles, and the oracle wraps the merge_scd2
+  oracle verbatim as its base relation — the temporal join is certified
+  against the SAME versioned state the MERGE gate certifies.
 * ``orders_backlog`` — daily opened / fully-shipped / cumulative-open
   order counts: the event-delta prefix-sum pattern (open = +1 at order
   date, close = −1 at the order's LAST ship date). The cumulative sum
@@ -28,10 +34,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.functions.text import lang_id, ws_tokens
+from etl_pipeline_excel_sql__spark.plans.analytics2_queries import (
+    ORACLE as _A2_ORACLE,
+)
+from etl_pipeline_excel_sql__spark.plans.analytics2_queries import (
+    q_merge_scd2,
+)
 from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
     q_emb_label_centroids,
 )
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+#: as-of probe dates for the SCD2 point-in-time lookup: inside the
+#: history-only window, the steady pre-merge window, and post-merge.
+SCD2_PROBES = ("2019-06-01", "2020-06-01", "2021-07-01")
 
 
 def q_emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,6 +94,37 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_class").cast("bigint").alias("n_class"),
             F.expr("n_docs * 1000000 div n_class").alias("rate_ppm"),
         )
+    )
+
+
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: for each probe
+    date, the version set valid at that instant (``valid_from <= D <
+    valid_to``, open intervals current). The temporal-join semantics
+    every versioned dimension serves; ISO date strings compare
+    lexicographically, so validity is a pure string predicate on both
+    engines. Probe dates broadcast; the version table never shuffles —
+    one aggregate exchange on the (tiny) probe key.
+    """
+    scd2 = q_merge_scd2(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [(d,) for d in SCD2_PROBES], "probe_date string"
+    )
+    hit = scd2.crossJoin(F.broadcast(probes)).filter(
+        (F.col("valid_from") <= F.col("probe_date"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("probe_date"))
+        )
+    )
+    return hit.groupBy("probe_date").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .cast("double")
+        .alias("total_acctbal"),
     )
 
 
@@ -199,8 +246,24 @@ ORACLE: dict[str, str] = {
         FROM days""",
 }
 
+# The merge_scd2 oracle (analytics2_queries) verbatim as the versioned
+# base relation; the point-in-time predicate and rollup wrap it.
+_probe_values = ", ".join(f"('{d}')" for d in SCD2_PROBES)
+ORACLE["scd2_pointintime"] = f"""
+    SELECT probe_date,
+           COUNT(*) AS n_versions,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS total_acctbal
+    FROM ({_A2_ORACLE["merge_scd2"]}) scd2
+    JOIN (VALUES {_probe_values}) p(probe_date)
+      ON valid_from <= probe_date
+     AND (valid_to IS NULL OR valid_to > probe_date)
+    GROUP BY probe_date"""
+
 QUERIES = {
     "emb_centroid_distances": q_emb_centroid_distances,
     "lang_confusion": q_lang_confusion,
     "orders_backlog": q_orders_backlog,
+    "scd2_pointintime": q_scd2_pointintime,
 }

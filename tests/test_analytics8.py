@@ -54,3 +54,23 @@ def test_orders_backlog_conserves_orders(spark, sf_dir):
     for r in rows:
         run += r["n_opened"] - r["n_closed"]
         assert r["backlog"] == run
+
+
+def test_scd2_pointintime_validity_semantics(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.plans.analytics8_queries import (
+        q_scd2_pointintime,
+    )
+
+    rows = {r["probe_date"]: r for r in q_scd2_pointintime(spark, sf_dir).collect()}
+    n_cust = load_table(spark, "customer", sf_dir).count()
+    # 2019 probe: only the %10==1 history versions exist
+    hist = rows["2019-06-01"]
+    assert hist["n_versions"] == hist["n_customers"]
+    assert 0 < hist["n_versions"] < n_cust
+    # 2020 probe: every customer has exactly one valid version
+    mid = rows["2020-06-01"]
+    assert mid["n_versions"] == mid["n_customers"] == n_cust
+    # 2021 post-merge probe: every base customer still has exactly one
+    # valid version, plus the %13==5 shifted-key inserts
+    post = rows["2021-07-01"]
+    assert post["n_versions"] == post["n_customers"] > n_cust
