@@ -24,6 +24,7 @@ from etl_pipeline_excel_sql__spark.sources.registry import load_table
 from etl_pipeline_excel_sql__spark.streaming.events import (
     dedup_events_stream,
     enrich_stream,
+    m4_downsample_stream,
     purchase_attribution_stream,
     read_events_stream,
     run_to_memory_sink,
@@ -232,6 +233,21 @@ ORACLE: dict[str, str] = {
         FROM sess GROUP BY user_id, session_idx""",
 }
 
+def q_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling BY THE STREAMING ENGINE: min/max/first/last per
+    (event_type, hour) via min_by/max_by streaming aggregates. On the
+    bounded corpus the drained result must equal the batch
+    ``events_m4_downsample`` exactly — same oracle SQL."""
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        read_events_stream as _res,
+    )
+
+    ev = _res(spark, sf_dir)
+    return run_to_memory_sink(
+        m4_downsample_stream(ev), _sink_name("stream_m4")
+    )
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
@@ -240,4 +256,12 @@ QUERIES = {
     "stream_dedup_ids": q_stream_dedup_ids,
     "stream_user_totals": q_stream_user_totals,
     "stream_enrich": q_stream_enrich,
+    "stream_m4_downsample": q_stream_m4_downsample,
 }
+
+# the batch M4 oracle verbatim — stream and batch must agree exactly
+from etl_pipeline_excel_sql__spark.plans.analytics7_queries import (  # noqa: E402
+    ORACLE as _A7_ORACLE,
+)
+
+ORACLE["stream_m4_downsample"] = _A7_ORACLE["events_m4_downsample"]

@@ -303,6 +303,44 @@ def sliding_counts_stream(
     )
 
 
+def m4_downsample_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked M4 downsampling: (min, max, first, last) per
+    (event_type, hour window) BY THE STREAMING ENGINE.
+
+    first/last are ``min_by``/``max_by`` over the (epoch-micros,
+    event_id) total order — declarative aggregates, so the streaming
+    state per open window is four scalars + two ordering keys, merged
+    associatively across micro-batches exactly like the batch partials.
+    ``F.window`` buckets align to epoch hours, the same cells as the
+    batch twin's ``tus div HOUR_US``.
+    """
+    key = F.struct(F.unix_micros(F.col("ts")).alias("tus"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", key).alias("v_first"),
+            F.max_by("value", key).alias("v_last"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n_points",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+
+
 def purchase_attribution_stream(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -365,3 +365,26 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     )
     assert got.count() > 0
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_m4_equals_batch_m4(spark, sf_dir):
+    """The streaming M4 aggregate (min_by/max_by state merged across
+    micro-batches) must drain to exactly the batch M4 result."""
+    from etl_pipeline_excel_sql__spark.plans.analytics7_queries import (
+        q_events_m4_downsample,
+    )
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        m4_downsample_stream,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    got = run_to_memory_sink(
+        m4_downsample_stream(read_events_stream(spark, sf_dir)),
+        "m4_stream_test",
+    )
+    batch = q_events_m4_downsample(spark, sf_dir)
+    assert got.columns == batch.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
