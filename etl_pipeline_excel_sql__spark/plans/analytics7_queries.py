@@ -217,6 +217,45 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted median price per return flag.
+
+    The crossing rule: walking prices in ascending order, the weighted
+    median is the first value whose cumulative weight reaches half the
+    total. Weights accumulate in decimal (associative — partition order
+    can't flip the crossing), and equal-price runs make the selected
+    VALUE independent of how engines order ties, so no tie-break column
+    is needed. Same one-sort-per-group cost as every exact order
+    statistic here; the approximate path at 100 TB is a weighted sketch.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cum_w"),
+        F.sum("w").over(wall).alias("tot_w"),
+    )
+    crossed = cum.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("v").alias("weighted_median"),
+        F.min(F.col("tot_w"))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .cast("double")
+        .alias("total_weight"),
+    )
+
+
 #: the four profiled lineitem measures, in output order.
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -386,6 +425,24 @@ ORACLE: dict[str, str] = {
         LIMIT {WSAMPLE_K}""",
 }
 
+ORACLE["weighted_median_price"] = """
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER
+               (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER
+               (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(v) AS weighted_median,
+           CAST(CAST(CAST(MIN(tot_w) AS DECIMAL(38,6)) AS VARCHAR)
+                AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cum_w * 2 >= tot_w
+    GROUP BY l_returnflag"""
+
 QUERIES = {
     "agg_trimmed_mean": q_agg_trimmed_mean,
     "events_twap": q_events_twap,
@@ -393,4 +450,5 @@ QUERIES = {
     "basket_lift": q_basket_lift,
     "profile_columns": q_profile_columns,
     "text_weighted_sample": q_text_weighted_sample,
+    "weighted_median_price": q_weighted_median_price,
 }

@@ -129,3 +129,39 @@ def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
     )
     sample_mean = sum(r["n_chars"] for r in s1) / len(s1)
     assert sample_mean > corpus_mean
+
+
+def test_weighted_median_matches_driver_recompute(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_pipeline_excel_sql__spark.plans.analytics7_queries import (
+        q_weighted_median_price,
+    )
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in q_weighted_median_price(spark, sf_dir).collect()
+    }
+    raw = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_flag: dict[str, list[tuple[float, Decimal]]] = {}
+    for r in raw:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], Decimal(str(r["l_quantity"])))
+        )
+    for flag, pts in by_flag.items():
+        pts.sort(key=lambda p: p[0])
+        tot = sum(p[1] for p in pts)
+        cum = Decimal(0)
+        median = None
+        for v, w in pts:
+            cum += w
+            if cum * 2 >= tot:
+                median = v
+                break
+        got = rows[flag]
+        assert got["weighted_median"] == median
+        assert abs(got["total_weight"] - float(tot)) < 1e-6
