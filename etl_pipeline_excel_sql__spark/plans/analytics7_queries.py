@@ -31,6 +31,12 @@ association mining.
   exact NDV, min/max) for the four lineitem measures via STACK: the
   wide→long melt means ONE scan and one 4-key aggregate instead of four
   separate jobs — the shape a 100 TB profiler needs.
+* ``weighted_median_price`` — exact weighted median by the cumulative-
+  weight crossing rule: weights accumulate in decimal, the first price
+  whose running weight reaches half the total wins, and equal-price runs
+  make the selected value tie-order-independent. No interpolation — the
+  result is always an observed value, like every exact order statistic
+  here.
 * ``text_weighted_sample`` — deterministic size-weighted document
   sampling: priority = hash60(doc_id) div weight, keep the k smallest.
   Longer documents divide their uniform hash by a larger weight, so
