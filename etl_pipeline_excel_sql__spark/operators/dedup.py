@@ -240,6 +240,116 @@ def minhash_lsh_pairs(
     )
 
 
+#: bounded cache handle for minhash_lsh_pairs_cross (same doctrine as
+#: _last_sig: at most one lingering persisted signature table).
+_last_sig_cross: DataFrame | None = None
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental-ingestion near-dup: NEW batch vs EXISTING corpus.
+
+    The self-join form (:func:`minhash_lsh_pairs`) answers "what
+    duplicates exist"; ingestion needs "which incoming docs duplicate
+    something already indexed" — a CROSS-set band join that must never
+    pair new-vs-new or corpus-vs-corpus rows.
+
+    Shape: both sides union into ONE signature pass (one explode, one
+    groupBy — not two jobs), tagged by side; the band join then keys on
+    (band, bucket) with ``l.side = new, r.side = corpus``. At 100 TB the
+    corpus-side signature table is the thing you'd persist between
+    ingestion batches — it is corpus-sized rows of k ints, and the new
+    batch's bands probe it without the corpus text ever moving.
+
+    Output: ``new_id, corpus_id, jaccard_sim`` (exact verify ≥ threshold).
+    Assumes disjoint id spaces between sides (callers split one table by
+    a partition predicate).
+    """
+    assert num_hashes % band_rows == 0
+    num_bands = num_hashes // band_rows
+
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit("new").alias("__side")
+    ).unionByName(
+        corpus_df.select(
+            F.col(id_col), F.col(text_col), F.lit("corpus").alias("__side")
+        )
+    )
+    tagged = tagged.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    exploded = shingle_rows(tagged, text_col, id_col, shingle_n)
+    sides = tagged.select(F.col(id_col).alias("__id"), "__side")
+    hbase = (
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(MINHASH_PRIME))
+    )
+    hashed = exploded.select("__id", hbase.alias("hb"))
+    hash_cols = [
+        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(affine_consts(num_hashes))
+    ]
+    global _last_sig_cross
+    sig = (
+        hashed.select("__id", *hash_cols)
+        .groupBy("__id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+        .join(sides, "__id")
+        .persist()
+    )
+    if _last_sig_cross is not None:
+        _last_sig_cross.unpersist()
+    _last_sig_cross = sig
+    bands = sig.select(
+        "__id",
+        "__side",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{b * band_rows + r}")
+                            for r in range(band_rows)
+                        ],
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    new_b = bands.filter(F.col("__side") == "new").drop("__side")
+    cor_b = bands.filter(F.col("__side") == "corpus").drop("__side")
+    cand = (
+        new_b.alias("l")
+        .join(cor_b.alias("r"), on=["band", "bucket"])
+        .select(
+            F.col("l.__id").alias("new_id"),
+            F.col("r.__id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sets = exploded.groupBy("__id").agg(F.collect_set("__sh").alias("__sh"))
+    sh_n = sets.select(F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n"))
+    sh_c = sets.select(
+        F.col("__id").alias("corpus_id"), F.col("__sh").alias("sh_c")
+    )
+    return (
+        cand.join(sh_n, on="new_id")
+        .join(sh_c, on="corpus_id")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_n"), F.col("sh_c")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("new_id", "corpus_id", "jaccard_sim")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

@@ -1040,3 +1040,75 @@ FROM tf JOIN dfreq USING (term), n
 QUALIFY rank <= {TFIDF_K}
 """
 QUERIES["text_tfidf_topk"] = q_text_tfidf_topk
+
+
+#: sources treated as the INCOMING batch by dedup_incremental (the other
+#: 15 sources are the already-indexed corpus).
+NEW_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion near-dup: which incoming-batch documents
+    (sources src0-src4) duplicate something already in the indexed
+    corpus (the other sources). Cross-set MinHash banding — never
+    new-vs-new or corpus-vs-corpus pairs; see
+    ``operators/dedup.minhash_lsh_pairs_cross``."""
+    from etl_pipeline_excel_sql__spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_new = F.col("source").isin(*NEW_SOURCES)
+    return minhash_lsh_pairs_cross(
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+_NEW_SRC_SQL = ", ".join(f"'{s}'" for s in NEW_SOURCES)
+
+ORACLE["dedup_incremental"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({_NEW_SRC_SQL}) THEN 'new' ELSE 'corpus' END
+           AS side,
+         {_shingle_sql(MINHASH_SHINGLE_N)} AS sh
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), hashed AS (
+  SELECT doc_id, side, sh,
+         list_transform(sh, s -> {_HASH60.format(e='s')} & {MINHASH_PRIME}) AS hb
+  FROM base
+), sigs AS (
+  SELECT doc_id, side, sh,
+    [{', '.join(
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in affine_consts(MINHASH_K)
+    )}] AS mh
+  FROM hashed
+), bands AS (
+  SELECT doc_id, side, sh, b AS band,
+         CAST(mh[{MINHASH_BAND_ROWS} * b + 1] AS VARCHAR) || ',' ||
+         CAST(mh[{MINHASH_BAND_ROWS} * b + 2] AS VARCHAR) AS bucket
+  FROM sigs, UNNEST(range(0, {MINHASH_K // MINHASH_BAND_ROWS})) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                  a.sh AS sh_n, b.sh AS sh_c
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.side = 'new' AND b.side = 'corpus'
+)
+SELECT new_id, corpus_id,
+  len(list_intersect(sh_n, sh_c))::DOUBLE
+    / len(list_distinct(list_concat(sh_n, sh_c)))::DOUBLE AS jaccard_sim
+FROM cand
+WHERE len(list_intersect(sh_n, sh_c))::DOUBLE
+    / len(list_distinct(list_concat(sh_n, sh_c)))::DOUBLE
+    >= {MINHASH_THRESHOLD}
+"""
+QUERIES["dedup_incremental"] = q_dedup_incremental

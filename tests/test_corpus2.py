@@ -84,3 +84,52 @@ def test_vocab_coverage_bounds(spark, sf_dir):
         | (F.col("oov_bp") < 0)
         | (F.col("oov_bp") > 10_000)
     ).count() == 0
+
+
+def test_dedup_incremental_equals_filtered_self_join(spark, sf_dir):
+    """The cross-set band join must find exactly the self-join's pairs
+    that straddle the batch/corpus split — no more (no within-side
+    pairs), no fewer (no cross pair lost to the side filter)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_excel_sql__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+        MINHASH_SHINGLE_N,
+        MINHASH_THRESHOLD,
+        NEW_SOURCES,
+        q_dedup_incremental,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    got = sorted(
+        (r["new_id"], r["corpus_id"], round(r["jaccard_sim"], 9))
+        for r in q_dedup_incremental(spark, sf_dir).collect()
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    new_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("source").isin(*NEW_SOURCES))
+        .select("doc_id")
+        .collect()
+    }
+    allp = minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    ).collect()
+    want = []
+    for r in allp:
+        a, b, j = r["id_a"], r["id_b"], round(r["jaccard_sim"], 9)
+        if (a in new_ids) != (b in new_ids):
+            n, c = (a, b) if a in new_ids else (b, a)
+            want.append((n, c, j))
+    assert got == sorted(want)
+    assert got  # the corpus ships cross-split near-dups; zero means a bug
