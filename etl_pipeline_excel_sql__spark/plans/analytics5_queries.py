@@ -427,3 +427,50 @@ ORACLE["heavy_hitter_terms"] = """
 
 QUERIES["cap_per_source"] = q_cap_per_source
 QUERIES["heavy_hitter_terms"] = q_heavy_hitter_terms
+
+
+#: adjacent char pairs kept by bpe_pair_counts.
+BPE_PAIR_K = 30
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies — the statistic the FIRST BPE
+    merge maximizes, computed corpus-wide (tokenizer-training telemetry).
+
+    Pure expression plan: ``sequence(1, len-1)`` → transform to 2-char
+    substrings → explode → count; the global top-K compiles to
+    TakeOrderedAndProject (per-partition top-K + K-row merge). At 100 TB
+    the shuffle carries (pair, partial_count) rows — at most |alphabet|²
+    keys per partition, corpus-size-independent.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = docs.filter(F.length("text") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_PAIR_K)
+    )
+
+
+ORACLE["bpe_pair_counts"] = f"""
+    WITH pairs AS (
+      SELECT UNNEST(list_transform(range(1, length(text)),
+                                   i -> substr(text, CAST(i AS INT), 2)))
+        AS pair
+      FROM documents
+      WHERE length(text) >= 2
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT {BPE_PAIR_K}"""
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts

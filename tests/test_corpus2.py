@@ -133,3 +133,24 @@ def test_dedup_incremental_equals_filtered_self_join(spark, sf_dir):
             want.append((n, c, j))
     assert got == sorted(want)
     assert got  # the corpus ships cross-split near-dups; zero means a bug
+
+
+def test_bpe_pair_counts_topk_properties(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
+        BPE_PAIR_K,
+        q_bpe_pair_counts,
+    )
+
+    rows = q_bpe_pair_counts(spark, sf_dir).collect()
+    assert len(rows) == BPE_PAIR_K
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # plan: global top-k must be a TakeOrdered, not a full sort
+    plan = (
+        q_bpe_pair_counts(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
