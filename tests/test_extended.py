@@ -61,3 +61,45 @@ def test_zscore_pandas_udf_twin_matches_expressions(spark, sf_dir):
     assert set(udf_out) == set(expr_out)
     for k, v in expr_out.items():
         assert abs(udf_out[k] - v) < 1e-9, k
+
+
+def test_grouped_agg_pandas_udf_matches_expression(spark, sf_dir):
+    """The GROUPED_AGG pandas_udf surface (Arrow-batched aggregate UDF —
+    the third vectorized flavor next to mapInPandas/applyInPandas): a
+    quantity-weighted mean per return flag must equal the expression
+    twin to float tolerance. Expressions stay the hot path (codegen);
+    this proves the escape hatch works when an aggregate genuinely
+    can't be expressed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    # multi-arg grouped aggregates need the explicit functionType — the
+    # type-hint inference path only recognizes single-Series signatures
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return float((v * w).sum() / w.sum())
+
+    li = load_table(spark, "lineitem", sf_dir)
+    got = {
+        r["l_returnflag"]: r["wm"]
+        for r in li.groupBy("l_returnflag")
+        .agg(wmean("l_extendedprice", "l_quantity").alias("wm"))
+        .collect()
+    }
+    want = {
+        r["l_returnflag"]: r["wm"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("wm")
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) <= 1e-9 * max(1.0, abs(want[k]))
