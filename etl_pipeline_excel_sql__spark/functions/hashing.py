@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 #: so arithmetic on hashes can never overflow ANSI-mode bigint checks.
 HASH_BITS = 60
 
+#: The DuckDB-oracle twin of :func:`md5_hash60`, as a format template
+#: (``{x}`` = the SQL string expression to hash). Single source of truth:
+#: every plan module's oracle imports THIS instead of restating the
+#: definition, so a change to the hash contract cannot silently leave a
+#: stringly-typed copy behind.
+H60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
 
 def md5_hash60(col: Column | str) -> Column:
     """60-bit integer hash of a string column via md5 (portable, exact).

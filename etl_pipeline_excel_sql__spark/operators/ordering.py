@@ -25,10 +25,16 @@ def categorical_order(
     Unlisted category values sort last (``array_position`` = 0 → remapped to
     +inf rank) and are dropped unless ``keep_unlisted`` — the reference's ALL
     path only writes listed ministries (its IN-list filter runs first).
+    NULL categories are unlisted-by-definition: without the explicit
+    isNull branch, ``array_position(cats, NULL)`` is NULL, which would
+    bypass the filter semantics and sort FIRST (Spark's asc_nulls_first)
+    instead of in the trailing unlisted block.
     """
     cats = F.array(*[F.lit(c) for c in categories])
     pos = F.array_position(cats, F.col(col))
-    rank = F.when(pos == 0, F.lit(len(categories) + 1)).otherwise(pos)
+    rank = F.when(
+        F.col(col).isNull() | (pos == 0), F.lit(len(categories) + 1)
+    ).otherwise(pos)
     out = df.withColumn("_ord", rank.cast("int"))
     if not keep_unlisted:
         out = out.filter(F.col("_ord") <= len(categories))
@@ -53,7 +59,10 @@ def global_row_numbers(
 
     Correctness requires ``bucket_col`` to be a PREFIX of the intended
     global order (e.g. month is a prefix of (date, key) order); callers
-    choose a bucket with enough cardinality to spread the sort.
+    choose a bucket with enough cardinality to spread the sort. A NULL
+    bucket is a valid value: the offset join is NULL-SAFE (a plain
+    equi-join would silently drop every NULL-bucket row), and NULL
+    buckets number first, matching Spark's asc_nulls_first sort order.
     """
     cnts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
     woff = (
@@ -61,14 +70,17 @@ def global_row_numbers(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = cnts.select(
-        bucket_col,
+        F.col(bucket_col).alias("__bkt"),
         F.coalesce(F.sum("__n").over(woff), F.lit(0))
         .cast("bigint")
         .alias("__off"),
     )
     wloc = Window.partitionBy(bucket_col).orderBy(*order_cols)
     return (
-        df.join(F.broadcast(offsets), bucket_col)
+        df.join(
+            F.broadcast(offsets),
+            F.col(bucket_col).eqNullSafe(F.col("__bkt")),
+        )
         .withColumn(out, F.col("__off") + F.row_number().over(wloc))
-        .drop("__off")
+        .drop("__off", "__bkt")
     )

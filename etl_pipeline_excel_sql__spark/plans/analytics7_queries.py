@@ -51,11 +51,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+from etl_pipeline_excel_sql__spark.functions.hashing import (
+    H60_SQL,
+    md5_hash60,
+)
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
 #: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
-_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_H60 = H60_SQL
 
 #: basis points trimmed from EACH tail of the per-group distribution.
 TRIM_BP = 500

@@ -160,17 +160,16 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB centroid CTE — the emb_label_centroids oracle verbatim, reused as
-# the base relation for the pairwise-distance oracle.
-_CENTROID_CTE = """
-    SELECT label,
-           CAST(i - 1 AS INT) AS dim,
-           CAST(FLOOR(
-             SUM(CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0) AS BIGINT))
-               ::DOUBLE / COUNT(*)) AS BIGINT) AS mean_micro
-    FROM embeddings,
-         LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
-    GROUP BY label, i"""
+# DuckDB centroid base relation — IMPORTED from the emb_label_centroids
+# oracle (not copied): a fix to the centroid arithmetic there (it has
+# been patched once already for a FLOOR-quantization bug) must flow into
+# this distance oracle automatically, mirroring the Spark side's direct
+# call to q_emb_label_centroids.
+from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (  # noqa: E402
+    ORACLE as _A5_ORACLE,
+)
+
+_CENTROID_CTE = _A5_ORACLE["emb_label_centroids"]
 
 # Tokenizer + stopword-hit SQL fragments — DuckDB twins of
 # functions/text.py (same definitions as the text_lang_id oracle).

@@ -29,14 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+from etl_pipeline_excel_sql__spark.functions.hashing import (
+    H60_SQL,
+    md5_hash60,
+)
 from etl_pipeline_excel_sql__spark.operators.ordering import (
     global_row_numbers,
 )
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
 #: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
-_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_H60 = H60_SQL
 
 #: documents kept per language by sample_fixed_per_group.
 FIXED_K = 50
@@ -55,14 +58,36 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.select("o_orderkey", F.col("rn").cast("bigint").alias("rn"))
 
 
-#: columns entering the fingerprint, with floats rendered via decimal.
-_FP_EXPR = (
-    "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
-    "CAST(l_quantity AS DECIMAL(18,6)), "
-    "CAST(l_extendedprice AS DECIMAL(18,6)), "
-    "CAST(l_discount AS DECIMAL(18,6)), "
-    "CAST(l_tax AS DECIMAL(18,6)))"
+#: fields entering the fingerprint, floats rendered via decimal. Each
+#: field is TAGGED ('n' for NULL, 'v' + value otherwise) before joining:
+#: concat_ws would silently SKIP NULLs, making rows that differ only in
+#: which column is NULL (or NULL vs empty string) hash identically — a
+#: digest that cannot see NULL-shifted corruption is not a digest.
+_FP_FIELDS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+    "CAST(l_quantity AS DECIMAL(18,6))",
+    "CAST(l_extendedprice AS DECIMAL(18,6))",
+    "CAST(l_discount AS DECIMAL(18,6))",
+    "CAST(l_tax AS DECIMAL(18,6))",
 )
+
+
+def _fp_expr(str_type: str) -> str:
+    """The tagged row representation ('n' / 'v'||value per field, joined
+    by '|') — one template, instantiated with STRING for Spark and
+    VARCHAR for the DuckDB oracle so the two can never drift."""
+    tagged = [
+        f"(CASE WHEN {f} IS NULL THEN 'n' "
+        f"ELSE 'v' || CAST({f} AS {str_type}) END)"
+        for f in _FP_FIELDS
+    ]
+    return " || '|' || ".join(tagged)
+
+
+_FP_EXPR = _fp_expr("STRING")
 
 
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,12 +127,7 @@ ORACLE: dict[str, str] = {
     "table_fingerprint": f"""
         WITH rows_h AS (
           SELECT l_returnflag,
-                 {_H60.format(x='''concat_ws('|', l_orderkey, l_linenumber,
-                   l_returnflag, l_linestatus,
-                   CAST(l_quantity AS DECIMAL(18,6)),
-                   CAST(l_extendedprice AS DECIMAL(18,6)),
-                   CAST(l_discount AS DECIMAL(18,6)),
-                   CAST(l_tax AS DECIMAL(18,6)))''')} AS h
+                 {_H60.format(x=_fp_expr("VARCHAR"))} AS h
           FROM lineitem
         )
         SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_excel_sql__spark.functions.hashing import rolling_fingerprint
+from etl_pipeline_excel_sql__spark.functions.hashing import (
+    H60_SQL,
+    rolling_fingerprint,
+)
 from etl_pipeline_excel_sql__spark.functions.text import (
     bpe_token_count,
     lang_id,
@@ -224,7 +227,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- DuckDB oracle SQL ------------------------------------------------------
 
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
-_HASH60 = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+# derived from the canonical template (placeholder renamed to {e} to
+# match this module's f-string convention)
+_HASH60 = H60_SQL.replace("{x}", "{e}")
 _MOD = 1 << 40
 
 _STOP = {

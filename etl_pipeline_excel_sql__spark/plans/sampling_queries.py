@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+from etl_pipeline_excel_sql__spark.functions.hashing import (
+    H60_SQL,
+    md5_hash60,
+)
 from etl_pipeline_excel_sql__spark.functions.text import ws_token_count
 from etl_pipeline_excel_sql__spark.operators.bloom import (
     bloom_build,
@@ -49,7 +52,7 @@ BUCKET_TOKENS = 16  # tokens per length band
 BATCH_DOCS = 8  # docs per batch within a band
 
 #: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
-_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_H60 = H60_SQL
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

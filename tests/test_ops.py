@@ -99,3 +99,46 @@ def test_sample_fixed_per_group_exact_k_and_deterministic(spark, sf_dir):
         assert 1 <= r["rank_in_lang"] <= FIXED_K
     for lang, n in sizes.items():
         assert per_lang.get(lang, 0) == min(FIXED_K, n)
+
+
+def test_fingerprint_distinguishes_null_shifted_rows(spark):
+    """Rows differing only in WHICH field is NULL must hash differently —
+    the tagged representation exists exactly for this (plain concat_ws
+    would skip NULLs and collapse them)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+    from etl_pipeline_excel_sql__spark.plans.ops_queries import _FP_EXPR
+
+    schema = (
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_linestatus string, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double"
+    )
+    a = spark.createDataFrame([(1, 1, "N", "O", None, 5.0, 0.1, 0.2)], schema)
+    b = spark.createDataFrame([(1, 1, "N", "O", 5.0, None, 0.1, 0.2)], schema)
+    c = spark.createDataFrame([(1, 1, "N", "", None, 5.0, 0.1, 0.2)], schema)
+    d = spark.createDataFrame([(1, 1, "N", None, None, 5.0, 0.1, 0.2)], schema)
+    hashes = [
+        df.select(md5_hash60(F.expr(_FP_EXPR)).alias("h")).collect()[0]["h"]
+        for df in (a, b, c, d)
+    ]
+    assert len(set(hashes)) == 4  # NULL-shift, NULL-vs-empty all distinct
+
+
+def test_categorical_order_null_category_is_unlisted(spark):
+    from etl_pipeline_excel_sql__spark.operators.ordering import (
+        categorical_order,
+    )
+
+    df = spark.createDataFrame(
+        [("b", 1), (None, 2), ("a", 3), ("zz", 4)], "cat string, v int"
+    )
+    # default: NULL and unlisted rows are dropped like any unlisted value
+    kept = categorical_order(df, "cat", ["b", "a"]).collect()
+    assert [r["cat"] for r in kept] == ["b", "a"]
+    # keep_unlisted: NULL sorts in the trailing unlisted block, never first
+    all_rows = categorical_order(
+        df, "cat", ["b", "a"], tiebreak_cols=["v"], keep_unlisted=True
+    ).collect()
+    assert [r["cat"] for r in all_rows] == ["b", "a", None, "zz"]

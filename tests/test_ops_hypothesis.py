@@ -16,7 +16,9 @@ from etl_pipeline_excel_sql__spark.operators.ordering import (
     global_row_numbers,
 )
 
-BUCKETS = st.integers(min_value=0, max_value=4)
+BUCKETS = st.one_of(
+    st.none(), st.integers(min_value=0, max_value=4)
+)  # None: NULL buckets must survive the null-safe offset join
 KEYS = st.integers(min_value=-20, max_value=20)
 
 rows_strategy = st.lists(
@@ -38,11 +40,14 @@ def test_global_row_numbers_equals_naive_sort(spark, rows):
     deterministic artifact to compare."""
     df = spark.createDataFrame(rows, "b int, k int")
     got = sorted(
-        (r.b, r.k, r.rn)
-        for r in global_row_numbers(df, "b", ["k"]).collect()
+        ((r.b, r.k, r.rn) for r in global_row_numbers(df, "b", ["k"]).collect()),
+        key=lambda t: (t[0] is not None, t),
     )
+    # NULL buckets number first (Spark asc_nulls_first)
+    ordered = sorted(rows, key=lambda t: (t[0] is not None, t))
     want = sorted(
-        (b, k, i + 1) for i, (b, k) in enumerate(sorted(rows))
+        ((b, k, i + 1) for i, (b, k) in enumerate(ordered)),
+        key=lambda t: (t[0] is not None, t),
     )
     assert got == want
 
