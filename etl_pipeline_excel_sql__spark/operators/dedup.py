@@ -139,6 +139,51 @@ def jaccard(a: Column, b: Column) -> Column:
 _last_sig: DataFrame | None = None
 
 
+def _minhash_signatures(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    """(__id, s0..s{k-1}) MinHash signature table from (__id, __sh)
+    shingle rows — the ONE definition both the self-join and the
+    cross-set band joins build on (a hashing tweak applied to one but
+    not the other would make them silently disagree on near-dups).
+
+    One md5 per shingle; the k hash families are affine permutations of
+    the 31-bit base hash mod a Mersenne prime (standard one-permutation
+    MinHash). Products stay < 2**62, safely inside ANSI bigint.
+    """
+    hbase = md5_hash60(F.col("__sh")).bitwiseAND(F.lit(MINHASH_PRIME))
+    hashed = exploded.select("__id", hbase.alias("hb"))
+    hash_cols = [
+        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(affine_consts(num_hashes))
+    ]
+    return (
+        hashed.select("__id", *hash_cols)
+        .groupBy("__id")
+        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+    )
+
+
+def _minhash_band_expr(num_hashes: int, band_rows: int):
+    """posexplode column producing (band, bucket) keys from a signature
+    row — bucket is the comma-joined band slice of the signature."""
+    num_bands = num_hashes // band_rows
+    return F.posexplode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * band_rows + r}")
+                        for r in range(band_rows)
+                    ],
+                )
+                for b in range(num_bands)
+            ]
+        )
+    ).alias("band", "bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -167,26 +212,12 @@ def minhash_lsh_pairs(
     Output: ``id_a, id_b, jaccard_sim`` with ``id_a < id_b``.
     """
     assert num_hashes % band_rows == 0
-    num_bands = num_hashes // band_rows
 
     # Empty/whitespace-only documents have no shingles: they vanish from
     # the exploded side naturally, and the oracle twin filters them the
     # same way — the invariant must not depend on corpus content.
     df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     exploded = shingle_rows(df, text_col, id_col, shingle_n)
-    # One md5 per shingle; the k hash families are affine permutations of
-    # the 31-bit base hash mod a Mersenne prime (standard one-permutation
-    # MinHash). Products stay < 2**62, safely inside ANSI bigint.
-    hbase = (
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit(MINHASH_PRIME))
-    )
-    hashed = exploded.select("__id", hbase.alias("hb"))
-    hash_cols = [
-        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
-        for i, (a, b) in enumerate(affine_consts(num_hashes))
-    ]
     # The signature table is tiny (one row per doc, k ints) but its subtree
     # (explode + window + md5) is expensive, and the band self-join would
     # recompute it once per side — persist the result, not the heavy rows.
@@ -195,32 +226,11 @@ def minhash_lsh_pairs(
     # but costs ~3x the persist path on the bench), so looped invocations
     # hold at most one lingering cache.
     global _last_sig
-    sig = (
-        hashed.select("__id", *hash_cols)
-        .groupBy("__id")
-        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
-        .persist()
-    )
+    sig = _minhash_signatures(exploded, num_hashes).persist()
     if _last_sig is not None:
         _last_sig.unpersist()
     _last_sig = sig
-    bands = sig.select(
-        "__id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"s{b * band_rows + r}")
-                            for r in range(band_rows)
-                        ],
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    bands = sig.select("__id", _minhash_band_expr(num_hashes, band_rows))
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), on=["band", "bucket"])
@@ -274,7 +284,6 @@ def minhash_lsh_pairs_cross(
     a partition predicate).
     """
     assert num_hashes % band_rows == 0
-    num_bands = num_hashes // band_rows
 
     tagged = new_df.select(
         F.col(id_col), F.col(text_col), F.lit("new").alias("__side")
@@ -286,21 +295,9 @@ def minhash_lsh_pairs_cross(
     tagged = tagged.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     exploded = shingle_rows(tagged, text_col, id_col, shingle_n)
     sides = tagged.select(F.col(id_col).alias("__id"), "__side")
-    hbase = (
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit(MINHASH_PRIME))
-    )
-    hashed = exploded.select("__id", hbase.alias("hb"))
-    hash_cols = [
-        ((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
-        for i, (a, b) in enumerate(affine_consts(num_hashes))
-    ]
     global _last_sig_cross
     sig = (
-        hashed.select("__id", *hash_cols)
-        .groupBy("__id")
-        .agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(num_hashes)])
+        _minhash_signatures(exploded, num_hashes)
         .join(sides, "__id")
         .persist()
     )
@@ -308,22 +305,7 @@ def minhash_lsh_pairs_cross(
         _last_sig_cross.unpersist()
     _last_sig_cross = sig
     bands = sig.select(
-        "__id",
-        "__side",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"s{b * band_rows + r}")
-                            for r in range(band_rows)
-                        ],
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        "__id", "__side", _minhash_band_expr(num_hashes, band_rows)
     )
     new_b = bands.filter(F.col("__side") == "new").drop("__side")
     cor_b = bands.filter(F.col("__side") == "corpus").drop("__side")
@@ -371,7 +353,7 @@ def simhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.col(text_col))).alias("t"),
     )
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    h = md5_hash60(F.col("t"))
     votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
             F.sum(
@@ -455,13 +437,19 @@ def ngram_jaccard_pairs(
     codegen'd ``array_intersect``/``array_union`` Jaccard.
     """
     df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    # No materialization here, deliberately: sets feeds both sides of the
+    # verify join and hrows both sides of the block self-join, but the
+    # identical subtrees compile to ReusedExchange — Spark computes each
+    # exchange once and replays it, so a localCheckpoint only ADDS a
+    # materialization pass (measured +10% at sf0.1; contrast
+    # ngram_containment_pairs, whose three distinct consumers of the
+    # shingle-hash table do NOT share one exchange and genuinely need it).
     sets = shingle_sets(df, text_col, id_col, shingle_n)
-    hrows = shingle_rows(df, text_col, id_col, shingle_n).select(
-        "__id",
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__h"),
-    ).distinct()
+    hrows = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .select("__id", md5_hash60(F.col("__sh")).alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy("__id").orderBy("__h")
     keys = (
         hrows.withColumn("__rn", F.row_number().over(w))

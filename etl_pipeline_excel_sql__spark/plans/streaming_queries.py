@@ -203,16 +203,6 @@ ORACLE: dict[str, str] = {
                event_type,
                COUNT(*) AS n_events
         FROM ex GROUP BY 1, 2""",
-    # identical to the batch window_agg_events oracle — that is the point.
-    "stream_window_counts": """
-        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
-                        '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type,
-               COUNT(*) AS n_events,
-               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
-                    AS VARCHAR) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY 1, 2""",
     "stream_sessionize": """
         WITH flagged AS (
           SELECT user_id, ts, event_id,
@@ -238,11 +228,7 @@ def q_stream_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, hour) via min_by/max_by streaming aggregates. On the
     bounded corpus the drained result must equal the batch
     ``events_m4_downsample`` exactly — same oracle SQL."""
-    from etl_pipeline_excel_sql__spark.streaming.events import (
-        read_events_stream as _res,
-    )
-
-    ev = _res(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir)
     return run_to_memory_sink(
         m4_downsample_stream(ev), _sink_name("stream_m4")
     )
@@ -265,3 +251,11 @@ from etl_pipeline_excel_sql__spark.plans.analytics7_queries import (  # noqa: E4
 )
 
 ORACLE["stream_m4_downsample"] = _A7_ORACLE["events_m4_downsample"]
+
+# identical to the batch window_agg_events oracle BY IMPORT (not a copy):
+# the "stream must equal batch" gate cannot drift if there is only one SQL
+from etl_pipeline_excel_sql__spark.plans.analytics_queries import (  # noqa: E402
+    ORACLE as _AN_ORACLE,
+)
+
+ORACLE["stream_window_counts"] = _AN_ORACLE["window_agg_events"]

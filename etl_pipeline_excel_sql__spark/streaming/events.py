@@ -186,8 +186,10 @@ def running_user_totals_stream(
     This is the escape hatch for stateful semantics the built-in windowed
     aggregations can't express (cross-batch running totals, custom
     eviction). State is one tiny row per user; batches arrive as Arrow
-    pandas frames. GroupStateTimeout can evict idle users when a timeout
-    is configured.
+    pandas frames. ``state_timeout_ms > 0`` arms a processing-time
+    timeout per user: a user idle past the timeout has its state row
+    REMOVED (bounding state by active users, not all-time users) and
+    starts from zero on its next event; 0 keeps state forever.
 
     ``exact_micros=True`` switches the sum to FLOOR-quantized integer
     micro-units (``floor(v * 1e6 + 0.5)`` per row, int64 accumulation) and
@@ -197,12 +199,6 @@ def running_user_totals_stream(
     engine applying the same per-row formula.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
     val_field = (
         StructField("total_value_micros", LongType())
@@ -229,6 +225,11 @@ def running_user_totals_stream(
         import numpy as np
         import pandas as pd
 
+        if state_timeout_ms > 0 and state.hasTimedOut:
+            # idle past the timeout: evict the state row; the user's
+            # totals restart from zero on its next event
+            state.remove()
+            return
         n, s = state.get if state.exists else (0, 0 if exact_micros else 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -240,6 +241,8 @@ def running_user_totals_stream(
             else:
                 s += float(pdf["value"].sum())
         state.update((n, s))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -255,7 +258,11 @@ def running_user_totals_stream(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -388,3 +388,25 @@ def test_stream_m4_equals_batch_m4(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_user_totals_timeout_wiring(spark, sf_dir):
+    """state_timeout_ms must actually arm ProcessingTimeTimeout on the
+    stateful operator (it was once silently ignored). End-to-end firing
+    is not drainable here: availableNow waits for every pending state
+    timeout before terminating, so the assertion is on the analyzed
+    plan's timeout conf — 0 keeps NoTimeout, >0 switches the operator."""
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        read_events_stream,
+        running_user_totals_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    armed = running_user_totals_stream(
+        ev, state_timeout_ms=5000, exact_micros=True
+    )
+    plan = armed._jdf.queryExecution().analyzed().toString()
+    assert "ProcessingTimeTimeout" in plan
+    untimed = running_user_totals_stream(ev, exact_micros=True)
+    plan2 = untimed._jdf.queryExecution().analyzed().toString()
+    assert "NoTimeout" in plan2 and "ProcessingTimeTimeout" not in plan2
