@@ -437,13 +437,12 @@ def ngram_jaccard_pairs(
     codegen'd ``array_intersect``/``array_union`` Jaccard.
     """
     df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
-    # No materialization here, deliberately: sets feeds both sides of the
-    # verify join and hrows both sides of the block self-join, but the
-    # identical subtrees compile to ReusedExchange — Spark computes each
-    # exchange once and replays it, so a localCheckpoint only ADDS a
-    # materialization pass (measured +10% at sf0.1; contrast
-    # ngram_containment_pairs, whose three distinct consumers of the
-    # shingle-hash table do NOT share one exchange and genuinely need it).
+    # No materialization here, deliberately: an A/B at sf0.1 measured
+    # the lazy-localCheckpoint variant ~10% SLOWER than recomputation —
+    # the explode+md5 subtree is cheap relative to writing its output
+    # out and reading it back (contrast ngram_containment_pairs, whose
+    # shingle-hash table feeds three heavier consumers and measured 3×
+    # faster checkpointed). Re-measure before "optimizing" this.
     sets = shingle_sets(df, text_col, id_col, shingle_n)
     hrows = (
         shingle_rows(df, text_col, id_col, shingle_n)
