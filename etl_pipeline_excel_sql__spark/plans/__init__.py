@@ -54,6 +54,13 @@ window, so a driver pass certifies the two-phase decomposition) and
 ``drop_cols``) and ``word_diff`` (D3, r1–r4 history; D-family kept by
 ``diff_cells``); ``sample_fixed_per_group`` stays local-only
 (family-redundant with in-window ``sample_stratified``).
+A sixth rotation closed the round: ``dedup_incremental`` (cross-set
+ingestion dedup), ``stream_m4_downsample`` (M4 under the streaming
+engine), and ``scd2_pointintime`` (temporal dimension lookup) displaced
+``pct_fmt`` (T2, r1–r4 history; T-family kept by ``date_fmt``),
+``dedup_ngram_jaccard`` (r1–r4 history; five dedup rows stay in-window),
+and ``tpch_q9_profit`` (r2–r4 history; q21 keeps TPC-H in-window) — all
+three incomers oracle-green at sf0.001 AND sf0.01 locally first.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -131,7 +138,9 @@ DRIVER_PRIORITY = [
     # kept by drop_cols) for the distributed-global-ordinals operator
     "global_row_number",
     "date_fmt",
-    "pct_fmt",
+    # pct_fmt rotated out round 4 (T2, r1-r4 history; T-family kept by
+    # date_fmt) for the incremental-ingestion dedup family
+    "dedup_incremental",
     # null_literal rotated out round 4 (trivially typed, r1-r4 history)
     # for the robust-statistics family's first driver row
     "agg_trimmed_mean",
@@ -180,7 +189,9 @@ DRIVER_PRIORITY = [
     "stream_sliding_counts",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
-    "tpch_q9_profit",
+    # tpch_q9_profit rotated out round 4 (r2-r4 history; q21 keeps TPC-H
+    # in-window) for the SCD2 temporal-lookup family
+    "scd2_pointintime",
     "tpch_q21_sole_late_supplier",
     # round-3 additions: the streaming engine path and the composed
     # curation pipeline — the two highest-leverage new rows
@@ -206,7 +217,9 @@ DRIVER_PRIORITY = [
     # dedup_simhash rotated out round 4 (r1-r4 history; five dedup rows
     # stay in-window) for association-rule mining's first driver row
     "basket_lift",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard rotated out round 4 (r1-r4 history) for the
+    # streaming M4 row — the ninth streaming surface gets gate history
+    "stream_m4_downsample",
     # dedup_keep_best rotated out round 3 (thin variant of dedup_exact +
     # dedup_clusters, both still in-window; locally green)
     "dedup_clusters",
