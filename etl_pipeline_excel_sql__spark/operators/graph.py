@@ -84,6 +84,19 @@ def pagerank_integer(
     # iteration. The table is |E'| (distinct src,dst) rows — small.
     ew = ew_trunc.truncate(ew)
 
+    # Overflow guard (promised by the module docstring): every per-edge
+    # product is r * w with r <= scale (total mass is conserved at
+    # scale), so the largest single weight must satisfy
+    # scale * max_w < 2^62 or the integer contract silently wraps.
+    # One tiny job against the already-materialized edge table.
+    max_w = ew.agg(F.max("w").alias("m")).collect()[0]["m"] or 0
+    if scale * max_w >= 1 << 62:
+        raise ValueError(
+            f"pagerank_integer: scale ({scale}) * max edge weight "
+            f"({max_w}) would overflow int64 — lower scale or rescale "
+            "weights"
+        )
+
     base = ((100 - damping_pct) * scale) // (100 * n_nodes)
     srcs = ew.select("src").distinct()
     r = nodes.select(
@@ -186,6 +199,11 @@ def pagerank_unrolled_sql(
     return "WITH " + ",\n".join(parts)
 
 
+#: call-spanning truncator for triangle_participation's pair table —
+#: each call's eager cut retires the previous call's blocks.
+_tri_trunc: LineageTruncator | None = None
+
+
 def triangle_participation(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -219,7 +237,16 @@ def triangle_participation(
     subtrees that must not re-run per consumer (same practice as
     ngram_containment_pairs).
     """
-    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=False)
+    # Bounded block storage: LineageTruncator's eager cut materializes
+    # the pair table once for its four consumers AND retires the
+    # previous invocation's blocks (DataFrame.unpersist cannot free a
+    # localCheckpoint's internal RDD — the truncator tracks the actual
+    # persisted-RDD ids).
+    global _tri_trunc
+    spark = pairs.sparkSession
+    if _tri_trunc is None or _tri_trunc._spark is not spark:
+        _tri_trunc = LineageTruncator(spark)
+    pairs = _tri_trunc.truncate(pairs.select(id_a, id_b))
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     deg = (
         e.select(F.col("u").alias("n"))

@@ -50,9 +50,15 @@ def merge_with_deletes(
     delete_flag: str,
 ) -> DataFrame:
     """MERGE with delete semantics: source rows flagged ``delete_flag=true``
-    remove the key; others upsert as in :func:`merge_upsert`."""
-    deletes = source.filter(F.col(delete_flag)).select(key)
-    upserts = source.filter(~F.col(delete_flag))
+    remove the key; others upsert as in :func:`merge_upsert`.
+
+    NULL flags are upserts: ``~col`` alone would treat NULL as
+    not-matching on BOTH branches and silently DROP the row from the
+    merge (feeds often populate the flag only for deletions).
+    """
+    flag = F.coalesce(F.col(delete_flag), F.lit(False))
+    deletes = source.filter(flag).select(key)
+    upserts = source.filter(~flag)
     merged = merge_upsert(target, upserts.drop(delete_flag), key, update_cols)
     return merged.join(deletes, on=key, how="left_anti")
 

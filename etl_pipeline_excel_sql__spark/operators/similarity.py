@@ -79,7 +79,6 @@ def cell_centroids(
     corpus: DataFrame,
     cell_col: str = "label",
     vec_col: str = "embedding",
-    dims: int = 64,
 ) -> DataFrame:
     """Per-cell mean vector: posexplode → mean per (cell, dim) → re-assemble.
 
@@ -127,7 +126,7 @@ def ivf_topk(
     cell) but the corpus scan drops to ~nprobe/ncells of brute force.
     Output schema matches :func:`brute_force_topk`.
     """
-    cents = cell_centroids(corpus, cell_col, vec_col, dims)
+    cents = cell_centroids(corpus, cell_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -241,6 +240,12 @@ def _assign_broadcast(
     )
 
 
+#: call-spanning truncator for kmeans_train_assign's per-round
+#: assignments — round i's eager cut retires round i-1's blocks, and the
+#: next call retires the last round's.
+_kmeans_trunc = None
+
+
 def kmeans_train_assign(
     corpus: DataFrame,
     ncells: int = 8,
@@ -268,6 +273,19 @@ def kmeans_train_assign(
     """
     if iters < 1:
         raise ValueError("kmeans_train_assign: iters must be >= 1")
+    # Bounded block storage across rounds AND calls: the truncator's
+    # eager cut materializes round i (reading round i-1's still-live
+    # blocks through the lazily-built cents plan) and only THEN retires
+    # round i-1 — at most two corpus-sized assignments ever coexist,
+    # instead of iters × corpus accumulating forever.
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+
+    global _kmeans_trunc
+    spark = corpus.sparkSession
+    if _kmeans_trunc is None or _kmeans_trunc._spark is not spark:
+        _kmeans_trunc = LineageTruncator(spark)
     cents = (
         corpus.orderBy(id_col)
         .limit(ncells)
@@ -284,14 +302,15 @@ def kmeans_train_assign(
         .select("cell", "centroid")
     )
     for it in range(iters):
-        # Per-round lazy localCheckpoint keeps the plan flat across rounds
-        # and lets downstream consumers (probe centroids + both sides of
-        # the cell join) evaluate the assignment once, not per consumer.
-        assigned = _assign_broadcast(
-            corpus, cents, id_col, vec_col, dims
-        ).localCheckpoint(eager=False)
+        # Eager per-round cut: keeps the plan flat across rounds, lets
+        # every downstream consumer (probe centroids + both sides of the
+        # cell join) read the materialized assignment instead of
+        # recomputing it, and retires the previous round's blocks.
+        assigned = _kmeans_trunc.truncate(
+            _assign_broadcast(corpus, cents, id_col, vec_col, dims)
+        )
         if it < iters - 1:
-            cents = cell_centroids(assigned, "cell", vec_col, dims)
+            cents = cell_centroids(assigned, "cell", vec_col)
     return assigned
 
 

@@ -62,3 +62,41 @@ def test_pagerank_keyed_join_mode_matches_broadcast(spark):
     plan_k = one_k._jdf.queryExecution().analyzed().toString()
     assert plan_b.count("ResolvedHint") == 2
     assert plan_k.count("ResolvedHint") == 1
+
+
+def test_pagerank_overflow_guard_raises(spark):
+    """The int64 guard the module docstring promises must actually fire:
+    a single edge weight large enough that rank*weight wraps is a
+    ValueError, not silently wrong ranks."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1 << 55)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_integer(edges, nodes, n_nodes=2, iters=1)
+
+
+def test_triangle_participation_bounded_block_storage(spark):
+    """Repeated invocations must not accumulate persisted pair tables —
+    the module retires the previous call's checkpoint blocks."""
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        triangle_participation,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        _persisted_rdd_ids,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    counts = []
+    for _ in range(3):
+        triangle_participation(pairs, "id_a", "id_b").collect()
+        counts.append(len(_persisted_rdd_ids(spark)))
+    assert counts[2] <= counts[0] + 1  # bounded, not one new table per call

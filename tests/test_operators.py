@@ -478,3 +478,24 @@ def test_scd2_upsert_versions_changes_only(spark):
     assert rows[(4, "2021-06-01")] == ("d", 40.0, None, True)
     # key 5: fresh insert
     assert rows[(5, "2021-06-01")] == ("e", 50.0, None, True)
+
+
+def test_merge_with_deletes_null_flag_is_upsert(spark):
+    """A NULL delete flag must upsert, not vanish (the two plain filters
+    would both treat NULL as non-matching and silently drop the row)."""
+    from etl_pipeline_excel_sql__spark.operators.merge import (
+        merge_with_deletes,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "gone")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, "new", None), (3, "x", True), (4, "ins", False)],
+        "k long, v string, del boolean",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_with_deletes(target, source, "k", ["v"], "del").collect()
+    }
+    assert got == {1: "new", 2: "keep", 4: "ins"}
