@@ -187,7 +187,10 @@ def srp_signatures(
 
 def srp_planes_df(spark, bits: int, dims: int, tables: int = 1):
     """The hyperplane model as a tiny broadcastable table:
-    ``(t, j, plane array<double>, w = 2^j)`` — tables×bits rows. Plane
+    ``(__t, __j, __plane array<double>, __w = 2^j)`` — tables×bits rows.
+    Column names are __-reserved so the crossJoin in
+    :func:`srp_buckets_long` can never collide with a corpus column
+    (short names like ``t``/``w`` are common in caller frames). Plane
     components come from the same md5 derivation as :func:`srp_signature`
     (identical doubles), just computed driver-side once."""
     rows = [
@@ -201,7 +204,7 @@ def srp_planes_df(spark, bits: int, dims: int, tables: int = 1):
         for j in range(bits)
     ]
     return spark.createDataFrame(
-        rows, "t INT, j INT, plane ARRAY<DOUBLE>, w BIGINT"
+        rows, "__t INT, __j INT, __plane ARRAY<DOUBLE>, __w BIGINT"
     )
 
 
@@ -229,11 +232,11 @@ def srp_buckets_long(
     planes = srp_planes_df(corpus.sparkSession, bits, dims, tables)
     return (
         corpus.crossJoin(F.broadcast(planes))
-        .withColumn("__proj", F.expr(dot_sql(vec_col, "plane", dims)))
-        .groupBy(F.col(id_col), *[F.col(c) for c in extra_cols], F.col("t"))
+        .withColumn("__proj", F.expr(dot_sql(vec_col, "__plane", dims)))
+        .groupBy(F.col(id_col), *[F.col(c) for c in extra_cols], F.col("__t"))
         .agg(
             F.sum(
-                F.when(F.col("__proj") > 0, F.col("w")).otherwise(
+                F.when(F.col("__proj") > 0, F.col("__w")).otherwise(
                     F.lit(0).cast("bigint")
                 )
             ).alias("__bucket")
@@ -241,7 +244,7 @@ def srp_buckets_long(
         .select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
-            F.col("t").alias("__table"),
+            F.col("__t").alias("__table"),
             F.col("__bucket"),
         )
     )

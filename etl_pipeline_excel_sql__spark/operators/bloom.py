@@ -53,13 +53,14 @@ def bloom_build(
     ``bit_or`` partials mean the full key set never moves.
     """
     key = F.col(key_col).cast("string")
-    per_hash = [
-        keys.select(_bit_pos(key, seed, m_bits).alias("pos"))
-        for seed in range(k)
-    ]
-    bits = per_hash[0]
-    for extra in per_hash[1:]:
-        bits = bits.unionAll(extra)
+    # ONE scan of the key side: all k bit positions per key in a single
+    # explode (a per-seed select unioned k times would re-run the build
+    # subtree k times — no exchange reuse, since the hash exprs differ).
+    bits = keys.select(
+        F.explode(
+            F.array(*[_bit_pos(key, seed, m_bits) for seed in range(k)])
+        ).alias("pos")
+    )
     return (
         bits.select(
             F.expr("pos DIV 64").alias("word_idx"),

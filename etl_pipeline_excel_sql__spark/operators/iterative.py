@@ -102,9 +102,16 @@ class LineageTruncator:
         """
         before_ids = _persisted_rdd_ids(self._spark)
         before_files = self._rdd_dirs() if self._reliable else set()
-        cut = df.checkpoint(eager=True) if self._reliable else (
-            df.localCheckpoint(eager=True)
-        )
+        if self._reliable:
+            # Reliable checkpoint runs TWO jobs (the materializing action,
+            # then the file write recomputing all partitions from lineage)
+            # unless the plan is cached between them — persist around the
+            # cut keeps each round to one computation.
+            cached = df.persist()
+            cut = cached.checkpoint(eager=True)
+            cached.unpersist()
+        else:
+            cut = df.localCheckpoint(eager=True)
         self._retire_prior(before_ids, before_files)
         return cut
 
@@ -122,10 +129,18 @@ class LineageTruncator:
         """
         before_ids = _persisted_rdd_ids(self._spark)
         before_files = self._rdd_dirs() if self._reliable else set()
-        cut = df.checkpoint(eager=False) if self._reliable else (
-            df.localCheckpoint(eager=False)
-        )
-        result = action(cut)
+        if self._reliable:
+            # same persist-around-the-cut as truncate(): the deferred
+            # file write replays the plan from the cache, not from
+            # scratch, keeping "one computation per round" true in
+            # reliable mode too
+            cached = df.persist()
+            cut = cached.checkpoint(eager=False)
+            result = action(cut)
+            cached.unpersist()
+        else:
+            cut = df.localCheckpoint(eager=False)
+            result = action(cut)
         self._retire_prior(before_ids, before_files)
         return cut, result
 

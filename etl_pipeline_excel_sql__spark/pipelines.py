@@ -145,11 +145,22 @@ def upload_pipeline(
         raise EmptySourceError(f"no rows for ministry selection {ministry!r}")
 
     rec = reconcile_schema(df.columns, template_header_cells, manual_overrides)
-    df = apply_reconciliation(df, rec)
     if ministry == "ALL":
+        # Order BEFORE the reconciliation projection: the template may
+        # legitimately lack a 'Ministry' header, in which case
+        # apply_reconciliation projects the column away and ordering
+        # afterwards would crash on an unresolved column. The projection
+        # is narrow, so the block order survives it. Tiebreak defaults to
+        # every other source column — orderBy('_ord') alone leaves
+        # intra-block order to the shuffle, breaking the preserved-order
+        # contract of the reference's per-ministry block writes.
+        tiebreak = order_tiebreak or [
+            c for c in df.columns if c != "Ministry"
+        ]
         df = categorical_order(
-            df, "Ministry", ministry_list, tiebreak_cols=order_tiebreak
+            df, "Ministry", ministry_list, tiebreak_cols=tiebreak
         ).drop("_ord")
+    df = apply_reconciliation(df, rec)
 
     grid = grid if grid is not None else CellGrid()
     mapping = {c: rec.mapping[c] for c in df.columns}
@@ -195,6 +206,18 @@ def compare_pipeline(
     missing = [w for w, got in resolution.items() if got is None]
     if missing:
         raise KeyError(f"columns not resolvable in the old snapshot: {missing}")
+    # Two wanted names resolving to ONE source column would silently
+    # collapse the rename map and crash downstream with an unresolved
+    # column — surface the ambiguity here instead.
+    by_target: dict[str, list[str]] = {}
+    for w, got in resolution.items():
+        by_target.setdefault(got, []).append(w)
+    collided = {t: ws for t, ws in by_target.items() if len(ws) > 1}
+    if collided:
+        raise KeyError(
+            "ambiguous column resolution — multiple wanted names map to "
+            f"the same old-snapshot column: {collided}"
+        )
     renames = {v: k for k, v in resolution.items() if v != k}
     q1_aligned = q1.select(
         *[F.col(c).alias(renames.get(c, c)) for c in q1.columns]

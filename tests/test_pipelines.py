@@ -146,3 +146,16 @@ def test_compare_pipeline_end_to_end(spark):
     assert rows["P9"].row_status == "new"
     fills = res.grid.fills
     assert FILL_CHANGED in fills.values() and FILL_CLEARED in fills.values()
+
+
+def test_compare_pipeline_rejects_ambiguous_resolution(spark):
+    """Two wanted names resolving to the same old-snapshot column must
+    raise up front, not collapse the rename map and crash downstream."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.pipelines import compare_pipeline
+
+    q1 = spark.createDataFrame([(1, "x")], "a_b long, v string")
+    q2 = spark.createDataFrame([(1, "x", "y")], "a_b long, `a b` string, v string")
+    with pytest.raises(KeyError, match="ambiguous"):
+        compare_pipeline(q1, q2, key="a_b", compare_cols=["a b"])

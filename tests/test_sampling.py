@@ -84,3 +84,22 @@ def test_bloom_prefilter_transparent_and_selective(spark, sf_dir):
     assert joined.count() == n_exact
     # false-positive rate sane for m=2^16, k=2 at this key count
     assert (n_cand - n_exact) <= max(50, int(0.2 * n_li))
+
+
+def test_srp_buckets_survive_colliding_corpus_columns(spark):
+    """The SRP plane table's columns are __-reserved: a corpus that
+    already has short columns like 't' or 'w' must not produce
+    AMBIGUOUS_REFERENCE in the crossJoin."""
+    from etl_pipeline_excel_sql__spark.functions.vectors import (
+        srp_buckets_long,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.5, -0.25], 9, 8)],
+        "vec_id long, embedding array<double>, t long, w long",
+    )
+    rows = srp_buckets_long(
+        corpus, "vec_id", "embedding", bits=4, dims=2, extra_cols=("t", "w")
+    ).collect()
+    assert rows and rows[0]["t"] == 9 and rows[0]["w"] == 8
+    assert 0 <= rows[0]["__bucket"] < 16
