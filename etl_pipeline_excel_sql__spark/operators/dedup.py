@@ -210,6 +210,14 @@ def minhash_lsh_pairs(
        ``array_union``), filtered by ``threshold``.
 
     Output: ``id_a, id_b, jaccard_sim`` with ``id_a < id_b``.
+
+    Lifetime note: each call unpersists the previous call's signature
+    cache (module-global, bounded to one lingering table). A result held
+    from an earlier call stays CORRECT — persist keeps lineage, unlike a
+    checkpoint — but recomputes on next read. Not thread-safe: concurrent
+    calls may unpersist each other's still-running cache (correctness
+    holds, the work silently re-runs); serialize calls in multi-threaded
+    drivers.
     """
     assert num_hashes % band_rows == 0
 

@@ -236,6 +236,13 @@ def triangle_participation(
     closure), and pair GENERATORS like minhash_lsh_pairs have expensive
     subtrees that must not re-run per consumer (same practice as
     ngram_containment_pairs).
+
+    Lifetime contract: the materialization is a module-global truncator
+    that retires the PREVIOUS call's localCheckpoint blocks on the next
+    call — only the MOST RECENT call's result may still be read (an older
+    result has no lineage to recompute freed blocks). Not safe for
+    concurrent calls from multiple driver threads; serialize, or give
+    each thread its own copy with a caller-owned ``LineageTruncator``.
     """
     # Bounded block storage: LineageTruncator's eager cut materializes
     # the pair table once for its four consumers AND retires the

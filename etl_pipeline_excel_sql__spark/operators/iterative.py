@@ -108,8 +108,12 @@ class LineageTruncator:
             # unless the plan is cached between them — persist around the
             # cut keeps each round to one computation.
             cached = df.persist()
-            cut = cached.checkpoint(eager=True)
-            cached.unpersist()
+            try:
+                cut = cached.checkpoint(eager=True)
+            finally:
+                # unpersist even when checkpoint() raises — otherwise the
+                # cached blocks leak for the rest of the session
+                cached.unpersist()
         else:
             cut = df.localCheckpoint(eager=True)
         self._retire_prior(before_ids, before_files)
@@ -135,9 +139,13 @@ class LineageTruncator:
             # scratch, keeping "one computation per round" true in
             # reliable mode too
             cached = df.persist()
-            cut = cached.checkpoint(eager=False)
-            result = action(cut)
-            cached.unpersist()
+            try:
+                cut = cached.checkpoint(eager=False)
+                result = action(cut)
+            finally:
+                # runs even when the caller's action raises — the persisted
+                # blocks must never outlive the round that created them
+                cached.unpersist()
         else:
             cut = df.localCheckpoint(eager=False)
             result = action(cut)

@@ -270,6 +270,15 @@ def kmeans_train_assign(
     partial sums, map-side combined); centroids always broadcast — the
     driver never collects them. Empty cells drop out naturally (their
     group vanishes), mirrored by the oracle's GROUP BY.
+
+    Lifetime contract: storage is bounded by a module-global truncator
+    that retires the PREVIOUS call's localCheckpoint blocks on the next
+    call. Only the MOST RECENT call's result may still be read — a
+    DataFrame held from an earlier call has no lineage to recompute its
+    freed blocks and fails with block-not-found. Not safe for concurrent
+    calls from multiple driver threads; serialize calls (or fork the
+    function with a caller-owned ``LineageTruncator``) if you need
+    overlapping results.
     """
     if iters < 1:
         raise ValueError("kmeans_train_assign: iters must be >= 1")
@@ -368,6 +377,12 @@ def cosine_neardup_pairs(
     cosine verification. Pass ``srp_bits=0`` for the per-cell all-pairs
     variant, ``block_col=None`` + ``srp_bits=0`` for exact all-pairs (only
     sane on small corpora).
+
+    Lifetime note: with SRP enabled, each call unpersists the previous
+    call's key cache (module-global, bounded to one lingering table).
+    Older results stay correct (persist keeps lineage) but recompute on
+    next read; not thread-safe — serialize calls in multi-threaded
+    drivers (same contract as ``dedup.minhash_lsh_pairs``).
     """
     cols = [
         F.col(id_col).alias("__id"),

@@ -153,10 +153,18 @@ def upload_pipeline(
         # is narrow, so the block order survives it. Tiebreak defaults to
         # every other source column — orderBy('_ord') alone leaves
         # intra-block order to the shuffle, breaking the preserved-order
-        # contract of the reference's per-ministry block writes.
-        tiebreak = order_tiebreak or [
-            c for c in df.columns if c != "Ministry"
-        ]
+        # contract of the reference's per-ministry block writes. NOTE:
+        # this deviates from Upload.py:203-205, which writes each ministry
+        # block in SQL result order (itself unspecified without ORDER BY);
+        # a deterministic full-column sort is the distributed-safe
+        # replacement. Pass order_tiebreak=[] explicitly to sort by the
+        # block ordinal alone and accept shuffle-dependent intra-block
+        # order.
+        tiebreak = (
+            [c for c in df.columns if c != "Ministry"]
+            if order_tiebreak is None
+            else order_tiebreak
+        )
         df = categorical_order(
             df, "Ministry", ministry_list, tiebreak_cols=tiebreak
         ).drop("_ord")

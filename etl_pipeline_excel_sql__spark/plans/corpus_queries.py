@@ -42,26 +42,51 @@ BENCH_MOD = 37
 HIST_BUCKET = 50_000.0
 
 
-def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_decontam_overlap(
+    spark: SparkSession, sf_dir: str, bench_docs: DataFrame | None = None
+) -> DataFrame:
     """Training docs contaminated by benchmark n-gram overlap.
 
     Output: (doc_id, n_overlap_shingles) for every training document that
-    shares at least one distinct token 4-gram with the benchmark slice.
-    The benchmark side is collapsed to its distinct shingle set and
-    broadcast; the training side explodes its (already distinct per doc)
-    shingle array and joins without shuffling the corpus.
+    shares at least one distinct token 4-gram with the benchmark set.
+
+    Scale contract — the benchmark side is deliberately NOT
+    force-broadcast. A real eval suite is tiny and broadcasting it is the
+    right plan, but the demo wiring derives the bench side from the
+    corpus itself (``doc_id % BENCH_MOD``), so its distinct shingle set
+    grows O(corpus) and an unconditional ``F.broadcast`` OOMs the driver
+    at 100×. The size-gate lives in the engine instead: Catalyst's
+    static size estimate picks the join strategy, and AQE upgrades the
+    shuffle join to broadcast at runtime exactly when the materialized
+    bench side lands under ``spark.sql.autoBroadcastJoinThreshold`` —
+    small bench ⇒ the old zero-corpus-shuffle broadcast plan, oversize
+    bench ⇒ graceful shuffle join on the shingle key
+    (``tests/test_plan_census.py`` pins both behaviors).
+
+    Pass ``bench_docs`` (a bounded external eval table with a ``text``
+    column) for the production shape: every corpus document is then
+    treated as training side.
     """
     docs = load_table(spark, "documents", sf_dir)
     sh = shingles(ws_tokens(F.col("text")), DECONTAM_SHINGLE_N)
     shingled = docs.filter(F.size(ws_tokens(F.col("text"))) > 0).select(
         "doc_id", F.explode(sh).alias("sh")
     )
-    bench = F.broadcast(
-        shingled.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select("sh")
-        .distinct()
-    )
-    train = shingled.filter(F.col("doc_id") % BENCH_MOD != 0)
+    if bench_docs is None:
+        bench = (
+            shingled.filter(F.col("doc_id") % BENCH_MOD == 0)
+            .select("sh")
+            .distinct()
+        )
+        train = shingled.filter(F.col("doc_id") % BENCH_MOD != 0)
+    else:
+        bench_sh = shingles(ws_tokens(F.col("text")), DECONTAM_SHINGLE_N)
+        bench = (
+            bench_docs.filter(F.size(ws_tokens(F.col("text"))) > 0)
+            .select(F.explode(bench_sh).alias("sh"))
+            .distinct()
+        )
+        train = shingled
     return (
         train.join(bench, "sh")
         .groupBy("doc_id")

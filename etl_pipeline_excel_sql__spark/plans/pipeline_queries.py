@@ -48,6 +48,16 @@ from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 2
+
+#: DuckDB twin of ``operators.dedup._minhash_band_expr``'s bucket —
+#: the comma-joined band slice of the signature. Generated from
+#: ``range(MINHASH_BAND_ROWS)`` exactly as the Spark side generates its
+#: ``concat_ws`` columns, so changing MINHASH_BAND_ROWS can never
+#: desynchronize the oracle from the engine.
+_BAND_BUCKET_SQL = " || ',' || ".join(
+    f"CAST(mh[{MINHASH_BAND_ROWS} * b + {r + 1}] AS VARCHAR)"
+    for r in range(MINHASH_BAND_ROWS)
+)
 MINHASH_THRESHOLD = 0.1
 MINHASH_SHINGLE_N = 3
 NGRAM_THRESHOLD = 0.05
@@ -287,8 +297,7 @@ WITH base AS (
   FROM hashed
 ), bands AS (
   SELECT doc_id, sh, b AS band,
-         CAST(mh[{MINHASH_BAND_ROWS} * b + 1] AS VARCHAR) || ',' ||
-         CAST(mh[{MINHASH_BAND_ROWS} * b + 2] AS VARCHAR) AS bucket
+         {_BAND_BUCKET_SQL} AS bucket
   FROM sigs, UNNEST(range(0, {MINHASH_K // MINHASH_BAND_ROWS})) AS t(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
@@ -1099,8 +1108,7 @@ WITH base AS (
   FROM hashed
 ), bands AS (
   SELECT doc_id, side, sh, b AS band,
-         CAST(mh[{MINHASH_BAND_ROWS} * b + 1] AS VARCHAR) || ',' ||
-         CAST(mh[{MINHASH_BAND_ROWS} * b + 2] AS VARCHAR) AS bucket
+         {_BAND_BUCKET_SQL} AS bucket
   FROM sigs, UNNEST(range(0, {MINHASH_K // MINHASH_BAND_ROWS})) AS t(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id,

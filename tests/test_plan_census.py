@@ -91,3 +91,32 @@ def test_every_batch_query_obeys_global_plan_invariants(spark):
         "BroadcastNestedLoopJoin outside the singleton whitelist — "
         f"audit these for unbounded nested loops: {unexpected_bnlj}"
     )
+
+
+def test_decontam_size_gates_the_bench_join(spark):
+    """decontam_overlap must not FORCE-broadcast its corpus-derived
+    benchmark side (the round-4 verdict's one scale defect): with the
+    broadcast threshold disabled — the stand-in for a bench shingle set
+    over the threshold at 100 TB — the plan must degrade to a shuffle
+    join, with identical results. With the default threshold the engine
+    is free to (and locally does) pick the broadcast plan, so the gate
+    is the ENGINE's size estimate, not a hardcoded F.broadcast."""
+    from etl_pipeline_excel_sql__spark.plans.corpus_queries import (
+        q_decontam_overlap,
+    )
+
+    rows_default = sorted(
+        map(tuple, q_decontam_overlap(spark, SF).collect())
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_decontam_overlap(spark, SF)
+        initial = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in initial, initial
+        rows_gated = sorted(map(tuple, df.collect()))
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows_gated == rows_default
