@@ -8,20 +8,27 @@ pipeline (pairs -> components -> keeper policy), absent from the reference
 (its dedup is single-key ``drop_duplicates``, Upload.py:48) but required
 at training-data scale.
 
-Algorithm: iterative min-label propagation expressed as DataFrame joins —
-each round every node takes the minimum label among itself and its
-neighbors; a fixpoint is reached in graph-diameter rounds. Near-dup
-components are dense blobs (diameter 2-4 in practice), so the loop is
-short; each round is one shuffle join + one shuffle aggregate, both on the
-(node, label) pair — never on document payloads. Lineage is truncated
-per-round (``operators/iterative.LineageTruncator``) so the plan stays
-flat no matter how many rounds run, and the changed-label count that
-decides convergence IS the job that materializes the round's cut — one
-job per round, no separate convergence action. For graphs with long
-chains (not the near-dup shape) the published large-star/small-star
-contraction [Kiveris et al., "Connected Components in MapReduce and
-Beyond"] drops the round count to O(log^2 n); the loop body here is the
-small-star half of that scheme.
+Two algorithms, both pure DataFrame ops with per-round lineage truncation:
+
+* **min-label propagation** — each round every node takes the minimum
+  label among itself and its neighbors; fixpoint in graph-diameter
+  rounds. One shuffle join + one shuffle aggregate per round, both on
+  (node, label) pairs. The cheapest loop for the near-dup shape
+  (dense blobs, diameter 2-4), but O(diameter) rounds on chains.
+* **large-star / small-star alternation** [Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14] — large-star connects
+  every strictly-larger neighbor of u to u's minimum neighborhood id;
+  small-star connects the smaller neighbors. The alternation converges
+  in O(log² n) rounds on ANY graph shape (log n in practice) to a
+  star-set: every component collapsed to (root=min-id, child) edges.
+
+``algorithm="auto"`` (default) runs propagation for a small round budget
+— near-dup blobs converge inside it and pay nothing new — then, only if
+unconverged, CONTRACTS the graph by the partial labels (nodes sharing a
+label are provably in one component, so the contracted graph has one
+node per label and is diameter/propagate_rounds times smaller) and
+finishes with the star alternation on the contraction. The round-4
+``RuntimeError`` cliff on diameter > max_iters graphs is gone.
 """
 
 from __future__ import annotations
@@ -32,54 +39,116 @@ from pyspark.sql import functions as F
 from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
 
 
-def connected_components(
-    pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    max_iters: int = 25,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """Resolve an undirected pair graph into components.
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star pass over a canonical (a < b, distinct) edge set.
 
-    Returns ``(member_id, cluster_id, cluster_size)`` for every node that
-    appears in ``pairs``; ``cluster_id`` is the minimum node id in the
-    component (deterministic, no RNG), ``cluster_size`` the component's
-    node count. Nodes with no edges (singletons) are by definition absent
-    — callers wanting them keep a left-anti of the corpus against this
-    result.
-
-    Raises ``RuntimeError`` if the graph has not converged after
-    ``max_iters`` rounds (diameter > max_iters — not a near-dup shape).
-
-    ``checkpoint_dir`` switches per-round lineage truncation from
-    ``localCheckpoint`` (fast, sandbox default, NOT fault-tolerant) to a
-    reliable ``checkpoint`` under the given directory (HDFS/S3 on a
-    cluster) so an executor loss mid-loop cannot kill a long job.
-    Values are identical either way.
+    For each node u, every STRICTLY LARGER neighbor v is connected to
+    m(u) = min(neighborhood(u) ∪ {u}). Output stays canonical because
+    m(u) <= u < v.
     """
-    spark = pairs.sparkSession
-    # Separate truncators: edges are read every round and must never be
-    # retired; the label loop retires round N-1's storage once round N
-    # has materialized (bounded: ≤1 round of (node,label) rows alive).
-    edge_trunc = LineageTruncator(spark, checkpoint_dir)
-    loop_trunc = LineageTruncator(spark, checkpoint_dir)
-    sym = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-    # Self-loops make "min over self" part of the same aggregate as "min
-    # over neighbors" — one groupBy per round instead of a join + least().
-    nodes = sym.select("u").distinct()  # sym is symmetric: u covers v too
-    # Materialize the edge set ONCE: it is re-read every round (and pair
-    # generators like minhash_lsh_pairs have expensive subtrees — without
-    # this, each round re-runs the full LSH pipeline).
-    edges = edge_trunc.truncate(
-        sym.union(nodes.select("u", F.col("u").alias("v"))).distinct()
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.least(F.col("u"), F.col("mv")).alias("a"),
+            F.col("v").alias("b"),
+        )
+        .distinct()
     )
 
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star pass over a canonical (a < b, distinct) edge set.
+
+    Directing each edge child=b (the larger endpoint), every node in
+    b's smaller neighborhood ∪ {b} except the minimum m is connected to
+    m. Output stays canonical because m = min(a's) < everything emitted.
+    """
+    mins = e.groupBy("b").agg(F.min("a").alias("m"))
+    children = (
+        e.join(mins, "b")
+        .filter(F.col("a") != F.col("m"))
+        .select(F.col("m").alias("a"), F.col("a").alias("b"))
+    )
+    selfs = mins.select(F.col("m").alias("a"), F.col("b"))
+    return children.union(selfs).distinct()
+
+
+def _star_labels(
+    edges: DataFrame,
+    trunc: LineageTruncator,
+    max_iters: int,
+) -> DataFrame:
+    """Run the large/small-star alternation to a star-set; return
+    (node, lbl) for every node in ``edges`` (canonical a < b, distinct,
+    no self-loops). lbl = component minimum id.
+
+    Converged when NEITHER pass changes the edge set within one round
+    (checked exactly: equal count + empty except, both sides distinct);
+    the final set is additionally verified to be star-shaped (no node on
+    both root and child side) — a violated check means a logic bug, not
+    an input property, hence the hard raise.
+    """
+    e = trunc.truncate(edges)
+    n_e = e.count()
+    if n_e == 0:
+        return e.select(F.col("a").alias("node"), F.col("b").alias("lbl"))
+    for _ in range(max_iters):
+        # The convergence probe runs INSIDE the truncating action, while
+        # the previous cut's blocks are still alive (the truncator
+        # retires them only after the new cut materializes).
+        prev = e
+        e, (n1, ch1) = trunc.truncate_with(
+            _large_star(prev),
+            lambda d, p=prev: (d.count(), d.exceptAll(p).count()),
+        )
+        prev = e
+        e, (n2, ch2) = trunc.truncate_with(
+            _small_star(prev),
+            lambda d, p=prev: (d.count(), d.exceptAll(p).count()),
+        )
+        if ch1 == 0 and n1 == n_e and ch2 == 0 and n2 == n1:
+            break
+        n_e = n2
+    else:
+        raise RuntimeError(
+            f"star alternation: no fixpoint in {max_iters} rounds "
+            "(theory bound is O(log^2 n) — this indicates a bug)"
+        )
+    # Defensive star-set verification: roots (a side) must never appear
+    # as children (b side). One tiny join on the final edge set.
+    non_star = (
+        e.select("a").join(e.select(F.col("b").alias("a")), "a").limit(1)
+    )
+    if non_star.count() > 0:
+        raise RuntimeError("star alternation fixpoint is not a star set")
+    return e.select(F.col("b").alias("node"), F.col("a").alias("lbl")).union(
+        e.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("lbl")
+        )
+    )
+
+
+def _propagate_labels(
+    edges: DataFrame,
+    trunc: LineageTruncator,
+    rounds: int,
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation on a self-looped symmetric edge set.
+
+    Returns ``(labels, converged)`` — labels is (node, lbl) where lbl is
+    the minimum id within <= rounds hops (the exact component minimum
+    when converged).
+    """
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(max_iters):
+    converged = False
+    for _ in range(rounds):
         plan = (
             edges.join(
                 labels.select(F.col("node").alias("u"), "lbl"), on="u"
@@ -96,24 +165,135 @@ def connected_components(
         # The changed-label count doubles as the materializing action for
         # the round's lineage cut: one job per round. (A full count, never
         # limit(1) — every partition must compute for the cut to be whole.)
-        nxt, changed = loop_trunc.truncate_with(
+        nxt, changed = trunc.truncate_with(
             plan,
             lambda d: d.filter(F.col("lbl") != F.col("old_lbl")).count(),
         )
         labels = nxt.select("node", "lbl")
         if changed == 0:
+            converged = True
             break
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iters} rounds"
-        )
+    return labels, converged
 
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, on="lbl")
-        .select(
-            F.col("node").alias("member_id"),
-            F.col("lbl").alias("cluster_id"),
-            "cluster_size",
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "auto",
+    propagate_rounds: int = 8,
+) -> DataFrame:
+    """Resolve an undirected pair graph into components.
+
+    Returns ``(member_id, cluster_id, cluster_size)`` for every node that
+    appears in ``pairs``; ``cluster_id`` is the minimum node id in the
+    component (deterministic, no RNG), ``cluster_size`` the component's
+    node count. Nodes with no edges (singletons) are by definition absent
+    — callers wanting them keep a left-anti of the corpus against this
+    result.
+
+    ``algorithm``:
+
+    * ``"auto"`` (default) — min-label propagation for
+      ``propagate_rounds`` rounds (the cheapest loop for near-dup blobs,
+      which converge in 2-4); if unconverged, contract the graph by the
+      partial labels and finish with the large/small-star alternation on
+      the contraction (O(log² n') rounds on the ~rounds-times-smaller
+      graph). Converges on EVERY graph shape.
+    * ``"star"`` — pure large/small-star alternation from round 0
+      [Kiveris et al., SoCC'14]; O(log² n) rounds on any shape.
+    * ``"propagate"`` — pure propagation; raises ``RuntimeError`` after
+      ``max_iters`` rounds on diameter > max_iters graphs (the round-4
+      behavior, kept for callers that WANT the cliff as an anomaly
+      detector on supposedly-shallow graphs).
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    ``localCheckpoint`` (fast, sandbox default, NOT fault-tolerant) to a
+    reliable ``checkpoint`` under the given directory (HDFS/S3 on a
+    cluster) so an executor loss mid-loop cannot kill a long job.
+    Values are identical in every mode/algorithm.
+    """
+    if algorithm not in ("auto", "star", "propagate"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    spark = pairs.sparkSession
+    # Separate truncators: edges are read every round and must never be
+    # retired; the loops retire round N-1's storage once round N has
+    # materialized (bounded: ≤1 round of loop state alive).
+    edge_trunc = LineageTruncator(spark, checkpoint_dir)
+    loop_trunc = LineageTruncator(spark, checkpoint_dir)
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+
+    if algorithm == "star":
+        canon = (
+            sym.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
         )
+        nodes = edge_trunc.truncate(sym.select("u").distinct())
+        star = _star_labels(canon, loop_trunc, max_iters)
+        labels = star.union(
+            nodes.join(
+                star.select(F.col("node").alias("u")), "u", "left_anti"
+            ).select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        )
+        return _with_sizes(labels)
+
+    # propagation path (pure or as the auto fast path). Self-loops make
+    # "min over self" part of the same aggregate as "min over neighbors"
+    # — one groupBy per round instead of a join + least().
+    nodes = sym.select("u").distinct()  # sym is symmetric: u covers v too
+    # Materialize the edge set ONCE: it is re-read every round (and pair
+    # generators like minhash_lsh_pairs have expensive subtrees — without
+    # this, each round re-runs the full LSH pipeline).
+    edges = edge_trunc.truncate(
+        sym.union(nodes.select("u", F.col("u").alias("v"))).distinct()
+    )
+    budget = propagate_rounds if algorithm == "auto" else max_iters
+    labels, converged = _propagate_labels(edges, loop_trunc, budget)
+    if not converged:
+        if algorithm == "propagate":
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iters} rounds"
+            )
+        # auto fallback: contract by partial labels (same-label nodes are
+        # proven co-component), star-resolve the contraction, compose.
+        # The contracted edge set has one node per surviving label.
+        lab_u = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+        lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+        contracted = (
+            edges.join(lab_u, "u")
+            .join(lab_v, "v")
+            .filter(F.col("lu") != F.col("lv"))
+            .select(
+                F.least("lu", "lv").alias("a"),
+                F.greatest("lu", "lv").alias("b"),
+            )
+            .distinct()
+        )
+        star_trunc = LineageTruncator(spark, checkpoint_dir)
+        roots = _star_labels(contracted, star_trunc, max_iters).select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("root")
+        )
+        # Labels absent from the contraction are already component minima.
+        labels = (
+            labels.join(roots, "lbl", "left")
+            .select(
+                "node", F.coalesce(F.col("root"), F.col("lbl")).alias("lbl")
+            )
+        )
+    return _with_sizes(labels)
+
+
+def _with_sizes(labels: DataFrame) -> DataFrame:
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, on="lbl").select(
+        F.col("node").alias("member_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
     )

@@ -51,6 +51,44 @@ def _uf_components(pairs):
 )
 @given(pairs=edges)
 def test_cc_matches_union_find(spark, pairs):
+    _assert_cc_matches(spark, pairs, algorithm="auto")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pairs=edges)
+def test_cc_star_matches_union_find(spark, pairs):
+    """Pure large/small-star alternation on the same adversarial shapes."""
+    _assert_cc_matches(spark, pairs, algorithm="star")
+
+
+def test_cc_long_path_converges(spark):
+    """Path graph of length 200 (diameter 200): the round-4 propagation
+    loop raised RuntimeError here; the star fallback must converge well
+    inside the O(log^2 n) budget and still label by component minimum."""
+    pairs = [(i, i + 1) for i in range(200)]
+    _assert_cc_matches(spark, pairs, algorithm="auto")
+
+
+def test_cc_propagate_still_raises_on_long_chains(spark):
+    """algorithm='propagate' keeps the round-4 refusal contract."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, algorithm="propagate").collect()
+
+
+def _assert_cc_matches(spark, pairs, algorithm):
     from etl_pipeline_excel_sql__spark.operators.clusters import (
         connected_components,
     )
@@ -58,7 +96,7 @@ def test_cc_matches_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {
         int(r.member_id): (int(r.cluster_id), int(r.cluster_size))
-        for r in connected_components(df).collect()
+        for r in connected_components(df, algorithm=algorithm).collect()
     }
     want_lbl = _uf_components(pairs)
     sizes: dict[int, int] = {}

@@ -415,8 +415,10 @@ def test_connected_components_merge_via_bridge(spark):
 
 
 def test_connected_components_iteration_cap(spark):
-    """A path graph longer than max_iters must raise, not silently return
-    an unconverged labeling."""
+    """algorithm='propagate' keeps the round-4 refusal contract (a path
+    longer than max_iters raises, never silently returns an unconverged
+    labeling); the default auto mode converges on the SAME graph with the
+    SAME tiny propagation budget via the star fallback."""
     import pytest
 
     from etl_pipeline_excel_sql__spark.operators.clusters import (
@@ -427,9 +429,10 @@ def test_connected_components_iteration_cap(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(path, max_iters=2)
-    ok = connected_components(path, max_iters=10).collect()
+        connected_components(path, max_iters=2, algorithm="propagate")
+    ok = connected_components(path, propagate_rounds=2).collect()
     assert {r.cluster_id for r in ok} == {0}
+    assert {r.cluster_size for r in ok} == {9}
 
 
 def test_scd2_upsert_versions_changes_only(spark):
