@@ -79,6 +79,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     extended_queries,
     graph_queries,
     pipeline_queries,
+    quality_queries,
     reference_queries,
     streaming_queries,
     tpch2_queries,
@@ -104,6 +105,7 @@ _ALL_QUERIES = {
     **ops_queries.QUERIES,
     **sampling_queries.QUERIES,
     **graph_queries.QUERIES,
+    **quality_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
 
@@ -126,6 +128,7 @@ _ALL_ORACLE = {
     **ops_queries.ORACLE,
     **sampling_queries.ORACLE,
     **graph_queries.ORACLE,
+    **quality_queries.ORACLE,
     **streaming_queries.ORACLE,
 }
 
