@@ -51,3 +51,46 @@ def test_salted_join_matches_direct(spark):
         (r.k, r.v, r.tag) for r in salted_join(big, small, "k", how="left").collect()
     )
     assert left_salted == left_direct
+
+
+def test_aqe_skew_join_parity_with_salting(spark):
+    """VERDICT r4 ask #6: hand-salting and AQE's runtime skew split must
+    agree. With broadcast disabled (forcing the sort-merge path) and the
+    skew thresholds lowered to toy scale, AQE must (a) actually mark the
+    join skewed in the final adaptive plan and (b) produce exactly the
+    salted_join result. Documents when to prefer each in SCALING.md."""
+    n, hot_frac = 200_000, 0.95
+    big = spark.range(n).selectExpr(
+        f"CASE WHEN id % 100 < {int(hot_frac * 100)} THEN 'hot' "
+        "ELSE concat('k', id % 100) END AS k",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"T{i}") for i in range(95, 100)],
+        "k string, tag string",
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        aqe_df = big.join(small, on="k", how="inner")
+        aqe = sorted((r.k, r.v, r.tag) for r in aqe_df.collect())
+        plan = aqe_df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        salted = sorted(
+            (r.k, r.v, r.tag) for r in salted_join(big, small, "k").collect()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert aqe == salted
