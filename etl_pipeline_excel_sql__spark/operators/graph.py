@@ -82,14 +82,19 @@ def pagerank_integer(
     # materialize once: the loop below references ew `iters` times and the
     # final plan would otherwise re-aggregate the full edge table per
     # iteration. The table is |E'| (distinct src,dst) rows — small.
-    ew = ew_trunc.truncate(ew)
+    # The max-weight aggregate IS the materializing action
+    # (truncate_with), so the overflow guard below costs zero extra jobs
+    # — folding it in recovers the +10% the guard added in round 4 as a
+    # separate job against the already-materialized table.
+    ew, max_w = ew_trunc.truncate_with(
+        ew, lambda d: d.agg(F.max("w").alias("m")).collect()[0]["m"]
+    )
+    max_w = max_w or 0
 
     # Overflow guard (promised by the module docstring): every per-edge
     # product is r * w with r <= scale (total mass is conserved at
     # scale), so the largest single weight must satisfy
     # scale * max_w < 2^62 or the integer contract silently wraps.
-    # One tiny job against the already-materialized edge table.
-    max_w = ew.agg(F.max("w").alias("m")).collect()[0]["m"] or 0
     if scale * max_w >= 1 << 62:
         raise ValueError(
             f"pagerank_integer: scale ({scale}) * max edge weight "
