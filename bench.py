@@ -77,6 +77,18 @@ BENCH_QUERIES = [
 ]
 
 
+#: Optional comma-separated subset override (e.g. the heavy dedup/ANN
+#: family for an sf1 scaling probe) — names must exist in BENCH_QUERIES'
+#: registry; unknown names fail fast rather than silently benching less.
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+if _SUBSET:
+    requested = [n.strip() for n in _SUBSET.split(",") if n.strip()]
+    unknown = sorted(set(requested) - set(QUERIES))
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    BENCH_QUERIES = requested
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)

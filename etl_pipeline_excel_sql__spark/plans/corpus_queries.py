@@ -300,8 +300,18 @@ ORACLE: dict[str, str] = {
         GROUP BY CAST(floor(o_totalprice / 50000.0) AS BIGINT)""",
 }
 
+def _q_decontam_overlap_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arg registry adapter for :func:`q_decontam_overlap`.
+
+    The registry contract (tests/test_registry.py) pins every QUERIES
+    entry to exactly ``(spark, sf_dir)``; the production ``bench_docs``
+    parameter stays on the underlying function for direct callers.
+    """
+    return q_decontam_overlap(spark, sf_dir)
+
+
 QUERIES = {
-    "decontam_overlap": q_decontam_overlap,
+    "decontam_overlap": _q_decontam_overlap_registry,
     "text_repetition": q_text_repetition,
     "agg_median_price": q_agg_median_price,
     "agg_price_histogram": q_agg_price_histogram,

@@ -31,6 +31,8 @@ BNLJ_WHITELIST = {
     "ann_brute_topk",  # query vectors broadcast against the corpus scan
     "ann_filtered_topk",  # same, after the keyword prefilter
     "ann_ivf_topk",  # broadcast centroids / probe lists
+    "ann_recall",  # composes ann_brute_topk + ann_ivf_topk; inherits their
+    #               broadcast-singleton BNLJs (query-set broadcast, bounded)
     "ann_srp_buckets",  # broadcast SRP hyperplanes
     "neardup_cosine",  # broadcast SRP planes
     "semantic_dedup_keep",  # broadcast SRP planes feeding the keep-set

@@ -1,0 +1,161 @@
+"""Deterministic N× scale-up of the driver's synthetic testdata.
+
+``/root/testdata`` tops out at sf0.1 (600k lineitem rows) and is
+read-only, but the scaling claims in SCALING.md need at least one
+measured decade:  a superlinear cliff in the dedup/ANN/cluster family is
+invisible if the largest bench ever run is sf0.1.  This tool reads an
+existing sf directory and emits a FACTOR× copy into a gitignored local
+dir (default ``.localdata/sf1``), preserving the properties the heavy
+queries are sensitive to:
+
+- **Foreign keys survive.**  Every replicated fact/dim key is offset by
+  ``copy * 10_000_000`` on BOTH sides of each FK edge
+  (orders.o_custkey ↔ customer.c_custkey, lineitem.l_{order,part,supp}key
+  ↔ their parents), so join cardinalities scale exactly linearly.
+  ``nation``/``region`` are fixed-size dimensions in TPC-H and are
+  copied verbatim; int32 FKs into them stay valid.
+- **Dedup structure scales linearly, not quadratically.**  Document text
+  in copies > 0 has every whitespace token prefixed with ``c{copy}_``,
+  which makes cross-copy shingle sets disjoint while keeping each
+  copy's internal duplicate/near-duplicate graph byte-identical in
+  shape.  The sf1 corpus is therefore 10 independent sf0.1 dedup
+  workloads — the correct target for a "grew ≤ data ratio" assertion.
+  (Naive replication would make every doc a 10-way exact duplicate and
+  MinHash pair counts would grow ~factor² — a different workload, not a
+  scaled one.)  ``n_chars`` is recomputed from the mutated text.
+- **Embedding geometry is preserved within a copy, scrambled across
+  copies.**  Copies > 0 rotate the vector elements by ``copy*7 mod dim``;
+  rotation preserves norms and within-copy inner products, so each
+  copy's ANN/near-dup neighborhood structure is intact while cross-copy
+  cosines are decorrelated.
+- **Bounded inputs stay bounded.**  Copy 0 keeps original ids, so
+  queries that select a small probe/query set by id (``ann_*``) keep a
+  fixed-size query side — at scale the query set does not grow with the
+  corpus, matching the production shape.
+
+Everything runs JVM-side (explode + built-in expressions, no Python
+UDFs) so generating sf1 takes seconds, and the same tool generates sf10
+from sf1 if a second decade is ever needed.
+
+Usage:
+    python tools/gen_scaled_testdata.py \
+        [--src /root/testdata/sf0.1] [--dst .localdata/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_pipeline_excel_sql__spark.session import get_session
+
+#: Per-copy key offset.  Far above any key in the source data (sf0.1
+#: tops out at o_orderkey ≈ 600k; even sf10-from-sf1 stays < 10M per
+#: copy block) so replicated key spaces never collide.
+KEY_OFFSET = 10_000_000
+
+#: int64 key columns to offset per table (both sides of every FK edge).
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: Fixed-size dimensions copied verbatim (TPC-H keeps these constant
+#: across scale factors; int32 FKs into them remain valid).
+VERBATIM = ["region", "nation"]
+
+#: Output partition count per replicated table — enough to keep sf1
+#: scans parallel on local[32] without a forest of tiny files.
+OUT_PARTITIONS = 32
+
+
+def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
+    out = df.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+    for key in OFFSET_KEYS[table]:
+        out = out.withColumn(
+            key, F.col(key) + F.col("copy").cast("long") * KEY_OFFSET
+        )
+    if table == "documents":
+        mutated = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(
+                    F.lit("c"), F.col("copy").cast("string"), F.lit("_"), w
+                ),
+            ),
+            " ",
+        )
+        out = out.withColumn(
+            "text", F.when(F.col("copy") == 0, F.col("text")).otherwise(mutated)
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        dim = F.size("embedding")
+        rot = F.pmod(F.col("copy") * 7, dim)
+        rotated = F.concat(
+            F.slice(F.col("embedding"), rot + F.lit(1), dim - rot),
+            F.slice(F.col("embedding"), F.lit(1), rot),
+        )
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("copy") == 0, F.col("embedding")).otherwise(rotated),
+        )
+    return out.drop("copy")
+
+
+def generate(
+    spark: SparkSession, src: str, dst: str, factor: int
+) -> dict[str, int]:
+    """Scale every table from ``src`` by ``factor`` into ``dst``.
+
+    Returns {table: output_row_count} for a quick sanity report.
+    """
+    counts: dict[str, int] = {}
+    for table in VERBATIM:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{table}.parquet"
+        )
+        counts[table] = df.count()
+    for table in OFFSET_KEYS:
+        src_df = spark.read.parquet(f"{src}/{table}.parquet")
+        cols = src_df.columns  # preserve original column order
+        out = _replicate(src_df, table, factor).select(*cols)
+        out.repartition(OUT_PARTITIONS).write.mode("overwrite").parquet(
+            f"{dst}/{table}.parquet"
+        )
+        counts[table] = spark.read.parquet(f"{dst}/{table}.parquet").count()
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--dst",
+        default=str(Path(__file__).resolve().parent.parent / ".localdata/sf1"),
+    )
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    counts = generate(spark, args.src, args.dst, args.factor)
+    for table, n in counts.items():
+        print(f"{table:12s} {n:>10,d}")
+
+
+if __name__ == "__main__":
+    main()
