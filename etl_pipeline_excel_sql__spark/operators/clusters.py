@@ -92,7 +92,21 @@ def _star_labels(
     the final set is additionally verified to be star-shaped (no node on
     both root and child side) — a violated check means a logic bug, not
     an input property, hence the hard raise.
+
+    Probe cost: the count is the materializing action the truncator needs
+    anyway; the ``exceptAll`` set-equality probe (a full distinct-shuffle
+    of both sides) runs ONLY when the counts match. Both sides are
+    distinct sets, so equal counts + empty except ⟺ equal sets, and
+    unequal counts alone prove change — mid-convergence rounds (where
+    counts still move) pay one count per pass instead of count + except.
     """
+
+    def _probe(d: DataFrame, p: DataFrame, n_prev: int) -> tuple[int, int]:
+        n = d.count()
+        if n != n_prev:
+            return n, 1  # size changed ⇒ set changed; skip the set probe
+        return n, d.exceptAll(p).count()
+
     e = trunc.truncate(edges)
     n_e = e.count()
     if n_e == 0:
@@ -104,14 +118,14 @@ def _star_labels(
         prev = e
         e, (n1, ch1) = trunc.truncate_with(
             _large_star(prev),
-            lambda d, p=prev: (d.count(), d.exceptAll(p).count()),
+            lambda d, p=prev, n=n_e: _probe(d, p, n),
         )
         prev = e
         e, (n2, ch2) = trunc.truncate_with(
             _small_star(prev),
-            lambda d, p=prev: (d.count(), d.exceptAll(p).count()),
+            lambda d, p=prev, n=n1: _probe(d, p, n),
         )
-        if ch1 == 0 and n1 == n_e and ch2 == 0 and n2 == n1:
+        if ch1 == 0 and ch2 == 0:
             break
         n_e = n2
     else:
@@ -228,14 +242,19 @@ def connected_components(
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
 
     if algorithm == "star":
+        # Materialize the symmetric pair set ONCE — `canon` (which
+        # _star_labels truncates) and `nodes` both derive from the stored
+        # blocks, so an expensive pair-generator subtree (LSH, SRP) runs
+        # exactly one time, matching the propagate/auto path's practice.
+        sym_m = edge_trunc.truncate(sym)
         canon = (
-            sym.filter(F.col("u") != F.col("v"))
+            sym_m.filter(F.col("u") != F.col("v"))
             .select(
                 F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
             )
             .distinct()
         )
-        nodes = edge_trunc.truncate(sym.select("u").distinct())
+        nodes = sym_m.select("u").distinct()
         star = _star_labels(canon, loop_trunc, max_iters)
         labels = star.union(
             nodes.join(

@@ -726,6 +726,33 @@ FROM comp
 QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters, forced ``algorithm="star"`` (pure Kiveris
+    large-star/small-star from round 0) — oracle-pins the alternation
+    end-to-end at the driver, not just in hypothesis tests. Star is the
+    measured-faster path since the count-fast-path convergence probe
+    (BENCH_LOCAL_r06_sf1.json: 4.4 s vs 5.0 s auto at sf0.1), so its
+    correctness deserves the same gate as the default."""
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+    return connected_components(pairs, algorithm="star")
+
+
+ORACLE["dedup_clusters_star"] = ORACLE["dedup_clusters"]
+QUERIES["dedup_clusters_star"] = q_dedup_clusters_star
+
+
 def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup KEEP SET: embedding near-dup pairs
     (label block × SRP-LSH, exact cosine ≥ threshold) resolved into
