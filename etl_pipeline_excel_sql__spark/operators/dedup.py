@@ -135,8 +135,33 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+class SignatureCache:
+    """Caller-owned persist slot: holding at most ONE lingering persisted
+    DataFrame, swapped atomically per call.
+
+    ``minhash_lsh_pairs`` / ``minhash_lsh_pairs_cross`` persist their
+    signature tables through a slot like this; the module-global default
+    slots bound storage across looped invocations but are shared — an
+    interleaved second caller unpersists the first caller's still-wanted
+    cache (correct but silently recomputes). Callers that interleave or
+    multi-thread pass their own ``SignatureCache`` so lifetimes follow
+    their call sequence (see tests/test_iterative.py).
+    """
+
+    def __init__(self) -> None:
+        self._df: DataFrame | None = None
+
+    def swap(self, df: DataFrame) -> DataFrame:
+        """Persist ``df``, release the previously held table, hold ``df``."""
+        df = df.persist()
+        if self._df is not None:
+            self._df.unpersist()
+        self._df = df
+        return df
+
+
 #: Previous invocation's persisted signature table (see minhash_lsh_pairs).
-_last_sig: DataFrame | None = None
+_DEFAULT_SIG_CACHE = SignatureCache()
 
 
 def _minhash_signatures(exploded: DataFrame, num_hashes: int) -> DataFrame:
@@ -192,6 +217,7 @@ def minhash_lsh_pairs(
     band_rows: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    cache: SignatureCache | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -212,12 +238,13 @@ def minhash_lsh_pairs(
     Output: ``id_a, id_b, jaccard_sim`` with ``id_a < id_b``.
 
     Lifetime note: each call unpersists the previous call's signature
-    cache (module-global, bounded to one lingering table). A result held
-    from an earlier call stays CORRECT — persist keeps lineage, unlike a
-    checkpoint — but recomputes on next read. Not thread-safe: concurrent
-    calls may unpersist each other's still-running cache (correctness
-    holds, the work silently re-runs); serialize calls in multi-threaded
-    drivers.
+    cache through its ``cache`` slot (default: a module-global slot,
+    bounded to one lingering table). A result held from an earlier call
+    stays CORRECT — persist keeps lineage, unlike a checkpoint — but
+    recomputes on next read, and concurrent callers sharing the default
+    slot may unpersist each other's still-running cache. Interleaved or
+    multi-threaded callers pass their own :class:`SignatureCache` so
+    each call sequence owns its lifetime.
     """
     assert num_hashes % band_rows == 0
 
@@ -233,11 +260,9 @@ def minhash_lsh_pairs(
     # call's signature table (a localCheckpoint would also scope cleanup
     # but costs ~3x the persist path on the bench), so looped invocations
     # hold at most one lingering cache.
-    global _last_sig
-    sig = _minhash_signatures(exploded, num_hashes).persist()
-    if _last_sig is not None:
-        _last_sig.unpersist()
-    _last_sig = sig
+    sig = (cache or _DEFAULT_SIG_CACHE).swap(
+        _minhash_signatures(exploded, num_hashes)
+    )
     bands = sig.select("__id", _minhash_band_expr(num_hashes, band_rows))
     cand = (
         bands.alias("l")
@@ -259,8 +284,8 @@ def minhash_lsh_pairs(
 
 
 #: bounded cache handle for minhash_lsh_pairs_cross (same doctrine as
-#: _last_sig: at most one lingering persisted signature table).
-_last_sig_cross: DataFrame | None = None
+#: the self-join slot: at most one lingering persisted signature table).
+_DEFAULT_SIG_CACHE_CROSS = SignatureCache()
 
 
 def minhash_lsh_pairs_cross(
@@ -272,6 +297,7 @@ def minhash_lsh_pairs_cross(
     band_rows: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    cache: SignatureCache | None = None,
 ) -> DataFrame:
     """Incremental-ingestion near-dup: NEW batch vs EXISTING corpus.
 
@@ -303,15 +329,9 @@ def minhash_lsh_pairs_cross(
     tagged = tagged.filter(F.size(ws_tokens(F.col(text_col))) > 0)
     exploded = shingle_rows(tagged, text_col, id_col, shingle_n)
     sides = tagged.select(F.col(id_col).alias("__id"), "__side")
-    global _last_sig_cross
-    sig = (
-        _minhash_signatures(exploded, num_hashes)
-        .join(sides, "__id")
-        .persist()
+    sig = (cache or _DEFAULT_SIG_CACHE_CROSS).swap(
+        _minhash_signatures(exploded, num_hashes).join(sides, "__id")
     )
-    if _last_sig_cross is not None:
-        _last_sig_cross.unpersist()
-    _last_sig_cross = sig
     bands = sig.select(
         "__id", "__side", _minhash_band_expr(num_hashes, band_rows)
     )

@@ -214,6 +214,7 @@ def triangle_participation(
     id_a: str = "id_a",
     id_b: str = "id_b",
     with_degrees: bool = False,
+    truncator: LineageTruncator | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented wedge join.
 
@@ -242,12 +243,13 @@ def triangle_participation(
     subtrees that must not re-run per consumer (same practice as
     ngram_containment_pairs).
 
-    Lifetime contract: the materialization is a module-global truncator
-    that retires the PREVIOUS call's localCheckpoint blocks on the next
-    call — only the MOST RECENT call's result may still be read (an older
-    result has no lineage to recompute freed blocks). Not safe for
-    concurrent calls from multiple driver threads; serialize, or give
-    each thread its own copy with a caller-owned ``LineageTruncator``.
+    Lifetime contract: the materialization is truncator-scoped — the next
+    call through the SAME truncator retires this call's localCheckpoint
+    blocks, so only the most recent such result may still be read (an
+    older result has no lineage to recompute freed blocks). The default
+    is a module-global truncator shared by all callers; interleaved or
+    multi-threaded callers pass a caller-owned ``truncator`` so each call
+    sequence has its own lifetime (see tests/test_iterative.py).
     """
     # Bounded block storage: LineageTruncator's eager cut materializes
     # the pair table once for its four consumers AND retires the
@@ -256,9 +258,11 @@ def triangle_participation(
     # persisted-RDD ids).
     global _tri_trunc
     spark = pairs.sparkSession
-    if _tri_trunc is None or _tri_trunc._spark is not spark:
-        _tri_trunc = LineageTruncator(spark)
-    pairs = _tri_trunc.truncate(pairs.select(id_a, id_b))
+    if truncator is None:
+        if _tri_trunc is None or _tri_trunc._spark is not spark:
+            _tri_trunc = LineageTruncator(spark)
+        truncator = _tri_trunc
+    pairs = truncator.truncate(pairs.select(id_a, id_b))
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     deg = (
         e.select(F.col("u").alias("n"))

@@ -253,6 +253,7 @@ def kmeans_train_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    truncator=None,
 ) -> DataFrame:
     """Lloyd's k-means as pure DataFrame ops → final (id, vec, cell).
 
@@ -271,14 +272,16 @@ def kmeans_train_assign(
     driver never collects them. Empty cells drop out naturally (their
     group vanishes), mirrored by the oracle's GROUP BY.
 
-    Lifetime contract: storage is bounded by a module-global truncator
-    that retires the PREVIOUS call's localCheckpoint blocks on the next
-    call. Only the MOST RECENT call's result may still be read — a
+    Lifetime contract: storage is bounded by a truncator that retires the
+    PREVIOUS call's localCheckpoint blocks on the next call. Only the
+    MOST RECENT call through a given truncator may still be read — a
     DataFrame held from an earlier call has no lineage to recompute its
-    freed blocks and fails with block-not-found. Not safe for concurrent
-    calls from multiple driver threads; serialize calls (or fork the
-    function with a caller-owned ``LineageTruncator``) if you need
-    overlapping results.
+    freed blocks and fails with block-not-found. The default is a
+    module-global truncator shared by all callers, so interleaved or
+    concurrent calls invalidate each other's results; pass a caller-owned
+    ``truncator`` (an ``operators.iterative.LineageTruncator``) to scope
+    the lifetime to YOUR call sequence instead — each truncator's results
+    are independent (see tests/test_iterative.py's interleaving test).
     """
     if iters < 1:
         raise ValueError("kmeans_train_assign: iters must be >= 1")
@@ -293,8 +296,10 @@ def kmeans_train_assign(
 
     global _kmeans_trunc
     spark = corpus.sparkSession
-    if _kmeans_trunc is None or _kmeans_trunc._spark is not spark:
-        _kmeans_trunc = LineageTruncator(spark)
+    if truncator is None:
+        if _kmeans_trunc is None or _kmeans_trunc._spark is not spark:
+            _kmeans_trunc = LineageTruncator(spark)
+        truncator = _kmeans_trunc
     cents = (
         corpus.orderBy(id_col)
         .limit(ncells)
@@ -315,7 +320,7 @@ def kmeans_train_assign(
         # every downstream consumer (probe centroids + both sides of the
         # cell join) read the materialized assignment instead of
         # recomputing it, and retires the previous round's blocks.
-        assigned = _kmeans_trunc.truncate(
+        assigned = truncator.truncate(
             _assign_broadcast(corpus, cents, id_col, vec_col, dims)
         )
         if it < iters - 1:

@@ -17,10 +17,21 @@ the two semantics that matter operationally:
 
 Writes run from the EXECUTORS, one connection per partition — a 1000-
 partition frame opens 1000 connections unless bounded, so
-``max_write_partitions`` (default 16) coalesces before the write; at
-100 TB the bottleneck is the database's ingest path, never Spark. Use
-``batchsize`` (JDBC option, default 1000 here) to keep round-trips
-amortized.
+``max_write_partitions`` (default 16) bounds parallelism before the
+write; at 100 TB the bottleneck is the database's ingest path, never
+Spark. Use ``batchsize`` (JDBC option, default 1000 here) to keep
+round-trips amortized.
+
+The bound has a classic trade-off. ``coalesce`` (default) avoids a
+shuffle, but it does NOT insert a stage boundary — it propagates UP the
+plan, so everything upstream of the write (a wide aggregation, an
+expensive join) also runs at ≤``max_write_partitions`` tasks. That is
+fine when the upstream is cheap or already narrow; for an expensive
+upstream plan set ``shuffle_before_write=True`` to use ``repartition``
+instead — one extra shuffle of the (database-ingest-sized, therefore
+small) result buys full upstream parallelism. Persisting the frame
+before ``write`` achieves the same decoupling when the caller already
+materializes it for other reasons.
 """
 
 from __future__ import annotations
@@ -45,6 +56,11 @@ class JdbcSink:
     options: dict[str, str] = field(default_factory=dict)
     batch_size: int = 1000
     max_write_partitions: int = 16
+    #: False (default): ``coalesce`` — no shuffle, but upstream stages
+    #: collapse to ``max_write_partitions`` tasks. True: ``repartition``
+    #: — one extra shuffle of the final rows, upstream keeps its
+    #: parallelism. See the module docstring for when each wins.
+    shuffle_before_write: bool = False
 
     def write(self, df: DataFrame, mode: str = "append") -> None:
         if mode not in _MODES:
@@ -52,9 +68,12 @@ class JdbcSink:
                 f"JdbcSink.write: mode must be one of {_MODES}, got {mode!r}"
             )
         if self.max_write_partitions > 0:
-            # coalesce, not repartition: bounding the connection count
-            # must not add a shuffle in front of the write
-            df = df.coalesce(self.max_write_partitions)
+            bound = (
+                df.repartition
+                if self.shuffle_before_write
+                else df.coalesce
+            )
+            df = bound(self.max_write_partitions)
         writer = (
             df.write.format("jdbc")
             .option("url", self.url)

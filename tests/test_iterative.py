@@ -91,3 +91,71 @@ def test_truncate_with_returns_action_result(spark):
     )
     assert n_even == 5
     assert cut.count() == 10
+
+
+def test_caller_owned_truncators_allow_interleaved_results(spark, sf_dir):
+    """Two interleaved kmeans calls, each with its OWN truncator: the
+    FIRST call's result must still be collectable after the second call
+    runs (through the shared module-global truncator, call 2 would retire
+    call 1's blocks and this read would fail block-not-found)."""
+    from etl_pipeline_excel_sql__spark.operators.similarity import (
+        kmeans_train_assign,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    t1, t2 = LineageTruncator(spark), LineageTruncator(spark)
+    r1 = kmeans_train_assign(emb.limit(60), ncells=4, iters=2, truncator=t1)
+    r2 = kmeans_train_assign(emb.limit(90), ncells=4, iters=2, truncator=t2)
+    # Interleaved reads of BOTH results — r1 first ran, r2 truncated after.
+    assert r2.count() == 90
+    assert r1.count() == 60  # would raise via a shared truncator
+    # And the assignments themselves differ (different corpora).
+    assert r1.select("cell").distinct().count() <= 4
+
+
+def test_caller_owned_truncator_interleaves_triangles(spark):
+    """Same contract for triangle_participation's edge materialization."""
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        triangle_participation,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["id_a", "id_b"]
+    )
+    t1, t2 = LineageTruncator(spark), LineageTruncator(spark)
+    r1 = triangle_participation(tri, truncator=t1)
+    r2 = triangle_participation(square, truncator=t2)
+    assert r2.count() == 0  # a 4-cycle closes no triangle
+    got = {r.node: r.n_triangles for r in r1.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_caller_owned_signature_cache_scopes_minhash_persist(spark, sf_dir):
+    """minhash_lsh_pairs with caller-owned SignatureCache slots: each
+    cache holds exactly one persisted table, swap releases the previous,
+    and interleaved calls through different caches don't interfere."""
+    from etl_pipeline_excel_sql__spark.operators.dedup import (
+        SignatureCache,
+        minhash_lsh_pairs,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    c1, c2 = SignatureCache(), SignatureCache()
+    p1 = minhash_lsh_pairs(docs, "text", "doc_id", cache=c1)
+    n1 = p1.count()
+    p2 = minhash_lsh_pairs(docs.limit(100), "text", "doc_id", cache=c2)
+    # Both results remain consistent after interleaving (persist keeps
+    # lineage, so this is a correctness re-read, not a crash test).
+    assert p1.count() == n1
+    assert p2.count() <= n1
+    # Each slot holds its own table; swapping c1 releases only c1's.
+    held1, held2 = c1._df, c2._df
+    assert held1 is not None and held2 is not None and held1 is not held2
+    c1.swap(spark.range(1).toDF("x"))
+    assert held1.storageLevel.useMemory is False  # released
+    assert held2.storageLevel.useMemory is True  # untouched

@@ -11,6 +11,7 @@ prove filter/projection pushdown reaches the remote query (VERDICT r3 ask
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.sources.registry import JdbcSource
 
@@ -119,6 +120,40 @@ def test_jdbc_sink_bounds_write_connections(spark, derby_url):
     sink.write(wide, mode="recreate")
     got = _read_all(spark, derby_url, "t_bounded")
     assert got == {(i,) for i in range(1000)}
+
+
+def test_jdbc_sink_shuffle_before_write_keeps_upstream_parallelism(
+    spark, derby_url
+):
+    """shuffle_before_write=True bounds connections via repartition — an
+    Exchange above the upstream plan — so a wide upstream aggregation
+    keeps its parallelism instead of collapsing to max_write_partitions
+    tasks (the coalesce stage-collapse trade-off)."""
+    from etl_pipeline_excel_sql__spark.sinks.jdbc import JdbcSink
+
+    wide = (
+        spark.range(0, 1000, 1, 64)
+        .selectExpr("id % 100 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    sink = JdbcSink(
+        url=derby_url,
+        table="t_shuffled",
+        max_write_partitions=4,
+        shuffle_before_write=True,
+    )
+    sink.write(wide, mode="recreate")
+    got = _read_all(spark, derby_url, "t_shuffled")
+    want = {
+        (k, sum(v for v in range(1000) if v % 100 == k)) for k in range(100)
+    }
+    assert got == want
+    # Plan shape: the repartition is a RoundRobin Exchange ABOVE the agg,
+    # not a coalesce that would cap the agg itself.
+    plan = wide.repartition(4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning(4)" in plan
+    assert "Coalesce" not in plan
 
 
 def test_jdbc_sink_rejects_unknown_mode(spark, derby_url):
