@@ -104,11 +104,15 @@ COMMENTARY = {
         "sums after the string hop."
     ),
     "decontam_overlap": (
-        "Benchmark decontamination: the eval-side distinct shingle set "
-        "broadcasts (eval suites are tiny next to a 100 TB corpus), so "
-        "the training side is one scan + explode + broadcast semi-ish "
-        "join + per-doc count with map-side combine. The corpus never "
-        "shuffles; no shingle string survives past its hash aggregate."
+        "Benchmark decontamination: the join strategy is SIZE-GATED by "
+        "Catalyst/AQE, not forced — at this SF the eval-side distinct "
+        "shingle set fits the broadcast threshold, so the plan shows a "
+        "BroadcastHashJoin and the training side is one scan + explode + "
+        "join + per-doc count with map-side combine. A bench suite bigger "
+        "than the threshold degrades to a shuffle join on the shingle key "
+        "instead of an unbounded broadcast (plan-tested both ways in "
+        "test_plan_census.py::test_decontam_size_gates_the_bench_join). "
+        "No shingle string survives past its hash aggregate."
     ),
     "text_repetition": (
         "Repetition signals: one explode feeds a two-level codegen "
