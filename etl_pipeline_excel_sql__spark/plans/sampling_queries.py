@@ -145,7 +145,70 @@ _hx = _H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")
 _hs = _H60.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 
+#: Mixture recipe for the registry rows: weights normalize to exact
+#: binary fractions (0.5/0.25/0.25) so the oracle's float arithmetic is
+#: bit-identical; es/zh are absent → weight 0 → dropped from the output.
+MIX_BUDGET_CHARS = 30000
+MIX_WEIGHTS = {"en": 2.0, "de": 1.0, "fr": 1.0}
+
+
+def q_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture keep-rates: the planning half of
+    ``operators/mixing.py`` (one tiny aggregate; no corpus shuffle)."""
+    from etl_pipeline_excel_sql__spark.operators.mixing import (
+        domain_mixture_rates,
+    )
+
+    doc = load_table(spark, "documents", sf_dir)
+    return domain_mixture_rates(
+        doc, "lang", "n_chars", MIX_BUDGET_CHARS, MIX_WEIGHTS
+    )
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resample of documents toward the recipe —
+    broadcast rate join + narrow hash filter (`operators/mixing.py`)."""
+    from etl_pipeline_excel_sql__spark.operators.mixing import (
+        domain_mixture_sample,
+    )
+
+    doc = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return domain_mixture_sample(
+        doc, "lang", "doc_id", "n_chars", MIX_BUDGET_CHARS, MIX_WEIGHTS
+    )
+
+
+#: DuckDB twin of the mixture rate table (weights pre-normalized to the
+#: same exact binary fractions the Spark code computes in Python).
+_MIX_RATES_SQL = f"""
+    WITH totals AS (
+      SELECT lang AS domain, SUM(n_chars) AS domain_size
+      FROM documents GROUP BY 1
+    ), rates AS (
+      SELECT domain, domain_size,
+             {MIX_BUDGET_CHARS} * CASE domain
+                 WHEN 'en' THEN 0.5::DOUBLE
+                 WHEN 'de' THEN 0.25::DOUBLE
+                 WHEN 'fr' THEN 0.25::DOUBLE
+             END AS target_raw
+      FROM totals
+    )
+    SELECT domain, domain_size,
+           CAST(floor(target_raw) AS BIGINT) AS target_size,
+           CAST(least(10000, floor(10000 * target_raw / domain_size))
+                AS INT) AS rate_bp
+    FROM rates WHERE target_raw IS NOT NULL"""
+
 ORACLE: dict[str, str] = {
+    "mix_rates": _MIX_RATES_SQL,
+    "mix_domains": f"""
+        WITH rates AS ({_MIX_RATES_SQL})
+        SELECT d.doc_id, d.lang, d.n_chars, r.rate_bp
+        FROM documents d JOIN rates r ON d.lang = r.domain
+        WHERE CAST('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 10000 < r.rate_bp""",
     "sample_stratified": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents
@@ -181,6 +244,8 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "mix_rates": q_mix_rates,
+    "mix_domains": q_mix_domains,
     "sample_stratified": q_sample_stratified,
     "shard_manifest": q_shard_manifest,
     "curriculum_buckets": q_curriculum_buckets,

@@ -3,6 +3,7 @@ join pre-filter."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.operators.bloom import (
@@ -103,3 +104,61 @@ def test_srp_buckets_survive_colliding_corpus_columns(spark):
     ).collect()
     assert rows and rows[0]["t"] == 9 and rows[0]["w"] == 8
     assert 0 <= rows[0]["__bucket"] < 16
+
+
+def test_mixture_rates_cap_drop_and_uniform(spark):
+    from etl_pipeline_excel_sql__spark.operators.mixing import (
+        domain_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("web", 1, 8000), ("web", 2, 8000), ("code", 3, 100), ("ref", 4, 900)],
+        ["domain", "id", "sz"],
+    )
+    # Explicit weights: 'ref' absent -> dropped; 'code' target (1000)
+    # exceeds its 100 available -> rate capped at 10000 (keep all).
+    rates = {
+        r.domain: r
+        for r in domain_mixture_rates(
+            df, "domain", "sz", budget=2000, weights={"web": 1, "code": 1}
+        ).collect()
+    }
+    assert set(rates) == {"web", "code"}
+    assert rates["code"].rate_bp == 10000
+    assert rates["code"].target_size == 1000
+    # web: 10000 * 1000 / 16000 = 625
+    assert rates["web"].rate_bp == 625
+    # Uniform weights cover every observed domain.
+    uni = domain_mixture_rates(df, "domain", "sz", budget=3000)
+    got = {r.domain: r.rate_bp for r in uni.collect()}
+    assert set(got) == {"web", "code", "ref"}
+    assert got["code"] == 10000 and got["ref"] == 10000
+    assert got["web"] == 625  # 10000 * 1000 / 16000
+
+    with pytest.raises(ValueError):
+        domain_mixture_rates(df, "domain", "sz", budget=0)
+
+
+def test_mixture_sample_is_deterministic_and_respects_rates(spark):
+    from etl_pipeline_excel_sql__spark.operators.mixing import (
+        domain_mixture_sample,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS domain",
+        "id",
+        "10 AS sz",
+    )
+    kept = domain_mixture_sample(
+        df, "domain", "id", "sz", budget=8000, weights={"a": 1, "b": 1}
+    )
+    rows1 = sorted(r.id for r in kept.collect())
+    rows2 = sorted(r.id for r in kept.collect())
+    assert rows1 == rows2  # pure function of the data
+    # 'a' has 500 rows * 10 = 5000 < 4000? no: target 4000 < 5000 ->
+    # rate 8000bp; 'b' 15000 -> ~2666bp. Keep fractions near those rates.
+    by_dom = {r.domain: r.rate_bp for r in kept.select("domain", "rate_bp").distinct().collect()}
+    assert by_dom == {"a": 8000, "b": 2666}
+    n_a = sum(1 for r in kept.collect() if r.domain == "a")
+    n_b = len(rows1) - n_a
+    assert abs(n_a - 400) < 60 and abs(n_b - 400) < 70
