@@ -309,3 +309,82 @@ def triangle_participation(
             .alias("n_triangles"),
         )
     )
+
+
+def kcore_membership(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core of an undirected pair graph: the (unique) maximal node
+    subset in which every node keeps degree >= k within the subset.
+
+    Dedup-graph quality control: a near-duplicate cluster held together
+    by a single bridge doc falls apart in the 2-core; spam farms /
+    template mills show up as dense high-k cores [Seidman, "Network
+    structure and minimum degree", Social Networks 1983]. Returns
+    ``(node, core_degree)`` — every surviving node with its within-core
+    degree. Nodes outside the core (including all of a graph with no
+    k-core) simply don't appear.
+
+    Algorithm: standard peeling, distributed — each round computes
+    degrees (one map-side-combined aggregate over the current edge set),
+    drops nodes below k, and keeps only edges with BOTH endpoints
+    surviving (two semi-joins against the tiny surviving-node set). The
+    edge set shrinks monotonically; the removal count doubles as the
+    round's lineage-cut action (one job per round, same practice as the
+    components loop).
+
+    Round-count contract: peeling finishes in "degeneracy depth" rounds
+    — small for the blob-shaped graphs this targets, but a pathological
+    chain with k=2 peels one node per end per round, so an adversarial
+    input can exceed ``max_iters``; the hard RuntimeError is the same
+    anomaly-detector contract as ``connected_components(algorithm=
+    "propagate")``. (A Montresor-style h-index iteration trades this for
+    full coreness at more per-round work — out of scope until a caller
+    needs core NUMBERS rather than k-membership.)
+    """
+    if k < 1:
+        raise ValueError("kcore_membership: k must be >= 1")
+    spark = pairs.sparkSession
+    trunc = LineageTruncator(spark, checkpoint_dir)
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e, n_edges = trunc.truncate_with(e, lambda d: d.count())
+    for _ in range(max_iters):
+        if n_edges == 0:
+            return e.select(
+                F.col("a").alias("node"), F.lit(0).cast("bigint").alias("core_degree")
+            )
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        survivors = deg.filter(F.col("d") >= k)
+        nxt = e.join(
+            survivors.select(F.col("n").alias("a")), "a", "semi"
+        ).join(survivors.select(F.col("n").alias("b")), "b", "semi")
+        nxt, n_next = trunc.truncate_with(nxt, lambda d: d.count())
+        if n_next == n_edges:
+            # Fixpoint: every remaining endpoint has degree >= k.
+            return (
+                nxt.select(F.col("a").alias("node"))
+                .union(nxt.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+            )
+        e, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"kcore_membership: no fixpoint in {max_iters} rounds "
+        "(peeling depth exceeds the budget — raise max_iters for "
+        "deep/chain-shaped graphs)"
+    )

@@ -224,3 +224,70 @@ FROM deg LEFT JOIN tcnt USING (node)"""
 
 ORACLE["graph_cluster_coeff"] = _cluster_coeff_sql()
 QUERIES["graph_cluster_coeff"] = q_graph_cluster_coeff
+
+
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash near-dup pair graph: documents that stay in
+    a duplicate cluster even after every bridge-only member is peeled —
+    the "robustly duplicated" subset (``operators/graph.kcore_membership``).
+    """
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        kcore_membership,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    return kcore_membership(pairs, k=2)
+
+
+def kcore_unrolled_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB oracle twin of :func:`kcore_membership`: peeling unrolled
+    as chained CTEs.
+
+    ``rounds`` must be >= the graph's actual peeling depth or the oracle
+    is NOT the fixpoint — measured depth is 2 on the near-dup graph at
+    every driver SF (sf0.001/0.01/0.1), so the registered query unrolls
+    6 for margin; an insufficient unroll shows up as a value-hash
+    mismatch at the gate rather than passing silently, because the Spark
+    side always runs to the true fixpoint.
+    """
+    # Every CTE is MATERIALIZED: each round references the previous edge
+    # set three times (degree count + two semi-join sides), and DuckDB
+    # inlines plain CTEs — an un-materialized 6-round unroll re-expands
+    # the chain 3^6 times and the planner never comes back.
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ({edges_cte}))"
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT n FROM (SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p})
+  GROUP BY n HAVING COUNT(*) >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN s{i} sa ON e.a = sa.n
+  JOIN s{i} sb ON e.b = sb.n
+)"""
+        )
+    final = f"""SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY node"""
+    return ",\n".join(parts) + "\n" + final
+
+
+def _kcore_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _MINHASH_SQL,
+    )
+
+    return (
+        f"WITH pairs AS MATERIALIZED ({_MINHASH_SQL}),\n"
+        + kcore_unrolled_sql("SELECT id_a, id_b FROM pairs", k=2, rounds=6)
+    )
+
+
+ORACLE["dedup_kcore"] = _kcore_sql()
+QUERIES["dedup_kcore"] = q_dedup_kcore

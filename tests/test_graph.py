@@ -100,3 +100,76 @@ def test_triangle_participation_bounded_block_storage(spark):
         triangle_participation(pairs, "id_a", "id_b").collect()
         counts.append(len(_persisted_rdd_ids(spark)))
     assert counts[2] <= counts[0] + 1  # bounded, not one new table per call
+
+
+def _brute_kcore(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: {node: within-core degree} of the k-core."""
+    edges = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            return {n: d for n, d in deg.items() if n in keep}
+        edges = nxt
+
+
+def test_kcore_membership_matches_brute_force(spark):
+    from etl_pipeline_excel_sql__spark.operators.graph import kcore_membership
+
+    # triangle + pendant tail + separate 4-clique + isolated edge
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle: in the 2-core
+        (3, 4),                          # tail: peeled
+        (10, 11), (10, 12), (10, 13),    # 4-clique: in the 2- AND 3-core
+        (11, 12), (11, 13), (12, 13),
+        (20, 21),                        # isolated edge: peeled at k=2
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for k in (1, 2, 3, 4):
+        got = {
+            r.node: r.core_degree
+            for r in kcore_membership(df, k=k).collect()
+        }
+        assert got == _brute_kcore(set(edges), k), f"k={k}"
+
+
+def test_kcore_hypothesis_random_graphs(spark):
+    import random
+
+    from etl_pipeline_excel_sql__spark.operators.graph import kcore_membership
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 30
+        edges = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+            )
+            if a != b
+        }
+        df = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+        k = 2 + trial % 2
+        got = {
+            r.node: r.core_degree for r in kcore_membership(df, k=k).collect()
+        }
+        assert got == _brute_kcore(edges, k), f"trial={trial} k={k}"
+
+
+def test_kcore_chain_cliff_is_a_hard_error(spark):
+    """A long chain peels one node per end per round — exceeding
+    max_iters must raise (the documented anomaly-detector contract),
+    and a big enough budget must converge to the empty 2-core."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.operators.graph import kcore_membership
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore_membership(df, k=2, max_iters=5)
+    assert kcore_membership(df, k=2, max_iters=30).count() == 0
