@@ -1,0 +1,182 @@
+"""BPE merge-table training as an iterative DataFrame loop.
+
+``bpe_pair_counts`` (plans/analytics5_queries.py) reports the statistic
+the FIRST byte-pair-encoding merge maximizes; this module runs the
+actual training loop [Sennrich, Haddow & Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016]: repeatedly
+find the most frequent adjacent symbol pair corpus-wide and fuse it into
+one symbol, yielding the ordered merge table a tokenizer ships.
+
+Distribution shape (100 TB): training runs on the DISTINCT-WORD
+frequency table, not the corpus — one corpus-sized explode+groupBy up
+front, then every round touches |vocab| rows (millions, not billions).
+Per round: (1) adjacent-pair frequencies via an expression-only
+``transform(sequence(...))`` explode and a map-side-combined aggregate
+whose key space is bounded by symbol-pair cardinality; (2) the argmax
+pair — ONE scalar row — is collected to the driver (the same bounded
+driver-decision contract as pagerank's overflow guard: n_merges scalar
+collects total, never corpus rows); (3) the merge applies to every word
+via a codegen'd ``aggregate`` fold (left-to-right, non-overlapping,
+exactly the reference algorithm's replacement order), with per-round
+lineage truncation so the plan stays flat.
+
+Determinism: ties break (count DESC, left ASC, right ASC) in binary
+string order — identical in Spark and DuckDB — so the merge table is a
+pure function of the corpus, and the DuckDB oracle replays the unrolled
+rounds exactly (plans/corpus_queries or graph twin; see
+``bpe_unrolled_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("merge_rank", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+#: Adjacent (a, b) symbol pairs of a symbol array, one row per position
+#: (overlapping positions both count — the reference get_stats counts
+#: every adjacent position; the MERGE is what applies non-overlapping).
+_ADJ_PAIRS = (
+    "transform(sequence(1, size(syms) - 1),"
+    " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+)
+
+
+def _merge_fold(a: str, b: str):
+    """Fuse every left-to-right non-overlapping (a, b) occurrence in
+    ``syms`` — codegen'd aggregate fold, no Python per row."""
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over whitespace-tokenized ``docs``.
+
+    Returns the ordered merge table ``(merge_rank, left, right,
+    pair_count)`` — ``pair_count`` is the corpus-wide adjacent-position
+    frequency that made the pair win its round. Stops early (fewer rows)
+    if no adjacent pair remains. The result is a small local DataFrame
+    (the trained artifact), deterministic for a given corpus.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train_merges: n_merges must be >= 1")
+    spark = docs.sparkSession
+    trunc = LineageTruncator(spark, checkpoint_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    syms = trunc.truncate(syms)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            syms.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        if rank < n_merges - 1:
+            syms = trunc.truncate(
+                syms.select("freq", _merge_fold(a, b).alias("syms"))
+            )
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_unrolled_sql(docs_cte: str, text_col: str, n_merges: int) -> str:
+    """DuckDB oracle twin: the same rounds unrolled as MATERIALIZED CTEs
+    (plain CTEs inline — each round references the previous word table
+    multiple times and the planner would re-expand the chain).
+
+    ``docs_cte`` must yield the text column. Returns a complete query
+    producing ``(merge_rank, left, right, pair_count)``.
+    """
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, CAST(i AS INT), 1)) AS syms
+  FROM (
+    SELECT UNNEST(list_filter(
+             regexp_split_to_array(trim(t.{text_col}), '\\s+'),
+             x -> x <> '')) AS w
+    FROM ({docs_cte}) t
+  )
+  GROUP BY w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT z['a'] AS a, z['b'] AS b, SUM(freq) AS cnt FROM (
+    SELECT freq,
+           UNNEST(list_transform(range(1, len(syms)),
+                  j -> {{'a': syms[CAST(j AS INT)],
+                        'b': syms[CAST(j AS INT) + 1]}})) AS z
+    FROM w{p} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT freq,
+         list_reduce(list_transform(syms, s -> [s]),
+             (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                         THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
+                         ELSE acc || x END) AS syms
+  FROM w{p}, m{i} m
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({i - 1} AS INT) AS merge_rank, a AS \"left\","
+        f" b AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -474,3 +474,32 @@ ORACLE["bpe_pair_counts"] = f"""
     ORDER BY n_occurrences DESC, pair ASC
     LIMIT {BPE_PAIR_K}"""
 QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+
+
+#: merge rounds for the trained BPE table (small: each round is two
+#: bounded jobs over the distinct-word table, and the oracle unrolls
+#: the same count).
+BPE_TRAIN_MERGES = 6
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table itself — ``operators/bpe.py``'s
+    iterative loop over the distinct-word frequency table; the oracle
+    replays the unrolled rounds (same argmax, same tie-break, same
+    left-to-right merge fold) in DuckDB."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import bpe_train_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train_merges(docs, "text", BPE_TRAIN_MERGES)
+
+
+def _bpe_train_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import bpe_unrolled_sql
+
+    return bpe_unrolled_sql(
+        "SELECT text FROM documents", "text", BPE_TRAIN_MERGES
+    )
+
+
+ORACLE["bpe_train"] = _bpe_train_sql()
+QUERIES["bpe_train"] = q_bpe_train

@@ -154,3 +154,70 @@ def test_bpe_pair_counts_topk_properties(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Parity with a literal transcription of the published algorithm
+    (Sennrich et al. 2016, get_stats/merge_vocab) on a tricky corpus:
+    overlapping pairs, ties, multi-char merges chaining."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import bpe_train_merges
+
+    texts = ["low lower lowest", "new newer newest", "aaaa ab", "low low"]
+
+    def reference(texts, n):
+        vocab = {}
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+        out = []
+        for rank in range(n):
+            stats = {}
+            for syms, freq in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] = (
+                        stats.get((syms[i], syms[i + 1]), 0) + freq
+                    )
+            if not stats:
+                break
+            (a, b), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, a, b, cnt))
+            nxt = {}
+            for syms, freq in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nxt[tuple(merged)] = nxt.get(tuple(merged), 0) + freq
+            vocab = nxt
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(df, "text", 8).collect()
+    ]
+    assert got == reference(texts, 8)
+
+
+def test_bpe_train_early_stop_and_validation(spark):
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.operators.bpe import bpe_train_merges
+
+    # single-char words: no adjacent pair ever -> empty merge table
+    df = spark.createDataFrame([("a b c a",)], ["text"])
+    assert bpe_train_merges(df, "text", 4).count() == 0
+    # "ab" has exactly one merge; asking for 5 stops after 1
+    df2 = spark.createDataFrame([("ab ab",)], ["text"])
+    got = bpe_train_merges(df2, "text", 5).collect()
+    assert [(r.merge_rank, r.left, r.right, r.pair_count) for r in got] == [
+        (0, "a", "b", 2)
+    ]
+    with pytest.raises(ValueError):
+        bpe_train_merges(df, "text", 0)
