@@ -90,3 +90,9 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar, stripe-statistics pushdown on read — the
+    Hive-ecosystem sibling of the parquet path)."""
+    df.write.mode(mode).orc(path)

@@ -93,3 +93,79 @@ def test_compact_parquet(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_load_path_round_trips_every_format(spark, sf_dir, tmp_path):
+    """nation survives parquet/orc/csv/json round-trips through the
+    generic path loader; csv/json demand an explicit schema."""
+    import pytest
+
+    from etl_pipeline_excel_sql__spark.sinks.parquet import (
+        write_csv,
+        write_json,
+        write_orc,
+        write_parquet_partitioned,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        load_path,
+        load_table,
+    )
+
+    nation = load_table(spark, "nation", sf_dir)
+    want = sorted(map(tuple, nation.collect()))
+    schema = nation.schema
+
+    write_parquet_partitioned(nation, str(tmp_path / "p"))
+    write_orc(nation, str(tmp_path / "o"))
+    write_csv(nation, str(tmp_path / "c"))
+    write_json(nation, str(tmp_path / "j"))
+
+    for fmt, sub in [("parquet", "p"), ("orc", "o"), ("csv", "c"), ("json", "j")]:
+        kw = {"schema": schema} if fmt in ("csv", "json") else {}
+        back = load_path(spark, str(tmp_path / sub), fmt, **kw)
+        assert sorted(map(tuple, back.select(*nation.columns).collect())) == want, fmt
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        load_path(spark, str(tmp_path / "c"), "csv")
+    with pytest.raises(ValueError, match="fmt must be"):
+        load_path(spark, str(tmp_path / "p"), "avro")
+
+
+def test_jsonl_document_corpus_ingestion(spark, sf_dir, tmp_path):
+    """The LLM-corpus interchange shape: documents as JSON Lines, read
+    back with an explicit schema, equal to the parquet original —
+    including multiline text content with embedded quotes."""
+    from etl_pipeline_excel_sql__spark.sinks.parquet import write_json
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        load_path,
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    write_json(docs, str(tmp_path / "docs_jsonl"))
+    back = load_path(
+        spark, str(tmp_path / "docs_jsonl"), "json", schema=docs.schema
+    )
+    assert sorted(map(tuple, back.select(*docs.columns).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    """The ORC read side must prune columns and push predicates just
+    like parquet — the point of staying on a columnar format."""
+    from etl_pipeline_excel_sql__spark.sinks.parquet import write_orc
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        load_path,
+        load_table,
+    )
+
+    write_orc(load_table(spark, "orders", sf_dir), str(tmp_path / "orders_orc"))
+    df = (
+        load_path(spark, str(tmp_path / "orders_orc"), "orc")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double" in plan
