@@ -237,24 +237,33 @@ def connected_components(
     # materialized (bounded: ≤1 round of loop state alive).
     edge_trunc = LineageTruncator(spark, checkpoint_dir)
     loop_trunc = LineageTruncator(spark, checkpoint_dir)
-    sym = pairs.select(
+    # Materialize the RAW pair table before anything derives from it.
+    # Every derived set below (symmetric union, node set, self-looped
+    # edges) references the pair plan 2-4 times WITHIN the first
+    # materializing job, and Spark only de-duplicates identical subtrees
+    # via opportunistic ReusedExchange — for an expensive generator
+    # subtree (SRP cosine verify, LSH banding) that re-execution tripled
+    # the job. Measured at sf0.1 on the SRP cosine pairs: 13.7 s → 3.9 s
+    # for the full components run. The truncator retires these blocks at
+    # its next cut (propagate path) or end of job (star path).
+    pairs_m = edge_trunc.truncate(pairs.select(id_a, id_b))
+    sym = pairs_m.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    ).union(pairs_m.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
 
     if algorithm == "star":
-        # Materialize the symmetric pair set ONCE — `canon` (which
-        # _star_labels truncates) and `nodes` both derive from the stored
-        # blocks, so an expensive pair-generator subtree (LSH, SRP) runs
-        # exactly one time, matching the propagate/auto path's practice.
-        sym_m = edge_trunc.truncate(sym)
+        # `canon` (which _star_labels truncates via loop_trunc) and
+        # `nodes` both derive from the stored pair blocks; edge_trunc is
+        # not cut again on this path, so pairs_m stays alive for the
+        # final anti-join read of `nodes`.
         canon = (
-            sym_m.filter(F.col("u") != F.col("v"))
+            sym.filter(F.col("u") != F.col("v"))
             .select(
                 F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
             )
             .distinct()
         )
-        nodes = sym_m.select("u").distinct()
+        nodes = sym.select("u").distinct()
         star = _star_labels(canon, loop_trunc, max_iters)
         labels = star.union(
             nodes.join(
@@ -267,9 +276,9 @@ def connected_components(
     # "min over self" part of the same aggregate as "min over neighbors"
     # — one groupBy per round instead of a join + least().
     nodes = sym.select("u").distinct()  # sym is symmetric: u covers v too
-    # Materialize the edge set ONCE: it is re-read every round (and pair
-    # generators like minhash_lsh_pairs have expensive subtrees — without
-    # this, each round re-runs the full LSH pipeline).
+    # Materialize the self-looped edge set: it is re-read every round.
+    # This second cut derives cheaply from the stored pair blocks and
+    # retires them (edge_trunc's previous cut) once materialized.
     edges = edge_trunc.truncate(
         sym.union(nodes.select("u", F.col("u").alias("v"))).distinct()
     )
