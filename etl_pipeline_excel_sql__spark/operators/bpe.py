@@ -130,14 +130,12 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
-def bpe_unrolled_sql(docs_cte: str, text_col: str, n_merges: int) -> str:
-    """DuckDB oracle twin: the same rounds unrolled as MATERIALIZED CTEs
-    (plain CTEs inline — each round references the previous word table
-    multiple times and the planner would re-expand the chain).
-
-    ``docs_cte`` must yield the text column. Returns a complete query
-    producing ``(merge_rank, left, right, pair_count)``.
-    """
+def _bpe_cte_parts(docs_cte: str, text_col: str, n_merges: int) -> list[str]:
+    """The shared unrolled-round CTE chain: ``w0`` (char-split distinct
+    words) through ``w{n}`` (fully merged), with ``m{i}`` holding round
+    i's winning pair. Every CTE is MATERIALIZED — each round references
+    the previous word table multiple times and DuckDB inlines plain
+    CTEs, re-expanding the chain exponentially."""
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS freq,
@@ -174,9 +172,93 @@ def bpe_unrolled_sql(docs_cte: str, text_col: str, n_merges: int) -> str:
   FROM w{p}, m{i} m
 )"""
         )
+    return parts
+
+
+def bpe_unrolled_sql(docs_cte: str, text_col: str, n_merges: int) -> str:
+    """DuckDB oracle twin of :func:`bpe_train_merges`.
+
+    ``docs_cte`` must yield the text column. Returns a complete query
+    producing ``(merge_rank, left, right, pair_count)``.
+    """
+    parts = _bpe_cte_parts(docs_cte, text_col, n_merges)
     final = "\nUNION ALL\n".join(
         f"SELECT CAST({i - 1} AS INT) AS merge_rank, a AS \"left\","
         f" b AS \"right\", CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def bpe_vocab_unrolled_sql(
+    docs_cte: str, text_col: str, n_merges: int, top_k: int
+) -> str:
+    """DuckDB oracle twin of train-then-apply (:func:`bpe_train_merges`
+    feeding :func:`bpe_subword_vocab`): the fully merged word table
+    ``w{n}`` exploded into weighted subword frequencies, top-``top_k``."""
+    parts = _bpe_cte_parts(docs_cte, text_col, n_merges)
+    final = f"""SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, UNNEST(syms) AS subword FROM w{n_merges})
+GROUP BY subword
+ORDER BY n_occurrences DESC, subword ASC
+LIMIT {top_k}"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def bpe_encode_words(
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply an ordered merge table: corpus subword tokenization.
+
+    Returns ``(w, freq, syms)`` — every DISTINCT word with its corpus
+    frequency and its subword symbol array after all merges. Encoding
+    runs on the distinct-word table, not the corpus: at 100 TB the word
+    vocabulary is millions of rows while the corpus is billions, so the
+    k merge folds (codegen'd, chained in one projection — no
+    per-merge job) touch the small table and callers join the result
+    back to documents by word (broadcast-sized for natural-language
+    vocabularies). This is the standard train-then-apply split:
+    ``bpe_train_merges`` produces the merge list (a tiny driver-side
+    artifact, exactly what a tokenizer file ships), this applies it.
+    """
+    words = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for a, b in merges:
+        out = out.withColumn("syms", _merge_fold(a, b))
+    return out
+
+
+def bpe_subword_vocab(
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    top_k: int = 40,
+) -> DataFrame:
+    """Corpus subword frequency table under a merge list: the trained
+    tokenizer's observed vocabulary — ``(subword, n_occurrences)``,
+    top-``top_k`` by (count DESC, subword ASC).
+
+    Occurrences weight by word frequency (every instance of the word
+    contributes each of its subwords once). Shuffle payload is
+    (subword, partial count) — alphabet-bounded, corpus-independent.
+    """
+    enc = bpe_encode_words(docs, text_col, merges)
+    return (
+        enc.select("freq", F.explode("syms").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("subword").asc())
+        .limit(top_k)
+    )

@@ -503,3 +503,39 @@ def _bpe_train_sql() -> str:
 
 ORACLE["bpe_train"] = _bpe_train_sql()
 QUERIES["bpe_train"] = q_bpe_train
+
+
+BPE_VOCAB_TOP_K = 40
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply end to end: train the merge table, encode the
+    distinct-word table with it (``operators/bpe.bpe_encode_words`` — the
+    corpus itself never re-tokenizes), and report the observed subword
+    vocabulary frequencies."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_subword_vocab,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, "text", BPE_TRAIN_MERGES).collect()
+    ]
+    return bpe_subword_vocab(docs, "text", merges, top_k=BPE_VOCAB_TOP_K)
+
+
+def _bpe_vocab_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_vocab_unrolled_sql,
+    )
+
+    return bpe_vocab_unrolled_sql(
+        "SELECT text FROM documents", "text", BPE_TRAIN_MERGES,
+        BPE_VOCAB_TOP_K,
+    )
+
+
+ORACLE["bpe_vocab"] = _bpe_vocab_sql()
+QUERIES["bpe_vocab"] = q_bpe_vocab

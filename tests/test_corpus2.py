@@ -221,3 +221,53 @@ def test_bpe_train_early_stop_and_validation(spark):
     ]
     with pytest.raises(ValueError):
         bpe_train_merges(df, "text", 0)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    """Train-then-apply: encoding with the trained merge list reproduces
+    the reference algorithm's final symbol sequences, including chained
+    multi-char merges; subword vocab counts weight by word frequency."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_subword_vocab,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower",), ("newest lowest",)], ["text"]
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges(df, "text", 4).collect()
+    ]
+    enc = {
+        r.w: (r.freq, list(r.syms))
+        for r in bpe_encode_words(df, "text", merges).collect()
+    }
+    # reference apply: start from chars, replay merges left-to-right
+    def ref_apply(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = {"low": 3, "lower": 1, "newest": 1, "lowest": 1}
+    assert enc == {w: (f, ref_apply(w)) for w, f in words.items()}
+
+    vocab = {
+        r.subword: r.n_occurrences
+        for r in bpe_subword_vocab(df, "text", merges, top_k=50).collect()
+    }
+    want: dict[str, int] = {}
+    for w, f in words.items():
+        for s in ref_apply(w):
+            want[s] = want.get(s, 0) + f
+    assert vocab == want
