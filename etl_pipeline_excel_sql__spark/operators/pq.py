@@ -1,0 +1,390 @@
+"""Product quantization (PQ): compressed codes + asymmetric-distance search.
+
+The third leg of the ANN family [Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011], alongside the
+IVF coarse partitioner and SRP-LSH bucketing already in
+``operators/similarity.py``:
+
+* the vector space splits into ``m`` contiguous subspaces of
+  ``dims // m`` components each;
+* per subspace, a small k-means codebook (``ncodes`` centroids) is
+  trained — same deterministic seeding (lowest-id vectors) and
+  decimal-exact Lloyd rounds as the IVF trainer;
+* each corpus vector is ENCODED as ``m`` small code ids (here one byte
+  each: 64-dim float32 → 8 bytes, a 32× compression) — the artifact that
+  makes billion-scale in-memory search possible;
+* queries search via ADC (asymmetric distance computation): the query
+  keeps full precision, per-subspace distances to every codebook entry
+  form an ``m × ncodes`` lookup table, and a corpus vector's
+  approximate distance is the sum of ``m`` table lookups — no vector
+  math per corpus row at query time.
+
+Distribution shape (100 TB): codebooks are ``m × ncodes`` rows — always
+broadcast; training and encoding scan the corpus with NO corpus-row
+shuffle except the per-(vector, subspace) argmin combine (map-side,
+co-partitioned by construction). ADC broadcasts the per-query lookup
+tables and shuffles only (query, vector, partial-sum) combine rows.
+
+Determinism (the oracle contract): every subspace distance is the same
+left-associative unrolled ``(a-b)² + …`` double chain in Spark and
+DuckDB (bit-identical IEEE), argmins tie-break on the lowest code, and
+ADC totals are FLOOR-quantized integer micro-units summed as int64 —
+associative, so no float-accumulation-order divergence can reach the
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+
+#: Micro-unit scale for ADC distance accumulation.
+ADC_SCALE = 1_000_000
+
+
+def l2sq_sub_sql(vec: str, cent: str, sub_col: str, subdim: int) -> str:
+    """Unrolled squared-L2 between subspace ``sub_col`` of full vector
+    ``vec`` and subdim-length centroid ``cent`` — Spark-SQL text, and
+    byte-compatible with DuckDB given 1-based list indexing on both
+    sides. Left-associative ``+`` chain: bit-identical IEEE order in
+    both engines (same doctrine as ``functions/vectors.dot_sql``)."""
+    terms = []
+    for i in range(1, subdim + 1):
+        d = (
+            f"(CAST(element_at({vec}, {sub_col} * {subdim} + {i}) AS DOUBLE)"
+            f" - CAST(element_at({cent}, {i}) AS DOUBLE))"
+        )
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
+
+
+def _sub_rows(corpus: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
+    """One row per (vector, subspace): the training/encoding fan-out.
+    Narrow (explode of a literal sequence) — no shuffle."""
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    )
+
+
+def _assign_codes(
+    rows: DataFrame, codebooks: DataFrame, vec_col: str, id_col: str, subdim: int
+) -> DataFrame:
+    """Per (vector, subspace): the argmin-distance code.
+
+    Codebooks broadcast; candidates collapse map-side via
+    ``min_by(code, struct(dist, code))`` (ties → lowest code), so the
+    combine shuffle carries one row per (vector, subspace)."""
+    scored = rows.join(F.broadcast(codebooks), "sub").withColumn(
+        "__d", F.expr(l2sq_sub_sql(vec_col, "centroid", "sub", subdim))
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min_by(
+            F.col("code"), F.struct(F.col("__d").alias("d"), F.col("code"))
+        ).alias("code"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def _codebook_means(
+    assigned: DataFrame, vec_col: str, subdim: int
+) -> DataFrame:
+    """Per (subspace, code): decimal-exact mean subvector (the
+    ``cell_centroids`` trick: double→decimal sums are order-free and
+    agree bit-for-bit across engines; see similarity.py:96-99)."""
+    per_dim = (
+        assigned.select(
+            "sub",
+            "code",
+            F.explode(F.sequence(F.lit(1), F.lit(subdim))).alias("i"),
+            F.col(vec_col),
+        )
+        .withColumn(
+            "__v",
+            F.expr(
+                f"CAST(element_at({vec_col}, sub * {subdim} + i) AS DOUBLE)"
+            ),
+        )
+        .groupBy("sub", "code", "i")
+        .agg(
+            (
+                F.sum(F.col("__v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+    )
+    return per_dim.groupBy("sub", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    truncator: LineageTruncator | None = None,
+) -> DataFrame:
+    """Train the ``m`` per-subspace codebooks → (sub, code, centroid).
+
+    Seeds: subvectors of the ``ncodes`` lowest-id vectors (code = seed
+    rank), per subspace — deterministic, no RNG, matching the IVF
+    trainer's doctrine. ``iters`` assignments with ``iters - 1`` mean
+    updates in between; the RETURNED codebooks are the means of the
+    final assignment (what encoding and ADC consume). Per-round lineage
+    truncation through ``truncator`` (caller-owned or private)."""
+    if dims % m != 0:
+        raise ValueError(f"pq: dims ({dims}) not divisible by m ({m})")
+    subdim = dims // m
+    spark = corpus.sparkSession
+    trunc = truncator or LineageTruncator(spark)
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ncodes)
+        .select(
+            F.col(vec_col),
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    cb = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "code",
+        F.expr(
+            f"transform(sequence(1, {subdim}),"
+            f" i -> CAST(element_at({vec_col}, sub * {subdim} + i)"
+            f" AS DOUBLE))"
+        ).alias("centroid"),
+    )
+    rows = _sub_rows(corpus, id_col, vec_col, m)
+    assigned = None
+    for _ in range(iters):
+        if assigned is not None:
+            cb = _codebook_means(assigned, vec_col, subdim)
+        assigned = trunc.truncate(
+            _assign_codes(rows, cb, vec_col, id_col, subdim)
+        )
+    return _codebook_means(assigned, vec_col, subdim)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-codebook codes →
+    (id, codes) with ``codes`` ordered by subspace. The 32×-compressed
+    search artifact; at scale this is what you persist and broadcast-
+    search against, not the float vectors."""
+    subdim = dims // m
+    assigned = _assign_codes(
+        _sub_rows(corpus, id_col, vec_col, m),
+        codebooks,
+        vec_col,
+        id_col,
+        subdim,
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 neighbors from codes alone.
+
+    Per query, the ``m × ncodes`` distance lookup table is computed once
+    (queries × codebooks — both broadcast-scale) with each entry FLOOR-
+    quantized to integer micro-units; a corpus vector's distance is the
+    int64 sum of its ``m`` looked-up entries — associative, so the
+    result is independent of partitioning and exactly replayable by the
+    SQL oracle. Output: ``query_id, neighbor_id, adc_dist_micros, rank``
+    (ties → lowest neighbor id; self-matches excluded)."""
+    subdim = dims // m
+    dtable = (
+        _sub_rows(queries, id_col, vec_col, m)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.floor(
+                F.expr(l2sq_sub_sql(vec_col, "centroid", "sub", subdim))
+                * ADC_SCALE
+            )
+            .cast("bigint")
+            .alias("d_micros"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    ranked = (
+        exploded.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micros").alias("adc_dist_micros"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist_micros").asc(),
+                    F.col("neighbor_id").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist_micros",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _pq_l2_duck(vec: str, cent: str, sub: str, subdim: int) -> str:
+    """DuckDB twin of :func:`l2sq_sub_sql` — same left-associative term
+    order, DuckDB list indexing."""
+    terms = []
+    for i in range(1, subdim + 1):
+        d = (
+            f"({vec}[CAST({sub} * {subdim} + {i} AS INT)]::DOUBLE"
+            f" - {cent}[{i}]::DOUBLE)"
+        )
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
+
+
+def pq_unrolled_ctes(
+    m: int, ncodes: int, iters: int, dims: int
+) -> list[str]:
+    """The shared DuckDB CTE chain for the PQ oracles: ``cb0`` seeds
+    through ``cbf`` (final codebooks) and ``pq_codes_t`` (per-vector
+    code arrays). All MATERIALIZED — the assignment CTEs are referenced
+    repeatedly and DuckDB inlines plain CTEs."""
+    subdim = dims // m
+    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+
+    def assign(cb: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, embedding, sub, code FROM (
+    SELECT e.vec_id, e.embedding, s.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, s.sub
+             ORDER BY {_pq_l2_duck('e.embedding', 'c.centroid', 's.sub', subdim)} ASC,
+                      c.code ASC) AS rn
+    FROM embeddings e, {subs} s
+    JOIN {cb} c ON c.sub = s.sub
+  ) WHERE rn = 1
+)"""
+
+    def means(src: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT sub, code,
+    list_transform(range(1, {subdim + 1}), i ->
+      CAST(list_sum(list_transform(vecs,
+        v -> v[CAST(sub * {subdim} + i AS INT)]::DOUBLE::DECIMAL(20,10)))
+        AS DOUBLE) / n) AS centroid
+  FROM (SELECT sub, code, list(embedding) AS vecs, COUNT(*) AS n
+        FROM {src} GROUP BY sub, code)
+)"""
+
+    parts = [
+        f"""cb0 AS MATERIALIZED (
+  SELECT s.sub, q.code,
+         list_transform(range(1, {subdim + 1}),
+           i -> q.embedding[CAST(s.sub * {subdim} + i AS INT)]::DOUBLE)
+           AS centroid
+  FROM (SELECT embedding,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {ncodes})) q, {subs} s
+)"""
+    ]
+    cb = "cb0"
+    for r in range(1, iters + 1):
+        parts.append(assign(cb, f"a{r}"))
+        cb = f"cb{r}" if r < iters else "cbf"
+        parts.append(means(f"a{r}", cb))
+    parts.append(assign("cbf", "afinal"))
+    parts.append(
+        """pq_codes_t AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY sub) AS codes
+  FROM afinal GROUP BY vec_id
+)"""
+    )
+    return parts
+
+
+def pq_codes_sql(m: int, ncodes: int, iters: int, dims: int) -> str:
+    """Oracle twin of train → :func:`pq_encode`."""
+    parts = pq_unrolled_ctes(m, ncodes, iters, dims)
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT vec_id, codes FROM pq_codes_t"
+    )
+
+
+def pq_adc_sql(
+    m: int,
+    ncodes: int,
+    iters: int,
+    dims: int,
+    k: int,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Oracle twin of the full train → encode → :func:`pq_adc_topk`
+    pipeline (same micro-unit floor, same tie-breaks)."""
+    subdim = dims // m
+    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+    parts = pq_unrolled_ctes(m, ncodes, iters, dims)
+    parts.append(
+        f"""dtable AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, s.sub, c.code,
+         CAST(floor(({_pq_l2_duck('q.embedding', 'c.centroid', 's.sub', subdim)})
+              * {ADC_SCALE}) AS BIGINT) AS d_micros
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE {query_pred}) q,
+       {subs} s
+  JOIN cbf c ON c.sub = s.sub
+)"""
+    )
+    return f"""WITH {','.join(parts)}
+SELECT query_id, neighbor_id, adc_dist_micros,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT d.query_id, x.vec_id AS neighbor_id,
+         CAST(SUM(d.d_micros) AS BIGINT) AS adc_dist_micros,
+         row_number() OVER (PARTITION BY d.query_id
+           ORDER BY SUM(d.d_micros) ASC, x.vec_id ASC) AS rank
+  FROM (SELECT vec_id, UNNEST(codes) AS code,
+               UNNEST(range(0, {m})) AS sub
+        FROM pq_codes_t) x
+  JOIN dtable d ON d.sub = x.sub AND d.code = x.code
+  WHERE x.vec_id <> d.query_id
+  GROUP BY d.query_id, x.vec_id
+) WHERE rank <= {k}"""

@@ -79,6 +79,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     extended_queries,
     graph_queries,
     pipeline_queries,
+    pq_queries,
     quality_queries,
     reference_queries,
     streaming_queries,
@@ -90,6 +91,7 @@ _ALL_QUERIES = {
     **reference_queries.QUERIES,
     **analytics_queries.QUERIES,
     **pipeline_queries.QUERIES,
+    **pq_queries.QUERIES,
     **extended_queries.QUERIES,
     **tpch_queries.QUERIES,
     **tpch2_queries.QUERIES,
@@ -113,6 +115,7 @@ _ALL_ORACLE = {
     **reference_queries.ORACLE,
     **analytics_queries.ORACLE,
     **pipeline_queries.ORACLE,
+    **pq_queries.ORACLE,
     **extended_queries.ORACLE,
     **tpch_queries.ORACLE,
     **tpch2_queries.ORACLE,

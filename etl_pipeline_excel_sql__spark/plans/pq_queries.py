@@ -1,0 +1,65 @@
+"""Product-quantization queries: codes + ADC search (operators/pq.py).
+
+Completes the ANN family's standard at-scale pairing (IVF coarse cells +
+PQ fine codes): ``pq_codes`` pins the trained codebooks and the
+32×-compressed encoding end to end; ``pq_adc`` pins the asymmetric-
+distance search over those codes. Both oracles replay the full unrolled
+train→encode(→search) chain in DuckDB — same seeds, same decimal-exact
+Lloyd means, same left-associative distance arithmetic, same integer
+micro-unit ADC totals — so a drift anywhere in the pipeline fails the
+value hash, not a similarity eyeball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_excel_sql__spark.operators.pq import (
+    pq_adc_sql,
+    pq_adc_topk,
+    pq_codes_sql,
+    pq_encode,
+    pq_train_codebooks,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+PQ_M = 8  # subspaces (64 dims → 8-dim subvectors, one byte code each)
+PQ_NCODES = 16
+PQ_ITERS = 2
+PQ_K = 5
+EMB_DIMS = 64
+
+
+def _trained(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train_codebooks(
+        emb, m=PQ_M, ncodes=PQ_NCODES, iters=PQ_ITERS, dims=EMB_DIMS
+    )
+    return emb, cb
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the per-subspace codebooks and encode every vector as its
+    8 one-byte codes — the compressed search artifact."""
+    emb, cb = _trained(spark, sf_dir)
+    return pq_encode(emb, cb, m=PQ_M, dims=EMB_DIMS)
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PQ pipeline: train → encode → ADC top-k from codes alone
+    (integer micro-unit distances; ties → lowest neighbor id)."""
+    emb, cb = _trained(spark, sf_dir)
+    codes = pq_encode(emb, cb, m=PQ_M, dims=EMB_DIMS)
+    queries = emb.filter("vec_id < 5")
+    return pq_adc_topk(codes, cb, queries, k=PQ_K, m=PQ_M, dims=EMB_DIMS)
+
+
+QUERIES = {
+    "pq_codes": q_pq_codes,
+    "pq_adc": q_pq_adc,
+}
+
+ORACLE = {
+    "pq_codes": pq_codes_sql(PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS),
+    "pq_adc": pq_adc_sql(PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS, PQ_K),
+}

@@ -1,0 +1,82 @@
+"""Product-quantization properties: code shape, determinism, ADC
+quality above chance, and validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_pipeline_excel_sql__spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train_codebooks,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+M, NCODES, DIMS = 8, 16, 64
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train_codebooks(emb, m=M, ncodes=NCODES, iters=2, dims=DIMS)
+    codes = pq_encode(emb, cb, m=M, dims=DIMS)
+    return emb, cb, codes
+
+
+def test_codebooks_and_codes_shape(trained):
+    emb, cb, codes = trained
+    cb_rows = cb.collect()
+    assert {(r.sub) for r in cb_rows} == set(range(M))
+    assert all(0 <= r.code < NCODES for r in cb_rows)
+    assert all(len(r.centroid) == DIMS // M for r in cb_rows)
+    code_rows = codes.collect()
+    assert len(code_rows) == emb.count()
+    assert all(len(r.codes) == M for r in code_rows)
+    assert all(0 <= c < NCODES for r in code_rows for c in r.codes)
+
+
+def test_encoding_is_deterministic(trained):
+    _, _, codes = trained
+    a = sorted((r.vec_id, tuple(r.codes)) for r in codes.collect())
+    b = sorted((r.vec_id, tuple(r.codes)) for r in codes.collect())
+    assert a == b
+
+
+def test_adc_beats_chance_and_excludes_self(trained, spark):
+    """On RANDOM synthetic vectors PQ recall is inherently modest
+    (distances concentrate in high dim), so the quality gate is
+    recall@5 far above the random-pick baseline (~0.05 hits/query),
+    not a production recall bar; the pq_adc oracle row pins exact
+    values, this pins usefulness."""
+    emb, cb, codes = trained
+    queries = emb.filter("vec_id < 5")
+    got = pq_adc_topk(codes, cb, queries, k=5, m=M, dims=DIMS).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(by_q) == set(range(5)) and all(
+        len(v) == 5 for v in by_q.values()
+    )
+
+    V = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    hits = 0
+    for q in range(5):
+        d = sorted(
+            (float(np.sum((V[q] - v) ** 2)), i)
+            for i, v in V.items()
+            if i != q
+        )
+        exact = {i for _, i in d[:5]}
+        hits += len(exact & set(by_q[q]))
+    assert hits >= 4, f"ADC recall collapsed to chance: {hits}/25"
+
+
+def test_pq_validates_divisibility(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(emb, m=7, dims=DIMS)
