@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "basket_lift",
     "events_twap",
     "global_row_number",
+    # round-6 additions (appended; earlier ordering preserved)
+    "mix_domains",
+    "dedup_kcore",
+    "bpe_vocab",
+    "pq_adc",
+    "semantic_dedup_keep",
 ]
 
 

@@ -94,24 +94,45 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError("bpe_train_merges: n_merges must be >= 1")
-    spark = docs.sparkSession
-    trunc = LineageTruncator(spark, checkpoint_dir)
-    words = (
+    return bpe_train_merges_from_words(
+        word_frequencies(docs, text_col), n_merges, checkpoint_dir
+    )
+
+
+def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus pass: distinct words with corpus frequencies —
+    train AND encode consume this table; compute (and, in a pipeline,
+    persist) it once rather than re-exploding the corpus per stage."""
+    return (
         docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def bpe_train_merges_from_words(
+    words: DataFrame,
+    n_merges: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Training loop over a prebuilt ``(w, freq)`` table (see
+    :func:`word_frequencies`)."""
+    spark = words.sparkSession
+    trunc = LineageTruncator(spark, checkpoint_dir)
     syms = words.select(
         "freq",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
     )
-    syms = trunc.truncate(syms)
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        best = (
-            syms.filter(F.size("syms") >= 2)
+    # The round's argmax IS the materializing action (truncate_with):
+    # the pair aggregation scans every partition, so it both answers
+    # "which pair wins" and completes the lineage cut — one job per
+    # round instead of a materialize job plus an aggregate job (the
+    # same fold as _propagate_labels' changed-count action).
+    def _best(d: DataFrame):
+        return (
+            d.filter(F.size("syms") >= 2)
             .select("freq", F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
@@ -119,13 +140,17 @@ def bpe_train_merges(
             .limit(1)
             .collect()
         )
+
+    syms, best = trunc.truncate_with(syms, _best)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, cnt))
         if rank < n_merges - 1:
-            syms = trunc.truncate(
-                syms.select("freq", _merge_fold(a, b).alias("syms"))
+            syms, best = trunc.truncate_with(
+                syms.select("freq", _merge_fold(a, b).alias("syms")), _best
             )
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
@@ -209,6 +234,7 @@ def bpe_encode_words(
     docs: DataFrame,
     text_col: str,
     merges: list[tuple[str, str]],
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Apply an ordered merge table: corpus subword tokenization.
 
@@ -223,11 +249,8 @@ def bpe_encode_words(
     ``bpe_train_merges`` produces the merge list (a tiny driver-side
     artifact, exactly what a tokenizer file ships), this applies it.
     """
-    words = (
-        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if words is None:
+        words = word_frequencies(docs, text_col)
     out = words.select(
         "w",
         "freq",
@@ -245,6 +268,7 @@ def bpe_subword_vocab(
     text_col: str,
     merges: list[tuple[str, str]],
     top_k: int = 40,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus subword frequency table under a merge list: the trained
     tokenizer's observed vocabulary — ``(subword, n_occurrences)``,
@@ -253,8 +277,10 @@ def bpe_subword_vocab(
     Occurrences weight by word frequency (every instance of the word
     contributes each of its subwords once). Shuffle payload is
     (subword, partial count) — alphabet-bounded, corpus-independent.
+    ``words`` shares a prebuilt :func:`word_frequencies` table (one
+    corpus pass for train AND apply).
     """
-    enc = bpe_encode_words(docs, text_col, merges)
+    enc = bpe_encode_words(docs, text_col, merges, words=words)
     return (
         enc.select("freq", F.explode("syms").alias("subword"))
         .groupBy("subword")

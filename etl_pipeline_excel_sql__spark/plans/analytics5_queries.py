@@ -509,21 +509,32 @@ BPE_VOCAB_TOP_K = 40
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-apply end to end: train the merge table, encode the
-    distinct-word table with it (``operators/bpe.bpe_encode_words`` — the
-    corpus itself never re-tokenizes), and report the observed subword
-    vocabulary frequencies."""
+    """Train-then-apply end to end with ONE corpus tokenization pass:
+    the word-frequency table is materialized once (lineage-truncated)
+    and shared by the trainer and the encoder — at 100 TB the corpus
+    explode is the dominant cost and must not run per stage."""
     from etl_pipeline_excel_sql__spark.operators.bpe import (
         bpe_subword_vocab,
-        bpe_train_merges,
+        bpe_train_merges_from_words,
+        word_frequencies,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
     )
 
     docs = load_table(spark, "documents", sf_dir)
+    words = LineageTruncator(spark).truncate(
+        word_frequencies(docs, "text")
+    )
     merges = [
         (r.left, r.right)
-        for r in bpe_train_merges(docs, "text", BPE_TRAIN_MERGES).collect()
+        for r in bpe_train_merges_from_words(
+            words, BPE_TRAIN_MERGES
+        ).collect()
     ]
-    return bpe_subword_vocab(docs, "text", merges, top_k=BPE_VOCAB_TOP_K)
+    return bpe_subword_vocab(
+        docs, "text", merges, top_k=BPE_VOCAB_TOP_K, words=words
+    )
 
 
 def _bpe_vocab_sql() -> str:
