@@ -388,3 +388,278 @@ FROM (
   WHERE x.vec_id <> d.query_id
   GROUP BY d.query_id, x.vec_id
 ) WHERE rank <= {k}"""
+
+
+def l2sq_full_sql(a: str, b: str, dims: int) -> str:
+    """Unrolled full-vector squared L2 (Spark & DuckDB compatible given
+    both use 1-based element_at/indexing via :func:`l2sq_sub_sql`'s
+    conventions) — here with plain 1..dims indices on both sides."""
+    terms = []
+    for i in range(1, dims + 1):
+        d = (
+            f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+            f" - CAST(element_at({b}, {i}) AS DOUBLE))"
+        )
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ncodes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """The full IVF-PQ composition: L2 coarse cells prune the corpus,
+    PQ-ADC ranks inside the probed cells — the standard billion-scale
+    serving shape (coarse partitioner × compressed fine codes).
+
+    Simplification, stated plainly: codes quantize the RAW vectors, not
+    the per-cell residuals of the canonical IVFADC — residual encoding
+    improves recall but makes the query lookup table cell-dependent;
+    this variant keeps one ``m × ncodes`` table per query and composes
+    the two pruning structures unchanged. Both stages train with the
+    same deterministic lowest-id seeding and decimal-exact means.
+
+    Scale shape: coarse centroids and codebooks broadcast; the corpus
+    is scanned for assignment/encoding with map-side argmin combines;
+    at query time only code rows of the probed cells join the broadcast
+    lookup tables. Output matches :func:`pq_adc_topk`'s schema.
+    """
+    subdim = dims // m
+    spark = corpus.sparkSession
+    trunc = LineageTruncator(spark)
+
+    # --- coarse quantizer: k-means under L2 on full vectors ----------
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(
+            F.col(vec_col),
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    coarse = seeds.select(
+        "cell",
+        F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+        ).alias("ccent"),
+    )
+
+    def _assign_cells(cb: DataFrame) -> DataFrame:
+        scored = corpus.crossJoin(F.broadcast(cb)).withColumn(
+            "__d", F.expr(l2sq_full_sql(vec_col, "ccent", dims))
+        )
+        return scored.groupBy(id_col).agg(
+            F.min_by(
+                F.col("cell"), F.struct(F.col("__d").alias("d"), F.col("cell"))
+            ).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+
+    def _cell_means(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select(
+                "cell",
+                F.posexplode(vec_col).alias("i0", "__raw"),
+            )
+            .withColumn("__v", F.col("__raw").cast("double"))
+            .groupBy("cell", "i0")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_val")
+            )
+        )
+        return per_dim.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i0", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("ccent")
+        )
+
+    assigned = None
+    cb = coarse
+    for _ in range(iters):
+        if assigned is not None:
+            cb = _cell_means(assigned)
+        assigned = trunc.truncate(_assign_cells(cb))
+    coarse_final = _cell_means(assigned)
+
+    # --- fine quantizer: PQ codebooks + codes, cell kept alongside ---
+    codebooks = pq_train_codebooks(
+        corpus, m=m, ncodes=ncodes, iters=iters,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    )
+    codes = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, m=m, dims=dims
+    ).join(assigned.select(id_col, "cell"), id_col)
+
+    # --- query: probe nprobe nearest cells, ADC within ---------------
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(coarse_final))
+        .withColumn("__d", F.expr(l2sq_full_sql(vec_col, "ccent", dims)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    dtable = (
+        _sub_rows(queries, id_col, vec_col, m)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.floor(
+                F.expr(l2sq_sub_sql(vec_col, "centroid", "sub", subdim))
+                * ADC_SCALE
+            )
+            .cast("bigint")
+            .alias("d_micros"),
+        )
+    )
+    in_cells = codes.join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+    ranked = (
+        in_cells.select(
+            "query_id", "neighbor_id", F.posexplode("codes").alias("sub", "code")
+        )
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micros").alias("adc_dist_micros"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist_micros").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist_micros",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _l2_full_duck(a: str, b: str, dims: int) -> str:
+    terms = []
+    for i in range(1, dims + 1):
+        d = f"({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE)"
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
+
+
+def ivfpq_sql(
+    ncells: int,
+    nprobe: int,
+    m: int,
+    ncodes: int,
+    iters: int,
+    dims: int,
+    k: int,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle twin of :func:`ivfpq_topk`: unrolled L2 coarse
+    k-means + the PQ chain + probed-cell ADC, same tie-breaks and
+    integer micro-unit totals throughout."""
+    subdim = dims // m
+    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+
+    def cassign(cb: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_l2_full_duck('e.embedding', 'c.ccent', dims)} ASC,
+                      c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {cb} c
+  ) WHERE rn = 1
+)"""
+
+    def cmeans(src: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT cell,
+    list_transform(range(1, {dims + 1}), i ->
+      CAST(list_sum(list_transform(vecs, v -> v[i]::DOUBLE::DECIMAL(20,10)))
+        AS DOUBLE) / n) AS ccent
+  FROM (SELECT cell, list(embedding) AS vecs, COUNT(*) AS n
+        FROM {src} GROUP BY cell)
+)"""
+
+    parts = [
+        f"""ccb0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> x::DOUBLE) AS ccent
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {ncells})
+)"""
+    ]
+    cb = "ccb0"
+    for r in range(1, iters + 1):
+        parts.append(cassign(cb, f"ca{r}"))
+        cb = f"ccb{r}" if r < iters else "ccf"
+        parts.append(cmeans(f"ca{r}", cb))
+    parts.extend(pq_unrolled_ctes(m, ncodes, iters, dims))
+    parts.append(
+        f"""probes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_l2_full_duck('q.embedding', 'c.ccent', dims)} ASC,
+                      c.cell ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE {query_pred}) q
+    CROSS JOIN ccf c
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""dtable AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, s.sub, c.code,
+         CAST(floor(({_pq_l2_duck('q.embedding', 'c.centroid', 's.sub', subdim)})
+              * {ADC_SCALE}) AS BIGINT) AS d_micros
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE {query_pred}) q,
+       {subs} s
+  JOIN cbf c ON c.sub = s.sub
+)"""
+    )
+    return f"""WITH {','.join(parts)}
+SELECT query_id, neighbor_id, adc_dist_micros, CAST(rank AS INT) AS rank
+FROM (
+  SELECT p.query_id, x.vec_id AS neighbor_id,
+         CAST(SUM(d.d_micros) AS BIGINT) AS adc_dist_micros,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY SUM(d.d_micros) ASC, x.vec_id ASC) AS rank
+  FROM probes p
+  JOIN ca{iters} cm ON cm.cell = p.cell
+  JOIN (SELECT vec_id, UNNEST(codes) AS code, UNNEST(range(0, {m})) AS sub
+        FROM pq_codes_t) x ON x.vec_id = cm.vec_id
+  JOIN dtable d ON d.query_id = p.query_id
+                AND d.sub = x.sub AND d.code = x.code
+  WHERE x.vec_id <> p.query_id
+  GROUP BY p.query_id, x.vec_id
+) WHERE rank <= {k}"""

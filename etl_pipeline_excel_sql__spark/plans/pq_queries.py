@@ -63,3 +63,39 @@ ORACLE = {
     "pq_codes": pq_codes_sql(PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS),
     "pq_adc": pq_adc_sql(PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS, PQ_K),
 }
+
+
+IVFPQ_NCELLS = 8
+IVFPQ_NPROBE = 2
+
+
+def q_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale serving composition: L2 coarse cells prune,
+    PQ-ADC ranks inside the probed cells (``operators/pq.ivfpq_topk``;
+    raw-vector codes — the stated no-residual simplification)."""
+    from etl_pipeline_excel_sql__spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivfpq_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        ncells=IVFPQ_NCELLS,
+        nprobe=IVFPQ_NPROBE,
+        m=PQ_M,
+        ncodes=PQ_NCODES,
+        iters=PQ_ITERS,
+        k=PQ_K,
+        dims=EMB_DIMS,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.operators.pq import ivfpq_sql
+
+    return ivfpq_sql(
+        IVFPQ_NCELLS, IVFPQ_NPROBE, PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS, PQ_K
+    )
+
+
+QUERIES["ivfpq_adc"] = q_ivfpq_adc
+ORACLE["ivfpq_adc"] = _ivfpq_oracle()

@@ -34,6 +34,9 @@ BNLJ_WHITELIST = {
     "ann_recall",  # composes ann_brute_topk + ann_ivf_topk; inherits their
     #               broadcast-singleton BNLJs (query-set broadcast, bounded)
     "ann_srp_buckets",  # broadcast SRP hyperplanes
+    "ivfpq_adc",  # broadcast ncells-row coarse-centroid tables (seed +
+    #               trained) cross-joined for assignment/probing — the
+    #               same bounded singleton pattern as ann_ivf_topk
     "neardup_cosine",  # broadcast SRP planes
     "semantic_dedup_keep",  # broadcast SRP planes feeding the keep-set
     "dedup_clusters",  # SRP planes inside the LSH pair generator

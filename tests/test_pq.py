@@ -80,3 +80,30 @@ def test_pq_validates_divisibility(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     with pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(emb, m=7, dims=DIMS)
+
+
+def test_ivfpq_distances_agree_with_flat_adc(trained, spark):
+    """IVF pruning must not change the ADC arithmetic: every
+    (query, neighbor) the composed path returns carries exactly the
+    distance the flat PQ-ADC path computes for that pair (same
+    codebooks — both train deterministically from the same corpus)."""
+    from etl_pipeline_excel_sql__spark.operators.pq import ivfpq_topk
+
+    emb, cb, codes = trained
+    queries = emb.filter("vec_id < 5")
+    flat = {
+        (r.query_id, r.neighbor_id): r.adc_dist_micros
+        for r in pq_adc_topk(
+            codes, cb, queries, k=10_000, m=M, dims=DIMS
+        ).collect()
+    }
+    composed = ivfpq_topk(
+        emb, queries, ncells=8, nprobe=2, m=M, ncodes=NCODES, iters=2,
+        k=5, dims=DIMS,
+    ).collect()
+    assert len(composed) == 25
+    for r in composed:
+        assert flat[(r.query_id, r.neighbor_id)] == r.adc_dist_micros
+    # Pruning is real: some probed-cell top-5 differ from the flat top-5
+    # (nprobe=2 of 8 cells), so the composed sets are subsets of the
+    # flat candidate space but need not equal the flat top-5.
