@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "dedup_kcore",
     "bpe_vocab",
     "pq_adc",
+    "ivfpq_adc",
     "semantic_dedup_keep",
 ]
 

@@ -70,15 +70,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_confs(spark)
-    on_disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source requires a directory; pathGlobFilter narrows it
-    # to the events table (the corpus keeps one parquet file per table).
-    raw = (
-        spark.readStream.schema(on_disk_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    events_path = f"{sf_dir}/events.parquet"
+    on_disk_schema = spark.read.parquet(events_path).schema
+    # The file stream source requires a directory. The driver corpus
+    # keeps ONE parquet file per table, so we stream the sf dir with a
+    # pathGlobFilter narrowing to that file name; Spark-written corpora
+    # (e.g. the generated .localdata/sf1) store events.parquet as a
+    # DIRECTORY of part-*.parquet files — the glob would match nothing
+    # (it filters file names, not directory names), so stream the
+    # directory itself.
+    import os
+
+    reader = spark.readStream.schema(on_disk_schema).format("parquet")
+    if os.path.isdir(events_path):
+        raw = reader.load(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_events_ts(raw)
 
 

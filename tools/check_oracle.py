@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from collections import Counter
@@ -73,9 +74,13 @@ def main() -> int:
     spark = get_session()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # `{t}.parquet` is a single file in the driver corpus but a
+        # directory of part files from Spark writers (e.g. the generated
+        # .localdata/sf1) — glob the directory form for DuckDB.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     failures = []
     report: dict[str, dict] = {}
