@@ -114,6 +114,42 @@ COMMENTARY = {
         "test_plan_census.py::test_decontam_size_gates_the_bench_join). "
         "No shingle string survives past its hash aggregate."
     ),
+    "mix_domains": (
+        "Domain-mixture resample: one tiny per-domain aggregate, the "
+        "basis-point rate table broadcasts back (BroadcastHashJoin), and "
+        "the keep decision is a narrow deterministic hash filter — zero "
+        "corpus-row shuffles, so the plan is scale-free in the corpus "
+        "dimension."
+    ),
+    "dedup_kcore": (
+        "k-core peeling: per round one map-side-combined degree aggregate "
+        "plus two semi-joins against the tiny surviving-node set; the "
+        "edge set shrinks monotonically and each round's removal count "
+        "doubles as the lineage cut. Rounds = peeling depth (2 on this "
+        "graph at every SF)."
+    ),
+    "bpe_vocab": (
+        "Train-then-apply BPE with ONE corpus tokenization: the word-"
+        "frequency table materializes once and feeds both the 6-round "
+        "trainer (pair aggregates bounded by symbol-pair cardinality; "
+        "one scalar argmax collect per round) and the encoder (chained "
+        "codegen merge folds over |vocab| rows). The corpus explode — "
+        "the only corpus-sized cost — runs exactly once."
+    ),
+    "pq_adc": (
+        "Product-quantization ADC: codebooks broadcast for training/"
+        "encoding (argmin collapses map-side), the per-query m×ncodes "
+        "lookup table broadcasts for search, and distances are integer "
+        "micro-unit sums — associative, partitioning-independent. The "
+        "only corpus shuffles are the two per-(vector,subspace) combines."
+    ),
+    "ivfpq_adc": (
+        "IVF-PQ composition: L2 coarse centroids (ncells rows) and PQ "
+        "codebooks both broadcast; at query time only code rows of the "
+        "nprobe probed cells join the broadcast lookup tables. The "
+        "BroadcastNestedLoopJoins are the bounded ncells-row centroid "
+        "cross-joins (whitelisted, same pattern as ann_ivf_topk)."
+    ),
     "text_repetition": (
         "Repetition signals: one explode feeds a two-level codegen "
         "aggregate (token counts collapse map-side before the doc_id "
