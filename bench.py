@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "bpe_vocab",
     "pq_adc",
     "ivfpq_adc",
+    "ivfpq_residual_adc",
     "semantic_dedup_keep",
 ]
 

@@ -283,47 +283,56 @@ def _pq_l2_duck(vec: str, cent: str, sub: str, subdim: int) -> str:
 
 
 def pq_unrolled_ctes(
-    m: int, ncodes: int, iters: int, dims: int
+    m: int,
+    ncodes: int,
+    iters: int,
+    dims: int,
+    src: str = "embeddings",
+    vec: str = "embedding",
 ) -> list[str]:
     """The shared DuckDB CTE chain for the PQ oracles: ``cb0`` seeds
     through ``cbf`` (final codebooks) and ``pq_codes_t`` (per-vector
     code arrays). All MATERIALIZED — the assignment CTEs are referenced
-    repeatedly and DuckDB inlines plain CTEs."""
+    repeatedly and DuckDB inlines plain CTEs.
+
+    ``src``/``vec`` parametrize the quantized relation — the default is
+    the raw embeddings table; the residual IVF-PQ oracle passes its
+    residual CTE instead."""
     subdim = dims // m
     subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
 
     def assign(cb: str, name: str) -> str:
         return f"""{name} AS MATERIALIZED (
-  SELECT vec_id, embedding, sub, code FROM (
-    SELECT e.vec_id, e.embedding, s.sub, c.code,
+  SELECT vec_id, {vec}, sub, code FROM (
+    SELECT e.vec_id, e.{vec}, s.sub, c.code,
            row_number() OVER (PARTITION BY e.vec_id, s.sub
-             ORDER BY {_pq_l2_duck('e.embedding', 'c.centroid', 's.sub', subdim)} ASC,
+             ORDER BY {_pq_l2_duck(f'e.{vec}', 'c.centroid', 's.sub', subdim)} ASC,
                       c.code ASC) AS rn
-    FROM embeddings e, {subs} s
+    FROM {src} e, {subs} s
     JOIN {cb} c ON c.sub = s.sub
   ) WHERE rn = 1
 )"""
 
-    def means(src: str, name: str) -> str:
+    def means(src_cte: str, name: str) -> str:
         return f"""{name} AS MATERIALIZED (
   SELECT sub, code,
     list_transform(range(1, {subdim + 1}), i ->
       CAST(list_sum(list_transform(vecs,
         v -> v[CAST(sub * {subdim} + i AS INT)]::DOUBLE::DECIMAL(20,10)))
         AS DOUBLE) / n) AS centroid
-  FROM (SELECT sub, code, list(embedding) AS vecs, COUNT(*) AS n
-        FROM {src} GROUP BY sub, code)
+  FROM (SELECT sub, code, list({vec}) AS vecs, COUNT(*) AS n
+        FROM {src_cte} GROUP BY sub, code)
 )"""
 
     parts = [
         f"""cb0 AS MATERIALIZED (
   SELECT s.sub, q.code,
          list_transform(range(1, {subdim + 1}),
-           i -> q.embedding[CAST(s.sub * {subdim} + i AS INT)]::DOUBLE)
+           i -> q.{vec}[CAST(s.sub * {subdim} + i AS INT)]::DOUBLE)
            AS centroid
-  FROM (SELECT embedding,
+  FROM (SELECT {vec},
                CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-        FROM (SELECT vec_id, embedding FROM embeddings
+        FROM (SELECT vec_id, {vec} FROM {src}
               ORDER BY vec_id LIMIT {ncodes})) q, {subs} s
 )"""
     ]
@@ -662,4 +671,290 @@ FROM (
                 AND d.sub = x.sub AND d.code = x.code
   WHERE x.vec_id <> p.query_id
   GROUP BY p.query_id, x.vec_id
+) WHERE rank <= {k}"""
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ncodes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Canonical IVFADC [Jégou et al., TPAMI 2011 §IV]: PQ codes quantize
+    the RESIDUAL ``v - coarse_centroid(cell(v))``, not the raw vector.
+
+    Residuals are much smaller than raw vectors (the coarse quantizer
+    absorbs the corpus-level structure), so the same bit budget yields
+    finer distances — the recall case over :func:`ivfpq_topk`'s
+    raw-vector simplification. The price is a cell-DEPENDENT query
+    lookup table: the query's residual differs per probed cell, so the
+    table is (query × probed-cell × m × ncodes) — still
+    nq·nprobe·m·ncodes rows, broadcast-scale by construction.
+
+    All arithmetic contracts match the rest of the module: decimal-exact
+    means, left-associative double chains, integer micro-unit ADC sums,
+    lowest-id/lowest-code tie-breaks. Output schema = pq_adc_topk's.
+    """
+    subdim = dims // m
+    spark = corpus.sparkSession
+    trunc = LineageTruncator(spark)
+
+    # --- coarse quantizer (identical to ivfpq_topk) ------------------
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ncells)
+        .select(
+            F.col(vec_col),
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    coarse = seeds.select(
+        "cell",
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(
+            "ccent"
+        ),
+    )
+
+    def _assign_cells(cb: DataFrame) -> DataFrame:
+        scored = corpus.crossJoin(F.broadcast(cb)).withColumn(
+            "__d", F.expr(l2sq_full_sql(vec_col, "ccent", dims))
+        )
+        return scored.groupBy(id_col).agg(
+            F.min_by(
+                F.col("cell"), F.struct(F.col("__d").alias("d"), F.col("cell"))
+            ).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+
+    def _cell_means(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("cell", F.posexplode(vec_col).alias("i0", "__raw"))
+            .withColumn("__v", F.col("__raw").cast("double"))
+            .groupBy("cell", "i0")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_val")
+            )
+        )
+        return per_dim.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i0", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("ccent")
+        )
+
+    assigned = None
+    cb = coarse
+    for _ in range(iters):
+        if assigned is not None:
+            cb = _cell_means(assigned)
+        assigned = trunc.truncate(_assign_cells(cb))
+    coarse_final = _cell_means(assigned)
+
+    # --- residuals: v - ccent(cell(v)), materialized once ------------
+    resid_trunc = LineageTruncator(spark)
+    resid = resid_trunc.truncate(
+        assigned.join(F.broadcast(coarse_final), "cell").select(
+            id_col,
+            "cell",
+            F.expr(
+                f"zip_with({vec_col}, ccent, (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias("resid"),
+        )
+    )
+
+    # --- fine quantizer on residuals ---------------------------------
+    codebooks = pq_train_codebooks(
+        resid, m=m, ncodes=ncodes, iters=iters,
+        id_col=id_col, vec_col="resid", dims=dims,
+    )
+    codes = pq_encode(
+        resid, codebooks, id_col=id_col, vec_col="resid", m=m, dims=dims
+    ).join(resid.select(id_col, "cell"), id_col)
+
+    # --- query: probe cells, cell-dependent residual lookup tables ---
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(coarse_final))
+        .withColumn("__d", F.expr(l2sq_full_sql(vec_col, "ccent", dims)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                f"zip_with({vec_col}, ccent, (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias("qresid"),
+        )
+    )
+    dtable = (
+        probes.select(
+            "query_id",
+            "cell",
+            "qresid",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        )
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "cell",
+            "sub",
+            "code",
+            F.floor(
+                F.expr(l2sq_sub_sql("qresid", "centroid", "sub", subdim))
+                * ADC_SCALE
+            )
+            .cast("bigint")
+            .alias("d_micros"),
+        )
+    )
+    ranked = (
+        codes.join(
+            F.broadcast(probes.select("query_id", "cell")), "cell"
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(dtable), ["query_id", "cell", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micros").alias("adc_dist_micros"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist_micros").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist_micros",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def ivfpq_residual_sql(
+    ncells: int,
+    nprobe: int,
+    m: int,
+    ncodes: int,
+    iters: int,
+    dims: int,
+    k: int,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle twin of :func:`ivfpq_residual_topk`: the coarse
+    chain, the residual table, the PQ chain over residuals (via the
+    parametrized :func:`pq_unrolled_ctes`), and the cell-dependent
+    residual ADC."""
+    subdim = dims // m
+    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+
+    def cassign(cb: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_l2_full_duck('e.embedding', 'c.ccent', dims)} ASC,
+                      c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN {cb} c
+  ) WHERE rn = 1
+)"""
+
+    def cmeans(src: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT cell,
+    list_transform(range(1, {dims + 1}), i ->
+      CAST(list_sum(list_transform(vecs, v -> v[i]::DOUBLE::DECIMAL(20,10)))
+        AS DOUBLE) / n) AS ccent
+  FROM (SELECT cell, list(embedding) AS vecs, COUNT(*) AS n
+        FROM {src} GROUP BY cell)
+)"""
+
+    parts = [
+        f"""ccb0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> x::DOUBLE) AS ccent
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {ncells})
+)"""
+    ]
+    cb = "ccb0"
+    for r in range(1, iters + 1):
+        parts.append(cassign(cb, f"ca{r}"))
+        cb = f"ccb{r}" if r < iters else "ccf"
+        parts.append(cmeans(f"ca{r}", cb))
+    parts.append(
+        f"""resid_t AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dims + 1}),
+           i -> a.embedding[i]::DOUBLE - c.ccent[i]) AS resid
+  FROM ca{iters} a JOIN ccf c ON c.cell = a.cell
+)"""
+    )
+    parts.extend(
+        pq_unrolled_ctes(m, ncodes, iters, dims, src="resid_t", vec="resid")
+    )
+    parts.append(
+        f"""probes AS MATERIALIZED (
+  SELECT query_id, cell, qresid FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           list_transform(range(1, {dims + 1}),
+             i -> q.embedding[i]::DOUBLE - c.ccent[i]) AS qresid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_l2_full_duck('q.embedding', 'c.ccent', dims)} ASC,
+                      c.cell ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE {query_pred}) q
+    CROSS JOIN ccf c
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""dtable AS MATERIALIZED (
+  SELECT p.query_id, p.cell, s.sub, c.code,
+         CAST(floor(({_pq_l2_duck('p.qresid', 'c.centroid', 's.sub', subdim)})
+              * {ADC_SCALE}) AS BIGINT) AS d_micros
+  FROM probes p, {subs} s
+  JOIN cbf c ON c.sub = s.sub
+)"""
+    )
+    return f"""WITH {','.join(parts)}
+SELECT query_id, neighbor_id, adc_dist_micros, CAST(rank AS INT) AS rank
+FROM (
+  SELECT d.query_id, x.vec_id AS neighbor_id,
+         CAST(SUM(d.d_micros) AS BIGINT) AS adc_dist_micros,
+         row_number() OVER (PARTITION BY d.query_id
+           ORDER BY SUM(d.d_micros) ASC, x.vec_id ASC) AS rank
+  FROM resid_t rt
+  JOIN (SELECT vec_id, UNNEST(codes) AS code, UNNEST(range(0, {m})) AS sub
+        FROM pq_codes_t) x ON x.vec_id = rt.vec_id
+  JOIN dtable d ON d.cell = rt.cell
+                AND d.sub = x.sub AND d.code = x.code
+  WHERE x.vec_id <> d.query_id
+  GROUP BY d.query_id, x.vec_id
 ) WHERE rank <= {k}"""

@@ -99,3 +99,36 @@ def _ivfpq_oracle() -> str:
 
 QUERIES["ivfpq_adc"] = q_ivfpq_adc
 ORACLE["ivfpq_adc"] = _ivfpq_oracle()
+
+
+def q_ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical IVFADC: PQ codes quantize the per-cell RESIDUALS, with
+    cell-dependent query lookup tables (``ivfpq_residual_topk``)."""
+    from etl_pipeline_excel_sql__spark.operators.pq import (
+        ivfpq_residual_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivfpq_residual_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        ncells=IVFPQ_NCELLS,
+        nprobe=IVFPQ_NPROBE,
+        m=PQ_M,
+        ncodes=PQ_NCODES,
+        iters=PQ_ITERS,
+        k=PQ_K,
+        dims=EMB_DIMS,
+    )
+
+
+def _ivfpq_residual_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.operators.pq import ivfpq_residual_sql
+
+    return ivfpq_residual_sql(
+        IVFPQ_NCELLS, IVFPQ_NPROBE, PQ_M, PQ_NCODES, PQ_ITERS, EMB_DIMS, PQ_K
+    )
+
+
+QUERIES["ivfpq_residual_adc"] = q_ivfpq_residual_adc
+ORACLE["ivfpq_residual_adc"] = _ivfpq_residual_oracle()

@@ -37,6 +37,8 @@ BNLJ_WHITELIST = {
     "ivfpq_adc",  # broadcast ncells-row coarse-centroid tables (seed +
     #               trained) cross-joined for assignment/probing — the
     #               same bounded singleton pattern as ann_ivf_topk
+    "ivfpq_residual_adc",  # same bounded coarse-centroid cross-joins
+    #               (the residual path shares the coarse quantizer)
     "neardup_cosine",  # broadcast SRP planes
     "semantic_dedup_keep",  # broadcast SRP planes feeding the keep-set
     "dedup_clusters",  # SRP planes inside the LSH pair generator
