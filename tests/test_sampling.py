@@ -162,3 +162,63 @@ def test_mixture_sample_is_deterministic_and_respects_rates(spark):
     n_a = sum(1 for r in kept.collect() if r.domain == "a")
     n_b = len(rows1) - n_a
     assert abs(n_a - 400) < 60 and abs(n_b - 400) < 70
+
+
+def test_mixture_rates_hypothesis_vs_reference(spark):
+    """Property sweep: for random domain sizes / budgets / weights the
+    rate table equals a literal Python transcription of the spec
+    (normalized weights, float target, floored basis points, keep-all
+    cap, absent-domain dropout)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_excel_sql__spark.operators.mixing import (
+        domain_mixture_rates,
+    )
+
+    domains = ["web", "code", "ref", "chat"]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=10_000),
+            min_size=4,
+            max_size=4,
+        ),
+        budget=st.integers(min_value=1, max_value=50_000),
+        wsub=st.lists(st.booleans(), min_size=4, max_size=4).filter(any),
+    )
+    def check(sizes, budget, wsub):
+        rows = [
+            (domains[i], j, sizes[i])
+            for i in range(4)
+            for j in range(1)  # one row per domain with the full size
+        ]
+        df = spark.createDataFrame(rows, ["domain", "id", "sz"])
+        weights = {domains[i]: 1.0 for i in range(4) if wsub[i]}
+        got = {
+            r.domain: (r.domain_size, r.target_size, r.rate_bp)
+            for r in domain_mixture_rates(
+                df, "domain", "sz", budget, weights
+            ).collect()
+        }
+        norm = sum(weights.values())
+        want = {}
+        for i, d in enumerate(domains):
+            if d not in weights:
+                continue
+            target = budget * (weights[d] / norm)
+            import math
+
+            want[d] = (
+                sizes[i],
+                math.floor(target),
+                min(10000, math.floor(10000 * target / sizes[i])),
+            )
+        assert got == want
+
+    check()
