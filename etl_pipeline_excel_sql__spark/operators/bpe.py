@@ -189,12 +189,18 @@ def _bpe_cte_parts(docs_cte: str, text_col: str, n_merges: int) -> list[str]:
 ), m{i} AS MATERIALIZED (
   SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ), w{i} AS MATERIALIZED (
+  -- LEFT JOIN ON TRUE, not a cross join: when the pair supply runs dry
+  -- before the unroll finishes, m{{i}} is empty and a cross join would
+  -- annihilate the word table (the Spark trainer stops early and KEEPS
+  -- the words); the left join carries them through with a no-op fold.
   SELECT freq,
-         list_reduce(list_transform(syms, s -> [s]),
-             (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
-                         THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
-                         ELSE acc || x END) AS syms
-  FROM w{p}, m{i} m
+         CASE WHEN m.a IS NULL THEN syms
+              ELSE list_reduce(list_transform(syms, s -> [s]),
+                 (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                             THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
+                             ELSE acc || x END)
+         END AS syms
+  FROM w{p} LEFT JOIN m{i} m ON TRUE
 )"""
         )
     return parts

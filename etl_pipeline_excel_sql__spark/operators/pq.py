@@ -43,6 +43,26 @@ from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
 #: Micro-unit scale for ADC distance accumulation.
 ADC_SCALE = 1_000_000
 
+#: Call-spanning default truncators (same doctrine as
+#: similarity._kmeans_trunc): the NEXT call through the same global
+#: retires this call's final localCheckpoint blocks, so repeated
+#: training/search calls (a bench loop, a long session) hold bounded
+#: block storage instead of leaking one corpus-sized assignment table
+#: per call. Consequence: only the most recent call's result through a
+#: given global may still be read lazily — interleaved callers pass a
+#: caller-owned ``truncator`` (see tests/test_iterative.py's pattern).
+_pq_trunc: LineageTruncator | None = None
+_ivfpq_coarse_trunc: LineageTruncator | None = None
+_ivfpq_resid_trunc: LineageTruncator | None = None
+
+
+def _global_trunc(name: str, spark) -> LineageTruncator:
+    t = globals()[name]
+    if t is None or t._spark is not spark:
+        t = LineageTruncator(spark)
+        globals()[name] = t
+    return t
+
 
 def l2sq_sub_sql(vec: str, cent: str, sub_col: str, subdim: int) -> str:
     """Unrolled squared-L2 between subspace ``sub_col`` of full vector
@@ -146,7 +166,7 @@ def pq_train_codebooks(
         raise ValueError(f"pq: dims ({dims}) not divisible by m ({m})")
     subdim = dims // m
     spark = corpus.sparkSession
-    trunc = truncator or LineageTruncator(spark)
+    trunc = truncator or _global_trunc("_pq_trunc", spark)
     seeds = (
         corpus.orderBy(id_col)
         .limit(ncodes)
@@ -413,40 +433,23 @@ def l2sq_full_sql(a: str, b: str, dims: int) -> str:
     return " + ".join(terms)
 
 
-def ivfpq_topk(
+def _coarse_kmeans(
     corpus: DataFrame,
-    queries: DataFrame,
-    ncells: int = 8,
-    nprobe: int = 2,
-    m: int = 8,
-    ncodes: int = 16,
-    iters: int = 2,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dims: int = 64,
-) -> DataFrame:
-    """The full IVF-PQ composition: L2 coarse cells prune the corpus,
-    PQ-ADC ranks inside the probed cells — the standard billion-scale
-    serving shape (coarse partitioner × compressed fine codes).
-
-    Simplification, stated plainly: codes quantize the RAW vectors, not
-    the per-cell residuals of the canonical IVFADC — residual encoding
-    improves recall but makes the query lookup table cell-dependent;
-    this variant keeps one ``m × ncodes`` table per query and composes
-    the two pruning structures unchanged. Both stages train with the
-    same deterministic lowest-id seeding and decimal-exact means.
-
-    Scale shape: coarse centroids and codebooks broadcast; the corpus
-    is scanned for assignment/encoding with map-side argmin combines;
-    at query time only code rows of the probed cells join the broadcast
-    lookup tables. Output matches :func:`pq_adc_topk`'s schema.
-    """
-    subdim = dims // m
-    spark = corpus.sparkSession
-    trunc = LineageTruncator(spark)
-
-    # --- coarse quantizer: k-means under L2 on full vectors ----------
+    ncells: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    trunc: LineageTruncator,
+) -> tuple[DataFrame, DataFrame]:
+    """L2 full-vector Lloyd loop shared by BOTH IVF-PQ compositions —
+    one definition so a tie-break/precision/seeding fix cannot
+    desynchronize the raw and residual paths (their SQL oracles likewise
+    share the coarse CTE builder). Deterministic lowest-id seeds,
+    decimal-exact means, per-round lineage truncation through ``trunc``.
+    Returns ``(assigned, coarse_final)``: the final (id, vec, cell)
+    assignment (materialized) and the final (cell, ccent) centroid table
+    (lazy plan over it — keep ``trunc`` uncut until consumed)."""
     seeds = (
         corpus.orderBy(id_col)
         .limit(ncells)
@@ -504,6 +507,45 @@ def ivfpq_topk(
             cb = _cell_means(assigned)
         assigned = trunc.truncate(_assign_cells(cb))
     coarse_final = _cell_means(assigned)
+    return assigned, coarse_final
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ncodes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """The full IVF-PQ composition: L2 coarse cells prune the corpus,
+    PQ-ADC ranks inside the probed cells — the standard billion-scale
+    serving shape (coarse partitioner × compressed fine codes).
+
+    Simplification, stated plainly: codes quantize the RAW vectors, not
+    the per-cell residuals of the canonical IVFADC — residual encoding
+    improves recall but makes the query lookup table cell-dependent;
+    this variant keeps one ``m × ncodes`` table per query and composes
+    the two pruning structures unchanged. Both stages train with the
+    same deterministic lowest-id seeding and decimal-exact means.
+
+    Scale shape: coarse centroids and codebooks broadcast; the corpus
+    is scanned for assignment/encoding with map-side argmin combines;
+    at query time only code rows of the probed cells join the broadcast
+    lookup tables. Output matches :func:`pq_adc_topk`'s schema.
+    """
+    subdim = dims // m
+    spark = corpus.sparkSession
+    trunc = _global_trunc("_ivfpq_coarse_trunc", spark)
+
+    assigned, coarse_final = _coarse_kmeans(
+        corpus, ncells, iters, id_col, vec_col, dims, trunc
+    )
 
     # --- fine quantizer: PQ codebooks + codes, cell kept alongside ---
     codebooks = pq_train_codebooks(
@@ -583,21 +625,11 @@ def _l2_full_duck(a: str, b: str, dims: int) -> str:
     return " + ".join(terms)
 
 
-def ivfpq_sql(
-    ncells: int,
-    nprobe: int,
-    m: int,
-    ncodes: int,
-    iters: int,
-    dims: int,
-    k: int,
-    query_pred: str = "vec_id < 5",
-) -> str:
-    """DuckDB oracle twin of :func:`ivfpq_topk`: unrolled L2 coarse
-    k-means + the PQ chain + probed-cell ADC, same tie-breaks and
-    integer micro-unit totals throughout."""
-    subdim = dims // m
-    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+def _coarse_sql_ctes(ncells: int, iters: int, dims: int) -> list[str]:
+    """The unrolled L2 coarse-k-means CTE chain (``ccb0`` seeds →
+    ``ca{r}`` assignments → ``ccf`` final centroids) — ONE definition
+    shared by both IVF-PQ oracles, mirroring ``_coarse_kmeans`` on the
+    Spark side so the four copies can never drift pairwise."""
 
     def cassign(cb: str, name: str) -> str:
         return f"""{name} AS MATERIALIZED (
@@ -633,6 +665,26 @@ def ivfpq_sql(
         parts.append(cassign(cb, f"ca{r}"))
         cb = f"ccb{r}" if r < iters else "ccf"
         parts.append(cmeans(f"ca{r}", cb))
+    return parts
+
+
+def ivfpq_sql(
+    ncells: int,
+    nprobe: int,
+    m: int,
+    ncodes: int,
+    iters: int,
+    dims: int,
+    k: int,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle twin of :func:`ivfpq_topk`: unrolled L2 coarse
+    k-means + the PQ chain + probed-cell ADC, same tie-breaks and
+    integer micro-unit totals throughout."""
+    subdim = dims // m
+    subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
+
+    parts = _coarse_sql_ctes(ncells, iters, dims)
     parts.extend(pq_unrolled_ctes(m, ncodes, iters, dims))
     parts.append(
         f"""probes AS MATERIALIZED (
@@ -704,66 +756,14 @@ def ivfpq_residual_topk(
     """
     subdim = dims // m
     spark = corpus.sparkSession
-    trunc = LineageTruncator(spark)
+    trunc = _global_trunc("_ivfpq_coarse_trunc", spark)
 
-    # --- coarse quantizer (identical to ivfpq_topk) ------------------
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(ncells)
-        .select(
-            F.col(vec_col),
-            (F.row_number().over(Window.orderBy(id_col)) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+    assigned, coarse_final = _coarse_kmeans(
+        corpus, ncells, iters, id_col, vec_col, dims, trunc
     )
-    coarse = seeds.select(
-        "cell",
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(
-            "ccent"
-        ),
-    )
-
-    def _assign_cells(cb: DataFrame) -> DataFrame:
-        scored = corpus.crossJoin(F.broadcast(cb)).withColumn(
-            "__d", F.expr(l2sq_full_sql(vec_col, "ccent", dims))
-        )
-        return scored.groupBy(id_col).agg(
-            F.min_by(
-                F.col("cell"), F.struct(F.col("__d").alias("d"), F.col("cell"))
-            ).alias("cell"),
-            F.first(vec_col).alias(vec_col),
-        )
-
-    def _cell_means(assigned: DataFrame) -> DataFrame:
-        per_dim = (
-            assigned.select("cell", F.posexplode(vec_col).alias("i0", "__raw"))
-            .withColumn("__v", F.col("__raw").cast("double"))
-            .groupBy("cell", "i0")
-            .agg(
-                (
-                    F.sum(F.col("__v").cast("decimal(20,10)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean_val")
-            )
-        )
-        return per_dim.groupBy("cell").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("i0", "mean_val"))),
-                lambda s: s["mean_val"],
-            ).alias("ccent")
-        )
-
-    assigned = None
-    cb = coarse
-    for _ in range(iters):
-        if assigned is not None:
-            cb = _cell_means(assigned)
-        assigned = trunc.truncate(_assign_cells(cb))
-    coarse_final = _cell_means(assigned)
 
     # --- residuals: v - ccent(cell(v)), materialized once ------------
-    resid_trunc = LineageTruncator(spark)
+    resid_trunc = _global_trunc("_ivfpq_resid_trunc", spark)
     resid = resid_trunc.truncate(
         assigned.join(F.broadcast(coarse_final), "cell").select(
             id_col,
@@ -875,40 +875,7 @@ def ivfpq_residual_sql(
     subdim = dims // m
     subs = f"(SELECT UNNEST(range(0, {m})) AS sub)"
 
-    def cassign(cb: str, name: str) -> str:
-        return f"""{name} AS MATERIALIZED (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT e.vec_id, e.embedding, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_l2_full_duck('e.embedding', 'c.ccent', dims)} ASC,
-                      c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN {cb} c
-  ) WHERE rn = 1
-)"""
-
-    def cmeans(src: str, name: str) -> str:
-        return f"""{name} AS MATERIALIZED (
-  SELECT cell,
-    list_transform(range(1, {dims + 1}), i ->
-      CAST(list_sum(list_transform(vecs, v -> v[i]::DOUBLE::DECIMAL(20,10)))
-        AS DOUBLE) / n) AS ccent
-  FROM (SELECT cell, list(embedding) AS vecs, COUNT(*) AS n
-        FROM {src} GROUP BY cell)
-)"""
-
-    parts = [
-        f"""ccb0 AS MATERIALIZED (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         list_transform(embedding, x -> x::DOUBLE) AS ccent
-  FROM (SELECT vec_id, embedding FROM embeddings
-        ORDER BY vec_id LIMIT {ncells})
-)"""
-    ]
-    cb = "ccb0"
-    for r in range(1, iters + 1):
-        parts.append(cassign(cb, f"ca{r}"))
-        cb = f"ccb{r}" if r < iters else "ccf"
-        parts.append(cmeans(f"ca{r}", cb))
+    parts = _coarse_sql_ctes(ncells, iters, dims)
     parts.append(
         f"""resid_t AS MATERIALIZED (
   SELECT a.vec_id, a.cell,

@@ -244,7 +244,10 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kcore_unrolled_sql(edges_cte: str, k: int, rounds: int) -> str:
     """DuckDB oracle twin of :func:`kcore_membership`: peeling unrolled
-    as chained CTEs.
+    as chained CTEs. Returns a COMPLETE query (leading WITH included);
+    ``edges_cte`` must yield (id_a, id_b) in any form — e0 replays the
+    Spark side's canonicalization (self-loop filter, least/greatest,
+    distinct), so duplicated/reversed/self pairs cannot desync the twins.
 
     ``rounds`` must be >= the graph's actual peeling depth or the oracle
     is NOT the fixpoint — measured depth is 2 on the near-dup graph at
@@ -258,7 +261,10 @@ def kcore_unrolled_sql(edges_cte: str, k: int, rounds: int) -> str:
     # inlines plain CTEs — an un-materialized 6-round unroll re-expands
     # the chain 3^6 times and the planner never comes back.
     parts = [
-        f"e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ({edges_cte}))"
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({edges_cte}) WHERE id_a <> id_b
+)"""
     ]
     for i in range(1, rounds + 1):
         p = i - 1
@@ -275,7 +281,7 @@ def kcore_unrolled_sql(edges_cte: str, k: int, rounds: int) -> str:
     final = f"""SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
 GROUP BY node"""
-    return ",\n".join(parts) + "\n" + final
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def _kcore_sql() -> str:
@@ -283,10 +289,9 @@ def _kcore_sql() -> str:
         _MINHASH_SQL,
     )
 
-    return (
-        f"WITH pairs AS MATERIALIZED ({_MINHASH_SQL}),\n"
-        + kcore_unrolled_sql("SELECT id_a, id_b FROM pairs", k=2, rounds=6)
-    )
+    # e0 is MATERIALIZED, so inlining the full MinHash pipeline here
+    # still runs it exactly once.
+    return kcore_unrolled_sql(_MINHASH_SQL, k=2, rounds=6)
 
 
 ORACLE["dedup_kcore"] = _kcore_sql()

@@ -62,18 +62,21 @@ class JdbcSink:
     #: parallelism. See the module docstring for when each wins.
     shuffle_before_write: bool = False
 
+    def bounded(self, df: DataFrame) -> DataFrame:
+        """The connection-bounding step ``write`` actually executes —
+        public so tests can assert the real plan (repartition Exchange vs
+        upstream-collapsing coalesce) instead of reconstructing it."""
+        if self.max_write_partitions <= 0:
+            return df
+        bound = df.repartition if self.shuffle_before_write else df.coalesce
+        return bound(self.max_write_partitions)
+
     def write(self, df: DataFrame, mode: str = "append") -> None:
         if mode not in _MODES:
             raise ValueError(
                 f"JdbcSink.write: mode must be one of {_MODES}, got {mode!r}"
             )
-        if self.max_write_partitions > 0:
-            bound = (
-                df.repartition
-                if self.shuffle_before_write
-                else df.coalesce
-            )
-            df = bound(self.max_write_partitions)
+        df = self.bounded(df)
         writer = (
             df.write.format("jdbc")
             .option("url", self.url)

@@ -196,7 +196,15 @@ def run_with_state_metrics(
     all-time key count) and that ``numRowsRemoved`` is non-zero once the
     watermark passes old state. Works with any state store provider —
     the metrics come from the progress API, not provider internals.
+
+    ``recentProgress`` is a ring buffer (default 100 entries) that would
+    silently drop early micro-batches of a long availableNow drain —
+    undercounting removal sums and hiding early state spikes — so the
+    buffer is widened before the query starts; sources producing beyond
+    even that need a StreamingQueryListener instead.
     """
+    spark = stream_df.sparkSession
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

@@ -149,11 +149,24 @@ def test_jdbc_sink_shuffle_before_write_keeps_upstream_parallelism(
         (k, sum(v for v in range(1000) if v % 100 == k)) for k in range(100)
     }
     assert got == want
-    # Plan shape: the repartition is a RoundRobin Exchange ABOVE the agg,
-    # not a coalesce that would cap the agg itself.
-    plan = wide.repartition(4)._jdf.queryExecution().executedPlan().toString()
+    # Plan shape of the SINK's own bounding step (not a reconstruction):
+    # the repartition is a RoundRobin Exchange ABOVE the agg, not a
+    # coalesce that would cap the agg itself — and the default
+    # (shuffle_before_write=False) sink produces the Coalesce.
+    plan = sink.bounded(wide)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning(4)" in plan
     assert "Coalesce" not in plan
+    coalescing = JdbcSink(
+        url=derby_url, table="t_shuffled", max_write_partitions=4
+    )
+    plan2 = (
+        coalescing.bounded(wide)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Coalesce 4" in plan2
+    assert "RoundRobinPartitioning(4)" not in plan2
 
 
 def test_jdbc_sink_rejects_unknown_mode(spark, derby_url):

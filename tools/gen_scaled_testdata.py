@@ -89,9 +89,17 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
             key, F.col(key) + F.col("copy").cast("long") * KEY_OFFSET
         )
     if table == "documents":
+        # Tokenize on \s+ — the SAME rule the dedup pipeline's ws_tokens
+        # uses. A plain split(' ') would leave tokens after tabs/newlines/
+        # double spaces unprefixed, re-creating cross-copy shingle overlap
+        # and quadratic pair growth. The rejoin single-spaces the mutated
+        # copies (whitespace normalization is an acceptable synthetic-
+        # corpus change; copy 0 keeps the original text verbatim).
         mutated = F.array_join(
             F.transform(
-                F.split(F.col("text"), " "),
+                F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda t: t != ""
+                ),
                 lambda w: F.concat(
                     F.lit("c"), F.col("copy").cast("string"), F.lit("_"), w
                 ),
