@@ -209,9 +209,19 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the document-frequency aggregate and the anti-join key on
     the passage's md5 digest, so the exchange carries 32-char digests,
-    never passage text; the boilerplate set (rare by definition of the
-    cap) broadcasts into the anti-join, and reassembly groups by doc_id —
-    one corpus-keyed shuffle.
+    never passage text; reassembly groups by doc_id — one corpus-keyed
+    shuffle.
+
+    Scale contract — the boilerplate set is deliberately NOT
+    force-broadcast. It is the df>PASSAGE_MAX_DF heavy-hitter passage
+    hashes, and web boilerplate is heavy-tailed: at 100 TB the set of
+    passages crossing a fixed df cap grows with the corpus (nav chrome,
+    cookie banners, license blocks — millions of distinct hashes), so an
+    unconditional ``F.broadcast`` is the decontam-r4 OOM pattern. The
+    engine size-gates instead: AQE picks broadcast when the materialized
+    set is under ``spark.sql.autoBroadcastJoinThreshold``, shuffle
+    anti-join on ``h`` otherwise (``tests/test_plan_census.py`` pins
+    both regimes).
     """
     docs = load_table(spark, "documents", sf_dir)
     toks = ws_tokens(F.col("text"))
@@ -240,7 +250,7 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > PASSAGE_MAX_DF)
         .select("h")
     )
-    kept = p.join(F.broadcast(boiler), "h", "left_anti")
+    kept = p.join(boiler, "h", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

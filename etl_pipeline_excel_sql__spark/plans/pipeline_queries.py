@@ -761,10 +761,19 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the stage after ``neardup_cosine``/``dedup_clusters`` that a
     training pipeline actually consumes: the surviving corpus. The
-    non-representatives are dropped with a left-anti join, so the corpus
-    scan never shuffles — only the (small) drop list does, and it
-    broadcasts. The oracle replays the pair SQL plus the same
-    min-reachable-id recursive fixpoint.
+    non-representatives are dropped with a left-anti join on ``vec_id``.
+
+    Scale contract — the drop list is deliberately NOT force-broadcast.
+    It holds every non-representative member of every near-dup cluster,
+    so it grows with the corpus's duplicate count: at 100 TB with 30-50%
+    semantic dups that is billions of ids, not a trained-model-sized
+    artifact. The engine size-gates the join instead: Catalyst/AQE pick
+    broadcast when the materialized drop list lands under
+    ``spark.sql.autoBroadcastJoinThreshold`` (the local case) and fall
+    back to a shuffle anti-join on ``vec_id`` when it doesn't — the same
+    contract ``decontam_overlap`` adopted after its round-4 fix
+    (``tests/test_plan_census.py`` pins both regimes). The oracle replays
+    the pair SQL plus the same min-reachable-id recursive fixpoint.
     """
     from etl_pipeline_excel_sql__spark.operators.clusters import (
         connected_components,
@@ -783,9 +792,7 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = comp.filter(F.col("member_id") != F.col("cluster_id")).select(
         F.col("member_id").alias("vec_id")
     )
-    return emb.join(F.broadcast(drop), "vec_id", "left_anti").select(
-        "vec_id", "label"
-    )
+    return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")
 
 
 ORACLE["semantic_dedup_keep"] = f"""
@@ -946,9 +953,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. coarse ranges of ``PACK_RANGE`` doc ids each; per-range token sums
        (one map-side-combined aggregate — n_ranges rows);
-    2. range offsets via a window over that TINY table;
+    2. range offsets via a window over that small table;
     3. per-document cumsum windowed WITHIN each range (parallel across
-       ranges), plus the broadcast range offset.
+       ranges), plus the joined range offset.
+
+    Scale contract — the offset table is NOT force-broadcast: it has one
+    row per PACK_RANGE of doc ids, so it grows linearly with the corpus
+    (1M+ rows at 100 TB). Dropping the hint costs nothing: the engine
+    broadcasts while the table is under the auto threshold, and the
+    shuffle-join fallback keys on ``__rng`` — exactly the
+    ``hashpartitioning(__rng)`` the step-3 window needs anyway, so the
+    exchange is reused and the corpus still shuffles once either way.
 
     The oracle is the single global window — same bigint arithmetic, so
     results agree exactly while the engine side stays shuffle-light.
@@ -980,7 +995,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        toks.join(F.broadcast(rng_off), on="__rng")
+        toks.join(rng_off, on="__rng")
         .withColumn(
             "__before",
             F.col("__offset")

@@ -127,3 +127,190 @@ def test_decontam_size_gates_the_bench_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert rows_gated == rows_default
+
+
+def _gated_both_regimes(spark, fn, anti_key: str):
+    """Run ``fn`` under the default and the disabled broadcast threshold;
+    assert the LeftAnti join degrades to a non-broadcast join when the
+    engine may not broadcast (threshold -1 stands in for a corpus-grown
+    build side at 100 TB), and that both regimes return identical rows.
+    Unlike decontam, these queries legitimately broadcast SRP planes /
+    singleton aggregates elsewhere in the plan, so the assertion targets
+    the LeftAnti join lines, not the whole plan."""
+    rows_default = sorted(map(tuple, fn(spark, SF).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fn(spark, SF)
+        for stage in ("initial", "final"):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+            assert anti, f"{stage}: no LeftAnti join in plan"
+            for ln in anti:
+                assert "BroadcastHashJoin" not in ln, (stage, ln)
+                assert f"[{anti_key}#" in ln, (stage, ln)
+            if stage == "initial":
+                rows_gated = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows_gated == rows_default
+
+
+def test_semantic_dedup_keep_size_gates_the_drop_list(spark):
+    """The drop list (every non-representative near-dup member) grows
+    with the corpus's duplicate count — billions of ids at 100 TB with
+    30-50% semantic dups — so the anti-join must be engine-size-gated,
+    never F.broadcast-forced (the decontam-r4 pattern)."""
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_semantic_dedup_keep,
+    )
+
+    _gated_both_regimes(spark, q_semantic_dedup_keep, "vec_id")
+
+
+def test_text_passage_dedup_size_gates_the_boiler_set(spark):
+    """The boilerplate set (df>cap heavy-hitter passage hashes) is
+    corpus-scale in the heavy-tailed web worst case — same engine
+    size-gate contract as the decontam bench side."""
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
+        q_text_passage_dedup,
+    )
+
+    _gated_both_regimes(spark, q_text_passage_dedup, "h")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-derived broadcast census (round 7).
+#
+# The same scale bug shipped three times (decontam r4, semantic_dedup_keep
+# and text_passage_dedup r6): an F.broadcast of a frame that GROWS with the
+# corpus. This census makes the pattern structurally unshippable: with the
+# auto-broadcast threshold disabled, every BroadcastExchange left in a plan
+# is hint-forced or crossJoin-structural — the engine chose none of them —
+# so each one whose subtree reads a corpus-scale table (documents /
+# embeddings / events / lineitem) without an intervening bound (limit or
+# scalar aggregate) is a reviewed-or-rejected scale hazard. The whitelist
+# below is the review: every entry names WHY its broadcast stays bounded
+# when the corpus grows 1000x.
+
+CORPUS_TABLES = ("documents", "embeddings", "events", "lineitem")
+_BOUND_NODES = {
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+}
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+#: queries allowed to force-broadcast a corpus-derived frame, each with the
+#: boundedness argument. An aggregate keyed on a FIXED-DOMAIN attribute
+#: (dim index, PQ code, k-means cell, brand, event type, language, domain
+#: enum) is bounded by construction even though the census can't prove it
+#: statically — the key space, not the corpus, caps the row count.
+CORPUS_BROADCAST_WHITELIST = {
+    "ann_brute_topk": "query set is vec_id < 5 — constant-range predicate",
+    "ann_filtered_topk": "same constant-range query set",
+    "ann_ivf_topk": "query set vec_id < 5; probe list = queries x nprobe",
+    "ann_recall": "composes brute + ivf; same bounded query set",
+    "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
+    "events_anomaly_mad": "per-event-type median/MAD — small type enum",
+    "lang_confusion": "per-language totals — fixed language set",
+    "mix_domains": "per-domain rate table — bounded domain enum (spec'd)",
+    "pq_adc": "codebooks keyed (sub, code): M x 256 rows by construction",
+    "ivfpq_adc": "codebooks + coarse centroids: (M x 256) + ncells rows",
+    "ivfpq_residual_adc": "same bounded codebook/centroid tables",
+    "vec_quantize_int8": "per-dim max — EMB_DIMS groups",
+}
+
+
+def _plan_children(node):
+    """Physical-plan children, descending through the AQE leaf wrapper
+    (AdaptiveSparkPlanExec is a LeafExecNode holding the real plan) and
+    query-stage wrappers."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    if name.endswith("QueryStage"):
+        return [node.plan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _carries_corpus_rows(node):
+    """True iff this subtree can deliver O(corpus) rows: it scans a
+    corpus-scale table with no limit / scalar-aggregate bound on the
+    path. Aggregates with non-empty keys do NOT bound (their output is
+    key-cardinality, which may itself be corpus-scale) — bounded-domain
+    keys are handled by the whitelist, not the walker."""
+    name = node.nodeName()
+    if name in _BOUND_NODES:
+        return False
+    s = node.simpleString(25)
+    if any(a in name for a in _AGG_NODES) and "keys=[]" in s:
+        return False
+    if "Scan" in name and any(f"{t}.parquet" in s for t in CORPUS_TABLES):
+        return True
+    return any(_carries_corpus_rows(c) for c in _plan_children(node))
+
+
+def _find_corpus_broadcasts(node, out):
+    if node.nodeName() == "BroadcastExchange":
+        for c in _plan_children(node):
+            if _carries_corpus_rows(c):
+                out.append(node.simpleString(25))
+    for c in _plan_children(node):
+        _find_corpus_broadcasts(c, out)
+
+
+def test_no_unreviewed_corpus_derived_broadcasts(spark):
+    from etl_pipeline_excel_sql__spark.plans import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    offenders: dict[str, list[str]] = {}
+    try:
+        for name, fn in QUERIES.items():
+            if name.startswith("stream_"):
+                continue
+            plan = fn(spark, SF)._jdf.queryExecution().executedPlan()
+            bad: list[str] = []
+            _find_corpus_broadcasts(plan, bad)
+            if bad and name not in CORPUS_BROADCAST_WHITELIST:
+                offenders[name] = [b[:200] for b in bad]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not offenders, (
+        "forced broadcast of a corpus-derived frame (the decontam-r4 "
+        "scale bug) outside the reviewed whitelist — size-gate it (drop "
+        f"the F.broadcast hint) or justify it above: {offenders}"
+    )
+
+
+def test_corpus_broadcast_census_catches_the_reverted_site(spark):
+    """Red-path proof: re-adding the r6 semantic_dedup_keep broadcast
+    shape (forced broadcast of a corpus-slice drop list) must flag."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        drop = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+        df = emb.join(F.broadcast(drop), "vec_id", "left_anti")
+        bad: list[str] = []
+        _find_corpus_broadcasts(
+            df._jdf.queryExecution().executedPlan(), bad
+        )
+        assert bad, "census walker failed to flag a forced corpus broadcast"
+        # and the bounded shape it must NOT flag: scalar agg then broadcast
+        scal = emb.agg(F.count(F.lit(1)).alias("n"))
+        ok: list[str] = []
+        _find_corpus_broadcasts(
+            emb.crossJoin(F.broadcast(scal))
+            ._jdf.queryExecution()
+            .executedPlan(),
+            ok,
+        )
+        assert not ok, ok
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

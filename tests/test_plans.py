@@ -384,31 +384,31 @@ def test_agg_mode_per_user_is_two_partial_aggregates(spark):
     assert plan.count("Exchange") == 2
 
 
-def test_semantic_dedup_keep_anti_join_broadcasts_drop_list(spark):
-    """The corpus side of the keep-set anti-join must not shuffle — only
-    the (small) drop list moves, as a broadcast."""
+def test_semantic_dedup_keep_anti_join_has_no_forced_broadcast(spark):
+    """The keep-set anti-join's drop list grows with the corpus's
+    duplicate count, so it must NOT carry an F.broadcast hint — the
+    engine's size estimate picks the strategy (broadcast locally where
+    the list is tiny, shuffle anti-join at scale). The gated regime is
+    pinned in test_plan_census.py; here we pin that the default regime
+    still anti-joins on vec_id."""
     plan = _plan(spark, "semantic_dedup_keep")
-    anti = [
-        ln
-        for ln in plan.splitlines()
-        if "LeftAnti" in ln
-    ]
-    assert anti and all(
-        "BroadcastHashJoin" in ln and "BuildRight" in ln for ln in anti
-    ), anti
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("[vec_id#" in ln for ln in anti), anti
 
 
-def test_text_passage_dedup_shuffles_digests_and_broadcasts_boiler(spark):
+def test_text_passage_dedup_shuffles_digests_not_text(spark):
     """The document-frequency pipeline must key its exchanges on the md5
-    digest (32 chars), never the passage text, and the boilerplate set
-    must broadcast into the anti-join."""
+    digest (32 chars), never the passage text; the boilerplate set's
+    join strategy is the engine's size call (gated regime pinned in
+    test_plan_census.py)."""
     plan = _plan(spark, "text_passage_dedup")
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert anti and all("BroadcastHashJoin [h#" in ln for ln in anti), anti
+    assert anti and all("[h#" in ln for ln in anti), anti
     assert "hashpartitioning(h#" in plan
-    # reassembly adds exactly one doc_id-keyed exchange; nothing shuffles
-    # the exploded passage rows by anything else
-    assert plan.count("Exchange hashpartitioning") == 3
+    # no exchange may carry the passage-text column
+    assert not any(
+        "hashpartitioning(p#" in ln for ln in plan.splitlines()
+    ), "exchange keyed on passage text"
 
 
 def test_band_join_is_hash_join_on_buckets(spark):
