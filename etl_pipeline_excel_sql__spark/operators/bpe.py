@@ -20,11 +20,17 @@ via a codegen'd ``aggregate`` fold (left-to-right, non-overlapping,
 exactly the reference algorithm's replacement order), with per-round
 lineage truncation so the plan stays flat.
 
-Determinism: ties break (count DESC, left ASC, right ASC) in binary
-string order — identical in Spark and DuckDB — so the merge table is a
-pure function of the corpus, and the DuckDB oracle replays the unrolled
-rounds exactly (plans/corpus_queries or graph twin; see
-``bpe_unrolled_sql``).
+Determinism: ties break (count DESC, left ASC, right ASC) in each
+engine's binary string order, so the merge table is a pure function of
+the corpus, and the DuckDB oracle replays the unrolled rounds exactly
+(plans/corpus_queries or graph twin; see ``bpe_unrolled_sql``).
+Collation caveat: Spark compares strings by UTF-16 code units while
+DuckDB compares UTF-8 bytes (code points); the two orders agree for all
+Basic-Multilingual-Plane text but diverge for supplementary-plane
+characters (emoji, rare CJK), where a tie-break could pick different
+pairs per engine. An oracle mismatch on a non-BMP corpus is this
+engine-collation difference, not a trainer bug; normalize symbols
+through a byte-stable key if such corpora ever need exact parity.
 """
 
 from __future__ import annotations
@@ -78,11 +84,116 @@ def _merge_fold(a: str, b: str):
     )
 
 
+#: key separator for the batched merge map — symbols come from
+#: whitespace-tokenized text, which cannot contain NUL.
+_PAIR_SEP = "\x00"
+
+
+def _merge_fold_batch(pairs: list[tuple[str, str]]):
+    """One left-to-right fold applying EVERY pair in ``pairs`` — a single
+    map lookup per symbol instead of one nested fold per pair. Correct
+    only for a mutually symbol-disjoint batch (see
+    :func:`_accept_batch`): disjointness means a symbol produced by one
+    merge can never be the left/right side of another, so the single
+    pass is order-independent and equals applying the per-pair folds
+    sequentially."""
+    entries: list = []
+    for a, b in pairs:
+        entries.append(F.lit(a + _PAIR_SEP + b))
+        entries.append(F.lit(a + b))
+    merge_map = F.create_map(*entries)
+
+    def step(acc, x):
+        hit = F.try_element_at(
+            merge_map, F.concat(F.element_at(acc, -1), F.lit(_PAIR_SEP), x)
+        )
+        return F.when(
+            (F.size(acc) > 0) & hit.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(hit)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.expr("CAST(array() AS ARRAY<STRING>)"), step
+    )
+
+
+def _accept_batch(
+    rows, n_remaining: int, fetched: int, vocab_concats: set[str]
+) -> list[tuple[str, str, int]]:
+    """Greedily choose a prefix of the sorted candidate pairs that is
+    PROVABLY the next ``len(result)`` sequential BPE merges.
+
+    ``rows`` are the top ``fetched + 1`` pairs ordered (cnt DESC, a ASC,
+    b ASC) — the same total order sequential training uses for its
+    argmax, so row 0 is always the true next merge. Further rows are
+    accepted while sequential equality is guaranteed:
+
+    1. **Disjointness** — walk in order, tracking every accepted left,
+       right, and concatenated symbol; STOP at the first candidate
+       touching any of them, or whose concat equals a prior-round merge
+       symbol (``vocab_concats`` — every multi-char symbol in the
+       working vocabulary is the concat of some earlier merge, so this
+       excludes string-collision gains exactly, without reading the
+       vocabulary back). Every pair that overlaps an accepted symbol
+       sorts at/after the stop position — were it earlier, it would
+       itself have stopped the walk — so its count is <= stop_cnt (the
+       count AT the stop; everything unfetched is bounded by the
+       (fetched+1)-th count, which is where stop_cnt comes from when no
+       fetched candidate overlaps).
+    2. **Strict dominance** — merging the accepted pairs perturbs only
+       pairs that touch their symbols: decreased pairs only fall, and a
+       newly-created pair's count is bounded by the old count of the
+       adjacency that enables it ((w,x) for the left-extension (w, xy),
+       (y,z) for (xy, z)), which overlaps an accepted symbol and is
+       therefore <= stop_cnt. Existing pairs can only GAIN through a
+       symbol string-equal to an accepted concat — excluded by rule 1.
+       So accepting p_j (j >= 2) only while cnt(p_j) > stop_cnt makes
+       every mid-batch sequential argmax exactly the next accepted pair:
+       accepted counts are invariant (mutually disjoint, no collisions)
+       and strictly above every perturbed count, and ties WITHIN the
+       batch resolve in the same (cnt, a, b) order the walk used.
+
+    The first candidate needs no condition: it IS the sequential argmax.
+    Conservative by design — when equality can't be proven the batch
+    shrinks (worst case to 1, which is sequential training itself).
+    """
+    if not rows:
+        return []
+    stop_cnt = 0
+    accepted: list[tuple[str, str, int]] = []
+    occupied: set[str] = set()
+    for i, r in enumerate(rows):
+        a, b, cnt = r["a"], r["b"], int(r["cnt"])
+        if i >= min(n_remaining, fetched):
+            stop_cnt = cnt
+            break
+        ids = {a, b, a + b}
+        if (ids & occupied) or (a + b) in vocab_concats:
+            if i == 0:
+                # Row 0 IS the sequential argmax — no proof obligation —
+                # but a concat string-colliding with an existing
+                # vocabulary symbol voids the no-gain argument for
+                # everything behind it, so it ships as a batch of one.
+                accepted.append((a, b, cnt))
+            stop_cnt = cnt
+            break
+        accepted.append((a, b, cnt))
+        occupied |= ids
+    out = accepted[:1]
+    for a, b, cnt in accepted[1:]:
+        if cnt > stop_cnt:
+            out.append((a, b, cnt))
+        else:
+            break
+    return out
+
+
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str,
     n_merges: int,
     checkpoint_dir: str | None = None,
+    batch_pairs: int = 1,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over whitespace-tokenized ``docs``.
 
@@ -91,11 +202,15 @@ def bpe_train_merges(
     frequency that made the pair win its round. Stops early (fewer rows)
     if no adjacent pair remains. The result is a small local DataFrame
     (the trained artifact), deterministic for a given corpus.
+    ``batch_pairs`` (see :func:`bpe_train_merges_from_words`) trades
+    nothing: the merge table is identical, only the driver round-trip
+    count shrinks.
     """
     if n_merges < 1:
         raise ValueError("bpe_train_merges: n_merges must be >= 1")
     return bpe_train_merges_from_words(
-        word_frequencies(docs, text_col), n_merges, checkpoint_dir
+        word_frequencies(docs, text_col), n_merges, checkpoint_dir,
+        batch_pairs=batch_pairs,
     )
 
 
@@ -114,9 +229,24 @@ def bpe_train_merges_from_words(
     words: DataFrame,
     n_merges: int,
     checkpoint_dir: str | None = None,
+    batch_pairs: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Training loop over a prebuilt ``(w, freq)`` table (see
-    :func:`word_frequencies`)."""
+    :func:`word_frequencies`).
+
+    ``batch_pairs`` bounds how many merges one driver round-trip may
+    emit: each round fetches the top ``batch_pairs + 1`` pairs and
+    accepts the longest prefix that provably equals the sequential
+    merge order (:func:`_accept_batch` — symbol-disjoint AND
+    count-dominant), so the result is IDENTICAL to ``batch_pairs=1``
+    while a 50k-merge vocabulary needs thousands, not 50k, of driver
+    round-trips. ``stats["rounds"]``, when a dict is passed, records the
+    driver round-trip count (the per-round job count is fixed, so this
+    is the job-scaling evidence).
+    """
+    if batch_pairs < 1:
+        raise ValueError("bpe_train_merges_from_words: batch_pairs >= 1")
     spark = words.sparkSession
     trunc = LineageTruncator(spark, checkpoint_dir)
     syms = words.select(
@@ -125,33 +255,50 @@ def bpe_train_merges_from_words(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
     )
-    # The round's argmax IS the materializing action (truncate_with):
+    # The round's top-k IS the materializing action (truncate_with):
     # the pair aggregation scans every partition, so it both answers
-    # "which pair wins" and completes the lineage cut — one job per
+    # "which pairs win" and completes the lineage cut — one job per
     # round instead of a materialize job plus an aggregate job (the
     # same fold as _propagate_labels' changed-count action).
-    def _best(d: DataFrame):
+    def _top(d: DataFrame):
         return (
             d.filter(F.size("syms") >= 2)
             .select("freq", F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(batch_pairs + 1)
             .collect()
         )
 
-    syms, best = trunc.truncate_with(syms, _best)
+    syms, top = trunc.truncate_with(syms, _top)
+    rounds = 1
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        if not best:
+    vocab_concats: set[str] = set()
+    while len(merges) < n_merges:
+        batch = _accept_batch(
+            top, n_merges - len(merges), batch_pairs, vocab_concats
+        )
+        if not batch:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((rank, a, b, cnt))
-        if rank < n_merges - 1:
-            syms, best = trunc.truncate_with(
-                syms.select("freq", _merge_fold(a, b).alias("syms")), _best
+        base = len(merges)
+        merges.extend(
+            (base + i, a, b, cnt) for i, (a, b, cnt) in enumerate(batch)
+        )
+        vocab_concats.update(a + b for a, b, _ in batch)
+        if len(merges) < n_merges:
+            syms, top = trunc.truncate_with(
+                syms.select(
+                    "freq",
+                    _merge_fold_batch(
+                        [(a, b) for a, b, _ in batch]
+                    ).alias("syms"),
+                ),
+                _top,
             )
+            rounds += 1
+    if stats is not None:
+        stats["rounds"] = rounds
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

@@ -109,6 +109,13 @@ def domain_mixture_sample(
     plus ``rate_bp`` (the audit column: a downstream consumer can verify
     the mixture it was promised).
     """
+    clash = {"rate_bp", "__mix_draw", "__mix_domain"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "domain_mixture_sample: input already has column(s) "
+            f"{sorted(clash)} — 'rate_bp' is the emitted audit column and "
+            "the __mix_* names are internal; rename them on the input first"
+        )
     rates = domain_mixture_rates(df, domain_col, size_col, budget, weights)
     keyed = df.withColumn(
         "__mix_draw",

@@ -526,10 +526,14 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = LineageTruncator(spark).truncate(
         word_frequencies(docs, "text")
     )
+    # batch_pairs > 1 is the production trainer shape (provably
+    # identical merges, fewer driver round-trips — see _accept_batch);
+    # q_bpe_train stays at the sequential default so BOTH paths sit
+    # behind green oracle rows.
     merges = [
         (r.left, r.right)
         for r in bpe_train_merges_from_words(
-            words, BPE_TRAIN_MERGES
+            words, BPE_TRAIN_MERGES, batch_pairs=4
         ).collect()
     ]
     return bpe_subword_vocab(

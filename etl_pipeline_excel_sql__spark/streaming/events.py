@@ -204,20 +204,31 @@ def run_with_state_metrics(
     even that need a StreamingQueryListener instead.
     """
     spark = stream_df.sparkSession
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    state_metrics = [
-        dict(op)
-        for p in q.recentProgress
-        for op in (p.stateOperators or [])
-    ]
+    _KEY = "spark.sql.streaming.numRecentProgressUpdates"
+    prior = spark.conf.get(_KEY, None)
+    spark.conf.set(_KEY, "10000")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_metrics = [
+            dict(op)
+            for p in q.recentProgress
+            for op in (p.stateOperators or [])
+        ]
+    finally:
+        # The widened ring buffer is a per-query need, not a session
+        # policy — restore so later queries on the shared session keep
+        # their own progress-retention setting.
+        if prior is None:
+            spark.conf.unset(_KEY)
+        else:
+            spark.conf.set(_KEY, prior)
     return stream_df.sparkSession.table(query_name), state_metrics
 
 
