@@ -76,6 +76,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     corpus_queries,
     corpus2_queries,
     sampling_queries,
+    spans_queries,
     extended_queries,
     graph_queries,
     pipeline_queries,
@@ -106,6 +107,7 @@ _ALL_QUERIES = {
     **analytics8_queries.QUERIES,
     **ops_queries.QUERIES,
     **sampling_queries.QUERIES,
+    **spans_queries.QUERIES,
     **graph_queries.QUERIES,
     **quality_queries.QUERIES,
     **streaming_queries.QUERIES,
@@ -130,6 +132,7 @@ _ALL_ORACLE = {
     **analytics8_queries.ORACLE,
     **ops_queries.ORACLE,
     **sampling_queries.ORACLE,
+    **spans_queries.ORACLE,
     **graph_queries.ORACLE,
     **quality_queries.ORACLE,
     **streaming_queries.ORACLE,

@@ -1,0 +1,160 @@
+"""Span-level exact-substring dedup / decontamination queries.
+
+The relational re-expression of suffix-array exact-substring dedup
+(operators/spans.py, after Lee et al. ACL 2022): duplicated regions ≥
+SPAN_K tokens are found as runs of duplicated k-gram occurrences,
+merged gaps-and-islands style, and either reported (``dedup_spans``,
+``decontam_spans``) or surgically removed (``dedup_span_trim``).
+
+Oracles replay the identical pipeline in DuckDB: same md5 k-gram
+digests, same MIN(struct) canonical-keeper tie-break, same windowed
+island merge — all integer/string math, so the value hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.spans import (
+    contaminated_spans,
+    duplicated_spans,
+    kgram_rows,
+    trim_duplicated_spans,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: min duplicated-substring length in tokens (the paper uses 50 BPE
+#: tokens at web scale; 8 keeps the synthetic corpus's duplicated
+#: passages — seeded at width 10 — detectable).
+SPAN_K = 8
+
+#: every doc_id ≡ 0 (mod this) plays the benchmark set in the
+#: decontam demo wiring — the same convention as
+#: corpus_queries.q_decontam_overlap (its BENCH_MOD).
+SPAN_BENCH_MOD = 37
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+
+def _occ_sql(src: str) -> str:
+    """DuckDB twin of ``kgram_rows``: (doc_id, pos, h) over ``src``."""
+    return f"""
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         md5(array_to_string(
+             t[CAST(i AS INT):CAST(i AS INT) + {SPAN_K - 1}], ' ')) AS h
+  FROM (SELECT doc_id, {_TOKS} AS t FROM ({src})),
+       UNNEST(range(1, len(t) - {SPAN_K} + 2)) AS u(i)"""
+
+
+#: islands over a ``cut(doc_id, pos)`` CTE — twin of ``merge_islands``.
+_ISLANDS_SQL = f"""
+flagged AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {SPAN_K}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM cut
+), isl AS MATERIALIZED (
+  SELECT doc_id, pos,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) AS isl
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_K} AS span_end,
+       MAX(pos) + {SPAN_K} - MIN(pos) AS span_len
+FROM isl GROUP BY doc_id, isl"""
+
+_CUT_SQL = f"""
+occ AS MATERIALIZED ({_occ_sql("SELECT doc_id, text FROM documents")}
+), dup AS MATERIALIZED (
+  SELECT h, MIN({{'d': doc_id, 'p': pos}}) AS keep
+  FROM occ GROUP BY h HAVING COUNT(*) >= 2
+), cut AS MATERIALIZED (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN dup d USING (h)
+  WHERE NOT (o.doc_id = (d.keep).d AND o.pos = (d.keep).p)
+)"""
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans (≥ SPAN_K tokens) per doc,
+    keep-one-canonical-copy semantics — the exact-substring dedup
+    report."""
+    return duplicated_spans(
+        load_table(spark, "documents", sf_dir), k=SPAN_K
+    )
+
+
+ORACLE["dedup_spans"] = f"WITH {_CUT_SQL}, {_ISLANDS_SQL.lstrip()}"
+QUERIES["dedup_spans"] = q_dedup_spans
+
+
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup APPLIED: every document with duplicated regions cut
+    out and survivors rejoined in order — the curation action, not just
+    the report. Empty and fully-duplicated docs stay as empty rows."""
+    return trim_duplicated_spans(
+        load_table(spark, "documents", sf_dir), k=SPAN_K
+    )
+
+
+ORACLE["dedup_span_trim"] = f"""WITH {_CUT_SQL},
+covered AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + CAST(j AS BIGINT) AS pos
+  FROM cut, UNNEST(range(0, {SPAN_K})) AS r(j)
+), base AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INT)] AS tok
+  FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+), kept AS MATERIALIZED (
+  SELECT k.doc_id, COUNT(*) AS n_kept,
+         string_agg(k.tok, ' ' ORDER BY k.pos) AS txt
+  FROM (
+    SELECT * FROM tok
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos)
+  ) k
+  GROUP BY k.doc_id
+)
+SELECT b.doc_id, len(b.t) AS n_tokens,
+       CAST(len(b.t) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
+       COALESCE(txt, '') AS text_clean
+FROM base b LEFT JOIN kept USING (doc_id)"""
+QUERIES["dedup_span_trim"] = q_dedup_span_trim
+
+
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the benchmark leaks into training docs: contaminated spans
+    (merged islands of benchmark k-gram hits) per training document.
+    Demo wiring mirrors ``decontam_overlap``: doc_id ≡ 0 (mod
+    SPAN_BENCH_MOD) plays the benchmark; its k-gram digest set is
+    corpus-derived, so the join is size-gated, never force-broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % SPAN_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % SPAN_BENCH_MOD != 0)
+    return contaminated_spans(
+        train,
+        kgram_rows(bench, "text", "doc_id", SPAN_K).select("h"),
+        k=SPAN_K,
+    )
+
+
+ORACLE["decontam_spans"] = f"""WITH
+occ AS MATERIALIZED ({_occ_sql(
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {SPAN_BENCH_MOD} <> 0"
+)}
+), bench AS MATERIALIZED (
+  SELECT DISTINCT h FROM ({_occ_sql(
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {SPAN_BENCH_MOD} = 0"
+)})
+), cut AS MATERIALIZED (
+  SELECT o.doc_id, o.pos FROM occ o JOIN bench USING (h)
+), {_ISLANDS_SQL.lstrip()}"""
+QUERIES["decontam_spans"] = q_decontam_spans

@@ -1,0 +1,141 @@
+"""Two-SF scaling probe: the scale-decade evidence behind SCALING.md.
+
+Runs a query set at a small and a big scale factor (default sf0.1 vs the
+generated 10x corpus in .localdata/sf1 — see tools/gen_scaled_testdata.py)
+with INTERLEAVED passes (host-noise bursts degrade one sample, not a whole
+SF), reports min-of-N per query per SF, the growth ratio, and the SRP
+bucket-occupancy/candidate-pair diagnostics that make the near-dup
+family's growth attributable (bucket occupancy vs verification cost)
+before anyone tunes SRP_NEARDUP_BITS/TABLES.
+
+Gate: no query may grow more than 2x the data factor (default factor 10
+=> ratio <= 20, i.e. at worst linear with a 2x constant drift). Exit 1
+and a "violations" list otherwise.
+
+Usage:
+    python tools/bench_scaling.py --json BENCH_LOCAL_r07_sf1.json
+    python tools/bench_scaling.py --queries dedup_exact,neardup_cosine
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import BENCH_QUERIES  # noqa: E402
+from etl_pipeline_excel_sql__spark.plans import QUERIES  # noqa: E402
+from etl_pipeline_excel_sql__spark.session import get_session  # noqa: E402
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def srp_diagnostics(spark, sf_dir: str) -> dict:
+    from etl_pipeline_excel_sql__spark.operators.similarity import (
+        srp_candidate_stats,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        EMB_DIMS,
+        SRP_NEARDUP_BITS,
+        SRP_NEARDUP_TABLES,
+    )
+    from etl_pipeline_excel_sql__spark.plans.reference_queries import load_table
+
+    return srp_candidate_stats(
+        load_table(spark, "embeddings", sf_dir),
+        block_col="label",
+        dims=EMB_DIMS,
+        srp_bits=SRP_NEARDUP_BITS,
+        srp_tables=SRP_NEARDUP_TABLES,
+    )
+
+
+def main() -> None:
+    repo = Path(__file__).resolve().parent.parent
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-small", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf-big", default=str(repo / ".localdata/sf1"))
+    ap.add_argument("--factor", type=float, default=10.0)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", default=None, help="comma-separated override")
+    ap.add_argument("--json", default=None, help="also write the report here")
+    args = ap.parse_args()
+
+    names = (
+        [n.strip() for n in args.queries.split(",") if n.strip()]
+        if args.queries
+        else list(BENCH_QUERIES)
+    )
+    unknown = sorted(set(names) - set(QUERIES))
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["filter_eq"](spark, args.sf_small).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    sfs = {"small": args.sf_small, "big": args.sf_big}
+    raw: dict[str, dict[str, list[float]]] = {
+        k: {n: [] for n in names} for k in sfs
+    }
+    errors: dict[str, str] = {}
+    for _ in range(args.runs):
+        for key, sf_dir in sfs.items():
+            for n in names:
+                if n in errors:
+                    continue
+                try:
+                    raw[key][n].append(run_one(spark, n, sf_dir))
+                except Exception as exc:  # noqa: BLE001
+                    errors[n] = f"{type(exc).__name__}: {exc}"[:500]
+
+    small = {n: min(r) for n, r in raw["small"].items() if r}
+    big = {n: min(r) for n, r in raw["big"].items() if r}
+    ratios = {
+        n: round(big[n] / small[n], 2) for n in names if n in small and n in big
+    }
+    gate = 2.0 * args.factor
+    violations = sorted(n for n, r in ratios.items() if r > gate)
+
+    diagnostics = {
+        "srp_neardup": {k: srp_diagnostics(spark, d) for k, d in sfs.items()}
+    }
+
+    out = {
+        "metric": (
+            f"headline-family wall seconds, {args.sf_small} vs {args.sf_big} "
+            f"({args.factor:g}x data), local"
+            f"[{spark.sparkContext.defaultParallelism}], min of "
+            f"{args.runs} interleaved runs"
+        ),
+        "unit": "sec",
+        "gate_ratio": gate,
+        "small": small,
+        "big": big,
+        "ratios": ratios,
+        "violations": violations,
+        "diagnostics": diagnostics,
+        "raw_runs": raw,
+    }
+    if errors:
+        out["errors"] = errors
+    line = json.dumps(out)
+    print(line)
+    if args.json:
+        Path(args.json).write_text(line + "\n")
+    if errors or violations:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
