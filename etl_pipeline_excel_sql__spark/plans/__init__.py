@@ -61,6 +61,15 @@ engine), and ``scd2_pointintime`` (temporal dimension lookup) displaced
 ``dedup_ngram_jaccard`` (r1–r4 history; five dedup rows stay in-window),
 and ``tpch_q9_profit`` (r2–r4 history; q21 keeps TPC-H in-window) — all
 three incomers oracle-green at sf0.001 AND sf0.01 locally first.
+Round 7's rotation gave the two round-6 zero-driver-history families and
+the round-7-new span family their first gate runs: ``bpe_vocab`` (BPE
+train+apply, exercising the batched trainer), ``dedup_spans``
+(exact-substring span dedup), and ``ivfpq_residual_adc`` (the canonical
+two-stage PQ serving shape) displaced ``text_tfidf_topk`` /
+``dedup_minhash`` / ``ann_brute_topk`` (r1/2–r6 history; their families
+stay in-window via ``text_quality``+``ngram_lm_score``, five dedup rows,
+and ``ann_ivf_topk``) — all three incomers oracle-green at sf0.001 AND
+sf0.01 locally first.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -220,9 +229,15 @@ DRIVER_PRIORITY = [
     # corpus-trained bigram LM scorer, a new family with zero history)
     "ngram_lm_score",
     "text_quality",
-    "text_tfidf_topk",
+    # text_tfidf_topk rotated out round 7 (r2-r6 history; text family
+    # kept by text_quality + ngram_lm_score) for the BPE train+apply
+    # family's first driver row — now running the batched trainer path
+    "bpe_vocab",
     "dedup_exact",
-    "dedup_minhash",
+    # dedup_minhash rotated out round 7 (r1-r6 history; dedup family
+    # keeps exact/incremental/containment/clusters + neardup_cosine
+    # in-window) for the span-level exact-substring dedup family
+    "dedup_spans",
     # dedup_simhash rotated out round 4 (r1-r4 history; five dedup rows
     # stay in-window) for association-rule mining's first driver row
     "basket_lift",
@@ -233,7 +248,10 @@ DRIVER_PRIORITY = [
     # dedup_clusters, both still in-window; locally green)
     "dedup_clusters",
     "neardup_cosine",
-    "ann_brute_topk",
+    # ann_brute_topk rotated out round 7 (r1-r6 history; ANN family kept
+    # by ann_ivf_topk) for the canonical two-stage PQ serving shape —
+    # the round-6 PQ family's first driver row
+    "ivfpq_residual_adc",
     "ann_ivf_topk",
     "multimodal_extract",
 ]

@@ -40,14 +40,30 @@ SPAN_BENCH_MOD = 37
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 
 
-def _occ_sql(src: str) -> str:
-    """DuckDB twin of ``kgram_rows``: (doc_id, pos, h) over ``src``."""
+def _tok_sql(src: str) -> str:
+    """DuckDB positional tokens over ``src`` — zipped
+    ``unnest`` + ``generate_subscripts``, NOT a lateral
+    ``UNNEST(range(...))``: the lateral form carries (and slices) the
+    full token list per emitted row, which measured >100× slower at sf1
+    (the same O(n·len) blowup the Spark side avoids via posexplode)."""
     return f"""
-  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
-         md5(array_to_string(
-             t[CAST(i AS INT):CAST(i AS INT) + {SPAN_K - 1}], ' ')) AS h
-  FROM (SELECT doc_id, {_TOKS} AS t FROM ({src})),
-       UNNEST(range(1, len(t) - {SPAN_K} + 2)) AS u(i)"""
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, {_TOKS} AS t FROM ({src}))"""
+
+
+def _occ_sql(src: str) -> str:
+    """DuckDB twin of ``kgram_rows``: (doc_id, pos, h) over ``src`` —
+    the same window-``lead`` shape as the Spark side."""
+    leads = ", ".join(
+        f"lead(tok, {r}) OVER w" for r in range(1, SPAN_K)
+    )
+    return f"""
+  SELECT doc_id, pos, md5(g) AS h FROM (
+    SELECT doc_id, pos, concat_ws(' ', tok, {leads}) AS g,
+           lead(tok, {SPAN_K - 1}) OVER w AS lst
+    FROM ({_tok_sql(src)})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE lst IS NOT NULL"""
 
 
 #: islands over a ``cut(doc_id, pos)`` CTE — twin of ``merge_islands``.
@@ -70,15 +86,23 @@ SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_K} AS span_end,
        MAX(pos) + {SPAN_K} - MIN(pos) AS span_len
 FROM isl GROUP BY doc_id, isl"""
 
+# The keeper is MIN over (doc_id, pos) lexicographically. The Spark side
+# uses MIN(struct(doc_id, pos)); DuckDB's MIN over a STRUCT is
+# pathologically slow at millions of groups (measured: minutes at sf1 vs
+# 0.1 s for plain aggregates), so the oracle packs the pair into ONE
+# BIGINT — order-preserving because pos < 2^21 for every test corpus
+# (docs are a few hundred tokens) and doc_id << 2^42.
+_KEEPK = "doc_id * 2097152 + pos"
+
 _CUT_SQL = f"""
 occ AS MATERIALIZED ({_occ_sql("SELECT doc_id, text FROM documents")}
 ), dup AS MATERIALIZED (
-  SELECT h, MIN({{'d': doc_id, 'p': pos}}) AS keep
+  SELECT h, MIN({_KEEPK}) AS keepk
   FROM occ GROUP BY h HAVING COUNT(*) >= 2
 ), cut AS MATERIALIZED (
   SELECT o.doc_id, o.pos
   FROM occ o JOIN dup d USING (h)
-  WHERE NOT (o.doc_id = (d.keep).d AND o.pos = (d.keep).p)
+  WHERE o.doc_id * 2097152 + o.pos <> d.keepk
 )"""
 
 
@@ -110,9 +134,7 @@ covered AS MATERIALIZED (
   FROM cut, UNNEST(range(0, {SPAN_K})) AS r(j)
 ), base AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS t FROM documents
-), tok AS MATERIALIZED (
-  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INT)] AS tok
-  FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+), tok AS MATERIALIZED ({_tok_sql("SELECT doc_id, text FROM documents")}
 ), kept AS MATERIALIZED (
   SELECT k.doc_id, COUNT(*) AS n_kept,
          string_agg(k.tok, ' ' ORDER BY k.pos) AS txt
