@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "ivfpq_adc",
     "ivfpq_residual_adc",
     "semantic_dedup_keep",
+    # round-7 additions (appended; earlier ordering preserved)
+    "dedup_spans",
+    "dedup_span_trim",
+    "decontam_spans",
 ]
 
 

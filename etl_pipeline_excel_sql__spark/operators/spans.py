@@ -71,6 +71,13 @@ def kgram_rows(
     )
 
 
+#: bits reserved for the position inside the packed keeper key: caps
+#: documents at 2^21 ≈ 2M tokens (far beyond any curated doc) and doc
+#: ids at 2^42 ≈ 4.4e12 (at 100 TB that is < 23 bytes per document —
+#: unreachable). See cut_occurrences for why packing, not struct-min.
+_POS_BITS = 21
+
+
 def cut_occurrences(
     occ: DataFrame, min_count: int = 2
 ) -> DataFrame:
@@ -79,27 +86,34 @@ def cut_occurrences(
     occurrence (minimal (doc_id, pos) — one surviving copy per
     duplicated k-gram, the paper's keep-one semantics).
 
+    The keeper argmin runs on a PACKED int64 ``doc_id·2^21 + pos``
+    rather than ``MIN(struct(doc_id, pos))``: lexicographic min over a
+    struct (or ``min_by``) is a SortAggregate in Spark — two extra
+    full sorts of the occurrence table — while an int64 MIN is a plain
+    HashAggregate with map-side combine; packing preserves the
+    (doc_id, pos) order under the documented bounds (``_POS_BITS``).
+    DuckDB's struct-MIN is minutes-slow at millions of groups, so the
+    oracle packs identically. If a deployment ever breaks the bounds,
+    swap the key back to ``F.min(F.struct(...))`` — semantics
+    identical, plan slower.
+
     Both aggregates partial-combine; the join back on ``h`` is
     size-gated by the engine (the duplicated-gram table grows with the
     corpus — forced broadcast here is the banned census pattern).
     """
+    packed = F.col("doc_id") * (1 << _POS_BITS) + F.col("pos")
     dup = (
         occ.groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("__keep"),
+            F.min(packed).alias("__keepk"),
         )
         .filter(F.col("__cnt") >= min_count)
-        .select("h", "__keep")
+        .select("h", "__keepk")
     )
     return (
         occ.join(dup, "h")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("__keep.doc_id"))
-                & (F.col("pos") == F.col("__keep.pos"))
-            )
-        )
+        .filter(packed != F.col("__keepk"))
         .select("doc_id", "pos")
     )
 
