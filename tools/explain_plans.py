@@ -256,6 +256,25 @@ COMMENTARY = {
         "rank rows; the plan that feeds a line chart from a trillion "
         "points."
     ),
+    "dedup_spans": (
+        "Exact-substring span dedup: k-gram hashing is posexplode + lead "
+        "windows (one doc-keyed exchange, rows are (doc_id, pos, md5) — "
+        "never text); the duplicated-gram table is built by a pure "
+        "HashAggregate (count + int64-packed keeper min, both map-side "
+        "combined — no SortAggregate, no row_number hot key on "
+        "boilerplate grams) and joined back SIZE-GATED (corpus-derived, "
+        "so no broadcast hint; AQE picks the strategy); island merge is "
+        "one window per document. Three exchanges total, all keyed, all "
+        "skew-tolerant."
+    ),
+    "dedup_span_trim": (
+        "The span surgery applied: cut occurrences expand to covered "
+        "(doc_id, pos) pairs via sequence+explode (k rows per gram, no "
+        "text), tokens drop by left_anti join on (doc_id, pos), and the "
+        "survivors reassemble per document with sort_array(collect_list) "
+        "— text re-enters an exchange only at this final per-doc "
+        "aggregation, whose payload is the OUTPUT corpus."
+    ),
     "table_fingerprint": (
         "Replica-verification digest: count + XOR of 60-bit row hashes + "
         "full decimal hash sum per group, one partial-aggregated "
