@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "dedup_span_trim",
     "decontam_spans",
+    "bpe_token_ids",
 ]
 
 

@@ -310,7 +310,7 @@ def _bpe_cte_parts(docs_cte: str, text_col: str, n_merges: int) -> list[str]:
     CTEs, re-expanding the chain exponentially."""
     parts = [
         f"""w0 AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
          list_transform(range(1, length(w) + 1),
                         i -> substr(w, CAST(i AS INT), 1)) AS syms
   FROM (
@@ -340,7 +340,7 @@ def _bpe_cte_parts(docs_cte: str, text_col: str, n_merges: int) -> list[str]:
   -- before the unroll finishes, m{{i}} is empty and a cross join would
   -- annihilate the word table (the Spark trainer stops early and KEEPS
   -- the words); the left join carries them through with a no-op fold.
-  SELECT freq,
+  SELECT w, freq,
          CASE WHEN m.a IS NULL THEN syms
               ELSE list_reduce(list_transform(syms, s -> [s]),
                  (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
@@ -414,6 +414,170 @@ def bpe_encode_words(
     for a, b in merges:
         out = out.withColumn("syms", _merge_fold(a, b))
     return out
+
+
+def bpe_vocab_ids(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> list[tuple[str, int]]:
+    """Deterministic symbol → id table for a trained merge list: the
+    sorted base alphabet first (ids 0..A-1), then merge outputs in rank
+    order (ids A..A+n-1) — the standard BPE vocabulary layout a
+    tokenizer file ships.
+
+    The alphabet is the DISTINCT single characters of the word table —
+    a bounded aggregate (≤ the character inventory, thousands at web
+    scale) collected like any trained artifact. The sort is by code
+    point (Python), which equals DuckDB's binary UTF-8 order for ALL
+    planes — this id contract has no BMP caveat. Raises if a merge
+    output string-collides with the alphabet or another merge (two
+    symbols would share an id — the ambiguity must be resolved by the
+    caller's corpus, not silently here).
+    """
+    alpha = sorted(
+        r.sym
+        for r in words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                )
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    concats = [a + b for a, b in merges]
+    if len(set(concats)) != len(concats) or set(concats) & set(alpha):
+        raise ValueError(
+            "bpe_vocab_ids: merge output string-collides with the "
+            "alphabet or another merge — id assignment is ambiguous"
+        )
+    return [(s, i) for i, s in enumerate(alpha)] + [
+        (s, len(alpha) + i) for i, s in enumerate(concats)
+    ]
+
+
+def bpe_doc_token_ids(
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    words: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The tokenizer last mile: every document as a training-ready
+    token-id array — ``(doc_id, n_subwords, token_ids)``.
+
+    Composition: encode the DISTINCT-word table once
+    (:func:`bpe_encode_words` — k codegen'd folds over millions of
+    words, not billions of tokens), map subwords to ids via a broadcast
+    of the :func:`bpe_vocab_ids` table (bounded trained structure:
+    alphabet + merge outputs — the whitelisted broadcast class), then
+    join documents' positional tokens to the encoded words by word
+    string. That word join is SIZE-GATED, never hint-broadcast: the
+    distinct-word table grows with the corpus (census rule). Per-doc
+    reassembly is one ordered collect_list + flatten — the only
+    exchange carrying output-scale payload, as it must.
+
+    Every input document appears exactly once (empty docs get an empty
+    array). Contract: ``words``, when passed (to share the one corpus
+    pass with training), must cover every token of ``docs`` — tokens
+    absent from it would silently drop; the default builds ``words``
+    from ``docs`` itself, which covers by construction.
+    """
+    spark = docs.sparkSession
+    if words is None:
+        words = word_frequencies(docs, text_col)
+    vocab = bpe_vocab_ids(words, merges)
+    vdf = spark.createDataFrame(vocab, "sym string, id int")
+    enc = bpe_encode_words(docs, text_col, merges, words=words)
+    wids = (
+        enc.select("w", F.posexplode("syms").alias("sp", "sym"))
+        .join(F.broadcast(vdf), "sym")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sp", "id"))),
+                lambda s: s["id"],
+            ).alias("ids")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    per_doc = (
+        toks.join(wids, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("__tids")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("__tids"), F.lit(0)).alias("n_subwords"),
+            F.coalesce(
+                F.col("__tids"), F.expr("CAST(array() AS ARRAY<INT>)")
+            ).alias("token_ids"),
+        )
+    )
+
+
+def bpe_token_ids_unrolled_sql(
+    docs_cte: str, text_col: str, n_merges: int
+) -> str:
+    """DuckDB oracle twin of train-then-:func:`bpe_doc_token_ids`: the
+    unrolled merge chain (``w{n}`` now carries the word string), the
+    alphabet+merges id table (binary UTF-8 sort == the Python code
+    point sort — portable on every plane), per-word id arrays, and the
+    per-document ordered flatten."""
+    parts = _bpe_cte_parts(docs_cte, text_col, n_merges)
+    merge_ids = "\n    UNION ALL\n".join(
+        f"    SELECT a || b AS sym,"
+        f" (SELECT COUNT(*) FROM alpha) + {i - 1} AS id FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+alpha AS MATERIALIZED (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+  FROM (SELECT DISTINCT UNNEST(list_transform(range(1, length(w) + 1),
+                               i -> substr(w, CAST(i AS INT), 1))) AS sym
+        FROM w0)
+), vocab AS MATERIALIZED (
+  SELECT sym, id FROM alpha
+  UNION ALL
+{merge_ids}
+), wids AS MATERIALIZED (
+  SELECT w, list(CAST(id AS INT) ORDER BY sp) AS ids
+  FROM (SELECT w, generate_subscripts(syms, 1) AS sp, unnest(syms) AS sym
+        FROM w{n_merges}) e
+  JOIN vocab USING (sym)
+  GROUP BY w
+), tokpos AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+  FROM (SELECT doc_id, list_filter(
+          regexp_split_to_array(trim(t.{text_col}), '\\s+'), x -> x <> '') AS t
+        FROM ({docs_cte}) t)
+), perdoc AS MATERIALIZED (
+  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
+  FROM tokpos JOIN wids USING (w)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(len(p.tids), 0) AS INT) AS n_subwords,
+       COALESCE(p.tids, CAST([] AS INT[])) AS token_ids
+FROM (SELECT doc_id FROM ({docs_cte}) t) d
+LEFT JOIN perdoc p USING (doc_id)"""
+    )
 
 
 def bpe_subword_vocab(

@@ -554,3 +554,46 @@ def _bpe_vocab_sql() -> str:
 
 ORACLE["bpe_vocab"] = _bpe_vocab_sql()
 QUERIES["bpe_vocab"] = q_bpe_vocab
+
+
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer LAST MILE: train the merge table (batched), assign
+    the standard alphabet-then-merges vocabulary ids, and emit every
+    document as a training-ready token-id array — the artifact a
+    pretraining data loader actually consumes. One corpus tokenization
+    pass shared by trainer, encoder, and document join; the id table is
+    the bounded broadcast class, the word join is size-gated."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_doc_token_ids,
+        bpe_train_merges_from_words,
+        word_frequencies,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = LineageTruncator(spark).truncate(
+        word_frequencies(docs, "text")
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges_from_words(
+            words, BPE_TRAIN_MERGES, batch_pairs=4
+        ).collect()
+    ]
+    return bpe_doc_token_ids(docs, "text", merges, words=words)
+
+
+def _bpe_token_ids_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_token_ids_unrolled_sql,
+    )
+
+    return bpe_token_ids_unrolled_sql(
+        "SELECT doc_id, text FROM documents", "text", BPE_TRAIN_MERGES
+    )
+
+
+ORACLE["bpe_token_ids"] = _bpe_token_ids_sql()
+QUERIES["bpe_token_ids"] = q_bpe_token_ids
