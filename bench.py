@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dedup_span_trim",
     "decontam_spans",
     "bpe_token_ids",
+    "pack_token_ids",
 ]
 
 

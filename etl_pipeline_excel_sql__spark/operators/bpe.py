@@ -529,14 +529,10 @@ def bpe_doc_token_ids(
     )
 
 
-def bpe_token_ids_unrolled_sql(
-    docs_cte: str, text_col: str, n_merges: int
-) -> str:
-    """DuckDB oracle twin of train-then-:func:`bpe_doc_token_ids`: the
-    unrolled merge chain (``w{n}`` now carries the word string), the
-    alphabet+merges id table (binary UTF-8 sort == the Python code
-    point sort — portable on every plane), per-word id arrays, and the
-    per-document ordered flatten."""
+def _token_ids_ctes(docs_cte: str, text_col: str, n_merges: int) -> str:
+    """Shared oracle CTE chain ending at ``perdoc(doc_id, tids)`` —
+    per-document token-id arrays (see :func:`bpe_token_ids_unrolled_sql`
+    for the layout contract)."""
     parts = _bpe_cte_parts(docs_cte, text_col, n_merges)
     merge_ids = "\n    UNION ALL\n".join(
         f"    SELECT a || b AS sym,"
@@ -571,12 +567,126 @@ alpha AS MATERIALIZED (
   SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
   FROM tokpos JOIN wids USING (w)
   GROUP BY doc_id
-)
+)"""
+    )
+
+
+def bpe_token_ids_unrolled_sql(
+    docs_cte: str, text_col: str, n_merges: int
+) -> str:
+    """DuckDB oracle twin of train-then-:func:`bpe_doc_token_ids`: the
+    unrolled merge chain (``w{n}`` carries the word string), the
+    alphabet+merges id table (binary UTF-8 sort == the Python code
+    point sort — portable on every plane), per-word id arrays, and the
+    per-document ordered flatten."""
+    return (
+        _token_ids_ctes(docs_cte, text_col, n_merges)
+        + f"""
 SELECT d.doc_id,
        CAST(COALESCE(len(p.tids), 0) AS INT) AS n_subwords,
        COALESCE(p.tids, CAST([] AS INT[])) AS token_ids
 FROM (SELECT doc_id FROM ({docs_cte}) t) d
 LEFT JOIN perdoc p USING (doc_id)"""
+    )
+
+
+def bpe_packed_sequences_unrolled_sql(
+    docs_cte: str, text_col: str, n_merges: int, seq_len: int
+) -> str:
+    """DuckDB oracle twin of :func:`pack token ids <bpe_doc_token_ids>`
+    → fixed-length LM sequences: the single global prefix-sum window
+    (the naive form whose two-phase decomposition the Spark side runs),
+    then chunking by global position."""
+    return (
+        _token_ids_ctes(docs_cte, text_col, n_merges)
+        + f""",
+offs AS MATERIALIZED (
+  SELECT doc_id, tids,
+         COALESCE(SUM(len(tids)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM perdoc
+), flat AS MATERIALIZED (
+  SELECT start_off + generate_subscripts(tids, 1) - 1 AS g,
+         unnest(tids) AS id
+  FROM offs
+)
+SELECT CAST(g // {seq_len} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS INT) AS n_filled,
+       list(CAST(id AS INT) ORDER BY g) AS token_ids
+FROM flat GROUP BY 1"""
+    )
+
+
+def pack_lm_sequences(
+    ids_df: DataFrame, seq_len: int, range_size: int = 1000
+) -> DataFrame:
+    """Pack per-document token-id arrays into fixed-length LM training
+    sequences — ``(seq_id, n_filled, token_ids)``, ids crossing document
+    boundaries in doc_id order, last sequence possibly short. This is
+    the batch shape a pretraining loader consumes after
+    :func:`bpe_doc_token_ids`.
+
+    The global token offset per document comes from the scalable
+    two-phase prefix sum (``q_pack_sequences`` doctrine): per-range
+    partial sums (one map-side-combined aggregate, ``doc_id DIV
+    range_size`` ranges), a window over that small table, then
+    per-document cumsum WITHIN each range — never a single global
+    window funneling the corpus through one partition. The re-chunk
+    groupBy(seq_id) is the one output-scale exchange; it carries
+    (global position, id) pairs, which IS the output.
+    """
+    from pyspark.sql import Window
+
+    toks = ids_df.select(
+        "doc_id",
+        "n_subwords",
+        "token_ids",
+        F.expr(f"CAST(doc_id DIV {range_size} AS BIGINT)").alias("__rng"),
+    )
+    rng_w = Window.orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rng_off = (
+        toks.groupBy("__rng")
+        .agg(F.sum("n_subwords").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__tot").over(rng_w), F.lit(0).cast("bigint")),
+        )
+        .select("__rng", "__off")
+    )
+    in_w = (
+        Window.partitionBy("__rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flat = (
+        toks.join(rng_off, "__rng")
+        .withColumn(
+            "__start",
+            F.col("__off")
+            + F.coalesce(
+                F.sum("n_subwords").over(in_w), F.lit(0).cast("bigint")
+            ),
+        )
+        .select("__start", F.posexplode("token_ids").alias("p", "id"))
+        .select((F.col("__start") + F.col("p")).alias("g"), "id")
+    )
+    return (
+        flat.select(
+            F.expr(f"CAST(g DIV {seq_len} AS BIGINT)").alias("seq_id"),
+            "g",
+            "id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_filled"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("g", "id"))),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+        )
     )
 
 

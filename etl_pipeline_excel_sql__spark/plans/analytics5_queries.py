@@ -597,3 +597,55 @@ def _bpe_token_ids_sql() -> str:
 
 ORACLE["bpe_token_ids"] = _bpe_token_ids_sql()
 QUERIES["bpe_token_ids"] = q_bpe_token_ids
+
+
+#: fixed LM training-sequence length for the packed-batch artifact
+PACK_SEQ_LEN = 64
+#: doc ids per prefix-sum range (two-phase global offset; small here so
+#: the range table is non-trivial even at sf0.001)
+PACK_IDS_RANGE = 100
+
+
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-batch pipeline: train BPE (batched), encode
+    documents to token ids, and pack them into fixed-length sequences
+    crossing document boundaries in doc_id order — what a data loader
+    feeds the model. Global offsets via the two-phase prefix sum; the
+    oracle replays the naive single-window form."""
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_doc_token_ids,
+        bpe_train_merges_from_words,
+        pack_lm_sequences,
+        word_frequencies,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = LineageTruncator(spark).truncate(
+        word_frequencies(docs, "text")
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges_from_words(
+            words, BPE_TRAIN_MERGES, batch_pairs=4
+        ).collect()
+    ]
+    ids = bpe_doc_token_ids(docs, "text", merges, words=words)
+    return pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+
+
+def _pack_token_ids_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_packed_sequences_unrolled_sql,
+    )
+
+    return bpe_packed_sequences_unrolled_sql(
+        "SELECT doc_id, text FROM documents", "text", BPE_TRAIN_MERGES,
+        PACK_SEQ_LEN,
+    )
+
+
+ORACLE["pack_token_ids"] = _pack_token_ids_sql()
+QUERIES["pack_token_ids"] = q_pack_token_ids

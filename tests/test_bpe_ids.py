@@ -55,6 +55,39 @@ def test_vocab_collision_raises(spark):
         bpe_vocab_ids(words, [("a", "b"), ("a", "b")])
 
 
+def test_pack_lm_sequences_reorders_nothing(spark):
+    from etl_pipeline_excel_sql__spark.operators.bpe import pack_lm_sequences
+
+    texts = {
+        7: "low lower lowest",
+        21: "new newer newest low low",
+        3: "",
+        40: "x y z",
+        1001: "tail words here",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    merges = [
+        (r.left, r.right) for r in bpe_train_merges(df, "text", 4).collect()
+    ]
+    ids = bpe_doc_token_ids(df, "text", merges)
+    by_doc = {
+        r.doc_id: list(r.token_ids) for r in ids.collect()
+    }
+    stream = [i for d in sorted(by_doc) for i in by_doc[d]]
+    L = 5
+    # range_size=2 forces several prefix-sum ranges
+    rows = sorted(
+        (r.seq_id, r.n_filled, list(r.token_ids))
+        for r in pack_lm_sequences(ids, L, range_size=2).collect()
+    )
+    # sequences tile the concatenated stream exactly, in order
+    assert [i for _, _, tids in rows for i in tids] == stream
+    assert [s for s, _, _ in rows] == list(range(len(rows)))
+    assert all(n == len(t) for _, n, t in rows)
+    assert all(n == L for _, n, _ in rows[:-1])  # only the tail is short
+    assert rows[-1][1] == (len(stream) - 1) % L + 1
+
+
 def test_corpus_token_ids_invariants(spark, sf_dir):
     from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
         q_bpe_token_ids,

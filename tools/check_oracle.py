@@ -50,8 +50,25 @@ def canon(v):
 
 
 def rows_to_multiset(cols: list[str], rows) -> Counter:
+    """Multiset of per-row 128-bit digests of the canonical row tuples.
+
+    Digesting (rather than keeping the canonical tuples as Counter keys)
+    matters for array-heavy results: a packed-sequence table at sf1 is
+    millions of ints, and the nested ("i", v) tuples cost ~20× the raw
+    data — the old form MemoryError'd exactly there. ``repr`` of the
+    canonical structure is deterministic (floats round-trip shortest-repr,
+    Decimals pre-normalized, type tags prevent cross-type collisions), so
+    digest equality == canonical equality.
+    """
+    import hashlib
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+    return Counter(
+        hashlib.md5(
+            repr(tuple(canon(r[i]) for i in order)).encode()
+        ).digest()
+        for r in rows
+    )
 
 
 def main() -> int:
