@@ -122,6 +122,37 @@ def test_contaminated_spans_against_bench(spark):
     assert not any(d in (3, 4, 5, 7) for d, *_ in got)
 
 
+def test_random_tiny_alphabet_parity(spark):
+    """Random 2-letter corpora maximize overlapping/adjacent duplicated
+    windows and intra-doc repetition — the island-merge edge cases a
+    crafted corpus can miss. Full parity with the naive transcription
+    for both the spans and the trim."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        texts = {
+            d: " ".join(
+                rng.choice("ab") for _ in range(rng.randint(0, 25))
+            )
+            for d in range(1, 13)
+        }
+        df = spark.createDataFrame(
+            [(d, t) for d, t in texts.items()], ["doc_id", "text"]
+        )
+        k = 2
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in duplicated_spans(df, k=k).collect()
+        }
+        assert got == _naive_spans(texts, k), f"seed={seed}"
+        trim = {
+            r.doc_id: (r.n_tokens, r.n_cut, r.text_clean)
+            for r in trim_duplicated_spans(df, k=k).collect()
+        }
+        assert trim == _naive_trim(texts, k), f"seed={seed}"
+
+
 def test_corpus_invariants(spark, sf_dir):
     from etl_pipeline_excel_sql__spark.plans.spans_queries import (
         SPAN_K,
