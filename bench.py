@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "decontam_spans",
     "bpe_token_ids",
     "pack_token_ids",
+    "curate_pack_pipeline",
 ]
 
 

@@ -529,10 +529,16 @@ def bpe_doc_token_ids(
     )
 
 
-def _token_ids_ctes(docs_cte: str, text_col: str, n_merges: int) -> str:
+def _token_ids_ctes(
+    docs_cte: str, text_col: str, n_merges: int, prefix_ctes: str = ""
+) -> str:
     """Shared oracle CTE chain ending at ``perdoc(doc_id, tids)`` —
     per-document token-id arrays (see :func:`bpe_token_ids_unrolled_sql`
-    for the layout contract)."""
+    for the layout contract). ``prefix_ctes``, when non-empty, is spliced
+    in front (comma-terminated by this function) so a caller can feed the
+    chain a DERIVED corpus — e.g. the span-trimmed documents of
+    ``plans/spans_queries.q_curate_pack_pipeline`` — as ``docs_cte``
+    referencing those CTEs."""
     parts = _bpe_cte_parts(docs_cte, text_col, n_merges)
     merge_ids = "\n    UNION ALL\n".join(
         f"    SELECT a || b AS sym,"
@@ -541,6 +547,7 @@ def _token_ids_ctes(docs_cte: str, text_col: str, n_merges: int) -> str:
     )
     return (
         "WITH "
+        + (prefix_ctes + ",\n" if prefix_ctes else "")
         + ",\n".join(parts)
         + f""",
 alpha AS MATERIALIZED (
@@ -572,7 +579,7 @@ alpha AS MATERIALIZED (
 
 
 def bpe_token_ids_unrolled_sql(
-    docs_cte: str, text_col: str, n_merges: int
+    docs_cte: str, text_col: str, n_merges: int, prefix_ctes: str = ""
 ) -> str:
     """DuckDB oracle twin of train-then-:func:`bpe_doc_token_ids`: the
     unrolled merge chain (``w{n}`` carries the word string), the
@@ -580,7 +587,7 @@ def bpe_token_ids_unrolled_sql(
     point sort — portable on every plane), per-word id arrays, and the
     per-document ordered flatten."""
     return (
-        _token_ids_ctes(docs_cte, text_col, n_merges)
+        _token_ids_ctes(docs_cte, text_col, n_merges, prefix_ctes)
         + f"""
 SELECT d.doc_id,
        CAST(COALESCE(len(p.tids), 0) AS INT) AS n_subwords,
@@ -591,14 +598,15 @@ LEFT JOIN perdoc p USING (doc_id)"""
 
 
 def bpe_packed_sequences_unrolled_sql(
-    docs_cte: str, text_col: str, n_merges: int, seq_len: int
+    docs_cte: str, text_col: str, n_merges: int, seq_len: int,
+    prefix_ctes: str = "",
 ) -> str:
     """DuckDB oracle twin of :func:`pack token ids <bpe_doc_token_ids>`
     → fixed-length LM sequences: the single global prefix-sum window
     (the naive form whose two-phase decomposition the Spark side runs),
     then chunking by global position."""
     return (
-        _token_ids_ctes(docs_cte, text_col, n_merges)
+        _token_ids_ctes(docs_cte, text_col, n_merges, prefix_ctes)
         + f""",
 offs AS MATERIALIZED (
   SELECT doc_id, tids,

@@ -128,7 +128,9 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["dedup_span_trim"] = f"""WITH {_CUT_SQL},
+#: the trim CTE chain (shared with the curate-pack composition): ends at
+#: ``base(doc_id, t)`` and ``kept(doc_id, n_kept, txt)``.
+_TRIM_CTES = f"""{_CUT_SQL},
 covered AS MATERIALIZED (
   SELECT DISTINCT doc_id, pos + CAST(j AS BIGINT) AS pos
   FROM cut, UNNEST(range(0, {SPAN_K})) AS r(j)
@@ -144,7 +146,9 @@ covered AS MATERIALIZED (
                       WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos)
   ) k
   GROUP BY k.doc_id
-)
+)"""
+
+ORACLE["dedup_span_trim"] = f"""WITH {_TRIM_CTES}
 SELECT b.doc_id, len(b.t) AS n_tokens,
        CAST(len(b.t) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
        COALESCE(txt, '') AS text_clean
@@ -180,3 +184,85 @@ occ AS MATERIALIZED ({_occ_sql(
   SELECT o.doc_id, o.pos FROM occ o JOIN bench USING (h)
 ), {_ISLANDS_SQL.lstrip()}"""
 QUERIES["decontam_spans"] = q_decontam_spans
+
+
+def q_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's full curation capstone, documents in → pretraining
+    batches out, ONE lazy DAG: span-level exact-substring dedup trims
+    every duplicated region, BPE trains (batched) on the TRIMMED corpus,
+    documents encode to token ids, and the ids pack into fixed-length LM
+    sequences. Every stage is the individually-oracle-gated operator;
+    the composition's own oracle replays the whole chain (trim CTEs
+    spliced in front of the token-id chain) and hash-matches end to end.
+
+    Scale notes: the trimmed corpus and its word-frequency table are
+    lineage-truncated once and shared by trainer, encoder, and document
+    join (one tokenization pass); every corpus-derived table joins
+    size-gated; the trained id table is the bounded broadcast class.
+    """
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_doc_token_ids,
+        bpe_train_merges_from_words,
+        pack_lm_sequences,
+        word_frequencies,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+    from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
+        BPE_TRAIN_MERGES,
+        PACK_IDS_RANGE,
+        PACK_SEQ_LEN,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # one truncator PER persisted variable — a truncator retires its
+    # prior cut on the next truncate, so sharing one across trimmed and
+    # words would free trimmed's blocks while the encoder still reads
+    # them (checkpointRDDBlockIdNotFound at materialize time)
+    trimmed = LineageTruncator(spark).truncate(
+        trim_duplicated_spans(docs, k=SPAN_K).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+    )
+    words = LineageTruncator(spark).truncate(
+        word_frequencies(trimmed, "text")
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges_from_words(
+            words, BPE_TRAIN_MERGES, batch_pairs=4
+        ).collect()
+    ]
+    ids = bpe_doc_token_ids(trimmed, "text", merges, words=words)
+    return pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+
+
+def _curate_pack_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_packed_sequences_unrolled_sql,
+    )
+    from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
+        BPE_TRAIN_MERGES,
+        PACK_SEQ_LEN,
+    )
+
+    prefix = (
+        _TRIM_CTES
+        + """,
+trimmed AS MATERIALIZED (
+  SELECT b.doc_id, COALESCE(txt, '') AS text
+  FROM base b LEFT JOIN kept USING (doc_id)
+)"""
+    )
+    return bpe_packed_sequences_unrolled_sql(
+        "SELECT doc_id, text FROM trimmed",
+        "text",
+        BPE_TRAIN_MERGES,
+        PACK_SEQ_LEN,
+        prefix_ctes=prefix,
+    )
+
+
+ORACLE["curate_pack_pipeline"] = _curate_pack_sql()
+QUERIES["curate_pack_pipeline"] = q_curate_pack_pipeline
