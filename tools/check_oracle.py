@@ -90,6 +90,13 @@ def main() -> int:
 
     spark = get_session()
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill without a temp_directory, and the
+    # shared process (Spark driver JVM alongside) leaves far less
+    # headroom than DuckDB's default 80%-of-RAM limit assumes — a full
+    # sf1 pass died mid-run with bad_alloc (and every later query with
+    # it) until the limit was capped and spilling enabled.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # `{t}.parquet` is a single file in the driver corpus but a
         # directory of part files from Spark writers (e.g. the generated
@@ -159,6 +166,9 @@ def main() -> int:
         else:
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(msgs))
+        # Multi-million-row results (as-of joins, date_funcs at sf1)
+        # otherwise accumulate as high-water-mark heap across the loop.
+        del s_rows, d_rows
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if args.json:
         import json
