@@ -89,22 +89,27 @@ def main() -> int:
     names = args.names or sorted(queries)
 
     spark = get_session()
-    con = duckdb.connect()
-    # An in-memory DuckDB cannot spill without a temp_directory, and the
-    # shared process (Spark driver JVM alongside) leaves far less
-    # headroom than DuckDB's default 80%-of-RAM limit assumes — a full
-    # sf1 pass died mid-run with bad_alloc (and every later query with
-    # it) until the limit was capped and spilling enabled.
-    con.execute("SET memory_limit='16GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    for t in TABLES:
-        # `{t}.parquet` is a single file in the driver corpus but a
-        # directory of part files from Spark writers (e.g. the generated
-        # .localdata/sf1) — glob the directory form for DuckDB.
-        path = f"{args.sf}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    def fresh_con():
+        """One connection PER ORACLE QUERY. A long-lived connection
+        accumulates buffer-manager reservations across queries until a
+        2 KB allocation fails mid-pass (observed: a full sf1 run wedged
+        at DuckDB's default 80%-of-RAM limit, then again at an explicit
+        16 GB cap — every query after the first failure OOM'd too).
+        Fresh connections make each query's memory independent; view
+        registration over parquet is metadata-only and costs ~ms."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='16GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            # `{t}.parquet` is a single file in the driver corpus but a
+            # directory of part files from Spark writers (e.g. the
+            # generated .localdata/sf1) — glob the directory form.
+            path = f"{args.sf}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
 
     failures = []
     report: dict[str, dict] = {}
@@ -128,9 +133,13 @@ def main() -> int:
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            con = fresh_con()
+            try:
+                res = con.execute(oracles[name])
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            finally:
+                con.close()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             report[name] = {"err": f"duckdb error: {exc}"[:300]}
