@@ -94,12 +94,11 @@ def main() -> int:
         """One connection PER ORACLE QUERY. A long-lived connection
         accumulates buffer-manager reservations across queries until a
         2 KB allocation fails mid-pass (observed: a full sf1 run wedged
-        at DuckDB's default 80%-of-RAM limit, then again at an explicit
-        16 GB cap — every query after the first failure OOM'd too).
+        at DuckDB's default 80%-of-RAM limit — every query after the first failure OOM'd too).
         Fresh connections make each query's memory independent; view
         registration over parquet is metadata-only and costs ~ms."""
         c = duckdb.connect()
-        c.execute("SET memory_limit='16GB'")
+        c.execute("SET memory_limit='40GB'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             # `{t}.parquet` is a single file in the driver corpus but a
@@ -139,6 +138,10 @@ def main() -> int:
                 d_cols = [d[0] for d in res.description]
                 d_rows = res.fetchall()
             finally:
+                # destroy the result BEFORE its connection: a
+                # DuckDBPyResult outliving a closed connection can
+                # segfault in native code at GC time
+                res = None
                 con.close()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
@@ -178,6 +181,15 @@ def main() -> int:
         # Multi-million-row results (as-of joins, date_funcs at sf1)
         # otherwise accumulate as high-water-mark heap across the loop.
         del s_rows, d_rows
+        # Iterative queries (BPE, k-means, components) leave their FINAL
+        # localCheckpoint blocks persisted — unevictable, so 206 queries
+        # accumulate them in the driver JVM. The harness owns the
+        # session and queries are independent: sweep them every query.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if args.json:
         import json
