@@ -275,6 +275,31 @@ COMMENTARY = {
         "— text re-enters an exchange only at this final per-doc "
         "aggregation, whose payload is the OUTPUT corpus."
     ),
+    "bpe_token_ids": (
+        "Tokenizer last mile: the trained id table enters as an explicit "
+        "broadcast (bounded: alphabet + merges — the whitelisted trained-"
+        "structure class); encoding folds run on the DISTINCT-WORD table; "
+        "the document-to-word join carries no hint (the word vocabulary "
+        "is corpus-derived, so the engine size-gates broadcast vs "
+        "shuffle); all collect_list reassemblies are ObjectHashAggregate "
+        "with map-side partials."
+    ),
+    "pack_token_ids": (
+        "Fixed-length LM sequence packing: global offsets via the "
+        "two-phase prefix sum — the only single-partition window runs "
+        "over the per-range partials table (rows = doc_id range count, "
+        "not corpus rows); the corpus-scale exchange is the final "
+        "re-chunk groupBy whose (position, id) payload IS the output."
+    ),
+    "curate_pack_pipeline": (
+        "The capstone DAG: span trim -> batched BPE training on the "
+        "trimmed corpus -> token ids -> packed sequences, one lazy plan "
+        "with two lineage cuts (trimmed corpus, word table) shared by "
+        "every downstream stage. Inherits each stage's audited shape: "
+        "digest-only k-gram exchanges, hash-aggregated keeper argmin, "
+        "size-gated corpus joins, broadcast trained structures, and the "
+        "two-phase prefix sum."
+    ),
     "table_fingerprint": (
         "Replica-verification digest: count + XOR of 60-bit row hashes + "
         "full decimal hash sum per group, one partial-aggregated "
