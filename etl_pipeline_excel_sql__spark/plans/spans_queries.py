@@ -266,3 +266,42 @@ trimmed AS MATERIALIZED (
 
 ORACLE["curate_pack_pipeline"] = _curate_pack_sql()
 QUERIES["curate_pack_pipeline"] = q_curate_pack_pipeline
+
+
+#: every doc_id ≡ 0 (mod this) plays the INCOMING batch in the
+#: incremental span-dedup demo wiring (distinct from SPAN_BENCH_MOD so
+#: the two cross-set demos exercise different splits).
+SPAN_BATCH_MOD = 5
+
+
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingest shape for span dedup (the span-level analogue of
+    ``dedup_incremental``): the regions of an INCOMING batch that already
+    exist in the indexed corpus — cut those spans and the batch appends
+    clean, without ever re-scanning corpus text. The corpus side is its
+    k-gram digest set (what an ingest pipeline persists between batches,
+    like ``dedup_incremental``'s signature table); digests join
+    size-gated (corpus-derived, census rule). Demo wiring: doc_id ≡ 0
+    (mod SPAN_BATCH_MOD) plays the incoming batch."""
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % SPAN_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % SPAN_BATCH_MOD != 0)
+    return contaminated_spans(
+        batch,
+        kgram_rows(corpus, "text", "doc_id", SPAN_K).select("h"),
+        k=SPAN_K,
+    )
+
+
+ORACLE["dedup_spans_incremental"] = f"""WITH
+occ AS MATERIALIZED ({_occ_sql(
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {SPAN_BATCH_MOD} = 0"
+)}
+), corpus AS MATERIALIZED (
+  SELECT DISTINCT h FROM ({_occ_sql(
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {SPAN_BATCH_MOD} <> 0"
+)})
+), cut AS MATERIALIZED (
+  SELECT o.doc_id, o.pos FROM occ o JOIN corpus USING (h)
+), {_ISLANDS_SQL.lstrip()}"""
+QUERIES["dedup_spans_incremental"] = q_dedup_spans_incremental

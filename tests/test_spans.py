@@ -153,6 +153,25 @@ def test_random_tiny_alphabet_parity(spark):
         assert trim == _naive_trim(texts, k), f"seed={seed}"
 
 
+def test_incremental_spans_cross_set_only(spark):
+    """Incremental span dedup marks batch regions present in the CORPUS
+    — never regions duplicated only within the batch itself."""
+    batch = {1: "alpha beta gamma delta", 2: "alpha beta gamma delta"}
+    corpus = {10: "unrelated words here now", 11: "beta gamma delta echo"}
+    dfb = spark.createDataFrame(list(batch.items()), ["doc_id", "text"])
+    dfc = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    k = 3
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contaminated_spans(
+            dfb, kgram_rows(dfc, "text", "doc_id", k).select("h"), k=k
+        ).collect()
+    }
+    # "beta gamma delta" (positions 1..4) is in the corpus; the
+    # batch-internal duplication of the full sentence is NOT flagged
+    assert got == {(1, 1, 4), (2, 1, 4)}
+
+
 def test_corpus_invariants(spark, sf_dir):
     from etl_pipeline_excel_sql__spark.plans.spans_queries import (
         SPAN_K,
