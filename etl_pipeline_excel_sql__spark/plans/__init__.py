@@ -69,7 +69,11 @@ two-stage PQ serving shape) displaced ``text_tfidf_topk`` /
 ``dedup_minhash`` / ``ann_brute_topk`` (r1/2–r6 history; their families
 stay in-window via ``text_quality``+``ngram_lm_score``, five dedup rows,
 and ``ann_ivf_topk``) — all three incomers oracle-green at sf0.001 AND
-sf0.01 locally first.
+sf0.01 locally first. A second round-7 rotation gave the curation
+capstone driver-gate history: ``curate_pack_pipeline`` (span trim →
+batched BPE → token ids → packed LM sequences, one DAG, locally green
+at all four SFs) displaced ``dedup_containment`` (r4–r6 history; six
+dedup rows stay in-window).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -223,7 +227,10 @@ DRIVER_PRIORITY = [
     "merge_scd2",
     "recursive_key_chain",
     "sample_stratified",
-    "dedup_containment",
+    # dedup_containment rotated out round 7 (r4-r6 history; six dedup
+    # rows stay in-window) for the round-7 curation capstone — the full
+    # documents-to-pretraining-batches DAG gets driver-gate history
+    "curate_pack_pipeline",
     # LLM-training-data pipeline operators (text_token_count rotated out
     # round 4 — subsumed by text_quality's token stats — for the
     # corpus-trained bigram LM scorer, a new family with zero history)
