@@ -305,3 +305,46 @@ occ AS MATERIALIZED ({_occ_sql(
   SELECT o.doc_id, o.pos FROM occ o JOIN corpus USING (h)
 ), {_ISLANDS_SQL.lstrip()}"""
 QUERIES["dedup_spans_incremental"] = q_dedup_spans_incremental
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus duplication profile — the ONE row an operator reads
+    before deciding whether span trimming is worth a full pass: total
+    documents/tokens, documents touched by duplication, duplicated
+    tokens, and the dup ratio in exact parts-per-million (integer
+    division — no float drift across partitionings). Computed from the
+    trim output, so it prices exactly what the surgery would remove."""
+    trimmed = trim_duplicated_spans(
+        load_table(spark, "documents", sf_dir), k=SPAN_K
+    )
+    return trimmed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_cut") > 0).cast("int")).cast("bigint").alias(
+            "n_docs_affected"
+        ),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_cut").cast("bigint").alias("dup_tokens"),
+        # integer DIV on both engines — float division would truncate a
+        # 60-bit product through a double mantissa
+        F.expr(
+            "CAST(sum(n_cut) * 1000000 DIV greatest(sum(n_tokens), 1)"
+            " AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+ORACLE["span_dedup_stats"] = f"""WITH {_TRIM_CTES},
+trim_out AS MATERIALIZED (
+  SELECT b.doc_id, len(b.t) AS n_tokens,
+         CAST(len(b.t) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut
+  FROM base b LEFT JOIN kept USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_affected,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_cut) AS BIGINT) AS dup_tokens,
+       CAST(SUM(n_cut) * 1000000 // GREATEST(SUM(n_tokens), 1) AS BIGINT)
+         AS dup_ppm
+FROM trim_out"""
+QUERIES["span_dedup_stats"] = q_span_dedup_stats
