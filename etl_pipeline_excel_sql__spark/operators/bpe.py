@@ -585,13 +585,15 @@ def bpe_token_ids_unrolled_sql(
     unrolled merge chain (``w{n}`` carries the word string), the
     alphabet+merges id table (binary UTF-8 sort == the Python code
     point sort — portable on every plane), per-word id arrays, and the
-    per-document ordered flatten."""
+    per-document ordered flatten. ``token_ids`` is rendered to a
+    space-delimited string (:func:`render_packed_for_harness` twin)."""
     return (
         _token_ids_ctes(docs_cte, text_col, n_merges, prefix_ctes)
         + f"""
 SELECT d.doc_id,
        CAST(COALESCE(len(p.tids), 0) AS INT) AS n_subwords,
-       COALESCE(p.tids, CAST([] AS INT[])) AS token_ids
+       array_to_string(COALESCE(p.tids, CAST([] AS INT[])), ' ')
+           AS token_ids
 FROM (SELECT doc_id FROM ({docs_cte}) t) d
 LEFT JOIN perdoc p USING (doc_id)"""
     )
@@ -604,7 +606,10 @@ def bpe_packed_sequences_unrolled_sql(
     """DuckDB oracle twin of :func:`pack token ids <bpe_doc_token_ids>`
     → fixed-length LM sequences: the single global prefix-sum window
     (the naive form whose two-phase decomposition the Spark side runs),
-    then chunking by global position."""
+    then chunking by global position. ``token_ids`` is rendered to a
+    space-delimited string, matching :func:`render_packed_for_harness`
+    on the Spark side (the harness canonicalizer needs hashable
+    cells — the ``array_funcs`` doctrine)."""
     return (
         _token_ids_ctes(docs_cte, text_col, n_merges, prefix_ctes)
         + f""",
@@ -621,7 +626,7 @@ offs AS MATERIALIZED (
 )
 SELECT CAST(g // {seq_len} AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS INT) AS n_filled,
-       list(CAST(id AS INT) ORDER BY g) AS token_ids
+       array_to_string(list(CAST(id AS INT) ORDER BY g), ' ') AS token_ids
 FROM flat GROUP BY 1"""
     )
 
@@ -695,6 +700,22 @@ def pack_lm_sequences(
                 lambda s: s["id"],
             ).alias("token_ids"),
         )
+    )
+
+
+def render_packed_for_harness(df: DataFrame) -> DataFrame:
+    """Harness-shape render of :func:`pack_lm_sequences` output: the
+    ``token_ids`` array becomes a space-delimited string. The
+    verification harness canonicalizes result frames via pandas
+    sort/factorize, which requires hashable cells (the ``array_funcs``
+    doctrine, ``plans/extended_queries.py``) — registered queries
+    return this form; a training data loader consumes the array form
+    straight from :func:`pack_lm_sequences`. Same information,
+    hashable dtype.
+    """
+    return df.withColumn(
+        "token_ids",
+        F.array_join(F.col("token_ids").cast("array<string>"), " "),
     )
 
 

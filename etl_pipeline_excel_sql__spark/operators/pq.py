@@ -372,10 +372,13 @@ def pq_unrolled_ctes(
 
 
 def pq_codes_sql(m: int, ncodes: int, iters: int, dims: int) -> str:
-    """Oracle twin of train → :func:`pq_encode`."""
+    """Oracle twin of train → :func:`pq_encode`; ``codes`` rendered
+    space-delimited to match the registered query's harness shape."""
     parts = pq_unrolled_ctes(m, ncodes, iters, dims)
     return (
-        "WITH " + ",\n".join(parts) + "\nSELECT vec_id, codes FROM pq_codes_t"
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT vec_id, array_to_string(codes, ' ') AS codes"
+        " FROM pq_codes_t"
     )
 
 

@@ -562,10 +562,14 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     document as a training-ready token-id array — the artifact a
     pretraining data loader actually consumes. One corpus tokenization
     pass shared by trainer, encoder, and document join; the id table is
-    the bounded broadcast class, the word join is size-gated."""
+    the bounded broadcast class, the word join is size-gated.
+    ``token_ids`` is rendered space-delimited for the harness
+    (``render_packed_for_harness``; loaders use
+    :func:`bpe_doc_token_ids`'s array form directly)."""
     from etl_pipeline_excel_sql__spark.operators.bpe import (
         bpe_doc_token_ids,
         bpe_train_merges_from_words,
+        render_packed_for_harness,
         word_frequencies,
     )
     from etl_pipeline_excel_sql__spark.operators.iterative import (
@@ -582,7 +586,9 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             words, BPE_TRAIN_MERGES, batch_pairs=4
         ).collect()
     ]
-    return bpe_doc_token_ids(docs, "text", merges, words=words)
+    return render_packed_for_harness(
+        bpe_doc_token_ids(docs, "text", merges, words=words)
+    )
 
 
 def _bpe_token_ids_sql() -> str:
@@ -616,6 +622,7 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_doc_token_ids,
         bpe_train_merges_from_words,
         pack_lm_sequences,
+        render_packed_for_harness,
         word_frequencies,
     )
     from etl_pipeline_excel_sql__spark.operators.iterative import (
@@ -633,7 +640,9 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     ]
     ids = bpe_doc_token_ids(docs, "text", merges, words=words)
-    return pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+    return render_packed_for_harness(
+        pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+    )
 
 
 def _pack_token_ids_sql() -> str:

@@ -40,9 +40,16 @@ def _trained(spark: SparkSession, sf_dir: str):
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the per-subspace codebooks and encode every vector as its
-    8 one-byte codes — the compressed search artifact."""
+    8 one-byte codes — the compressed search artifact. ``codes`` is
+    rendered space-delimited for the harness (the ``array_funcs``
+    doctrine: the canonicalizer needs hashable cells); downstream ADC
+    consumes :func:`pq_encode`'s array form directly."""
+    from pyspark.sql import functions as F
+
     emb, cb = _trained(spark, sf_dir)
-    return pq_encode(emb, cb, m=PQ_M, dims=EMB_DIMS)
+    return pq_encode(emb, cb, m=PQ_M, dims=EMB_DIMS).withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), " ")
+    )
 
 
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

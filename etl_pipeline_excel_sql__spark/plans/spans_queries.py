@@ -7,8 +7,10 @@ merged gaps-and-islands style, and either reported (``dedup_spans``,
 ``decontam_spans``) or surgically removed (``dedup_span_trim``).
 
 Oracles replay the identical pipeline in DuckDB: same md5 k-gram
-digests, same MIN(struct) canonical-keeper tie-break, same windowed
-island merge — all integer/string math, so the value hash is exact.
+digests, same order-preserving packed-int64 keeper MIN (the _KEEPK
+key — MIN(struct) was deliberately rejected, see the _KEEPK comment),
+same windowed island merge — all integer/string math, so the value
+hash is exact.
 """
 
 from __future__ import annotations
@@ -204,6 +206,7 @@ def q_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_doc_token_ids,
         bpe_train_merges_from_words,
         pack_lm_sequences,
+        render_packed_for_harness,
         word_frequencies,
     )
     from etl_pipeline_excel_sql__spark.operators.iterative import (
@@ -235,7 +238,9 @@ def q_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     ]
     ids = bpe_doc_token_ids(trimmed, "text", merges, words=words)
-    return pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+    return render_packed_for_harness(
+        pack_lm_sequences(ids, PACK_SEQ_LEN, range_size=PACK_IDS_RANGE)
+    )
 
 
 def _curate_pack_sql() -> str:

@@ -98,7 +98,8 @@ def test_corpus_token_ids_invariants(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     rows = out.collect()
     assert len(rows) == docs.count()
-    assert all(r.n_subwords == len(r.token_ids) for r in rows)
+    # registered query renders token_ids space-delimited (harness shape)
+    assert all(r.n_subwords == len(r.token_ids.split()) for r in rows)
     # merges shrink the sequence: subword count never exceeds char count
     # (sans spaces) and never undercuts the word count
     chars = {

@@ -34,6 +34,35 @@ def test_oracle_keys_subset_of_queries_and_are_sql_strings():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_no_query_returns_array_map_or_struct(spark, sf_dir):
+    """The verification harness canonicalizes result frames via pandas
+    sort/factorize, which requires hashable cells — the ``array_funcs``
+    doctrine (``plans/extended_queries.py``). A registered query that
+    returns a raw array/map/struct column passes its local tuple-based
+    oracle but errors in the driver's canonicalizer (round-7's only red
+    row, ``curate_pack_pipeline``). Enforce the doctrine at the schema
+    level for every registered query so it can never rotate back in.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from etl_pipeline_excel_sql__spark import plans
+
+    offenders = {}
+    for name, fn in sorted(plans.QUERIES.items()):
+        schema = fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "queries returning non-hashable (array/map/struct) columns — "
+        f"render them (e.g. concat_ws) per the array_funcs doctrine: {offenders}"
+    )
+
+
 def test_no_cross_module_name_collisions():
     modules = [
         getattr(plans, m)
