@@ -185,19 +185,34 @@ def srp_signatures(
     )
 
 
-def srp_planes_df(spark, bits: int, dims: int, tables: int = 1):
+def srp_planes_df(
+    spark, bits: int, dims: int, tables: int = 1,
+    plane_stride: int | None = None,
+):
     """The hyperplane model as a tiny broadcastable table:
     ``(__t, __j, __plane array<double>, __w = 2^j)`` — tables×bits rows.
     Column names are __-reserved so the crossJoin in
     :func:`srp_buckets_long` can never collide with a corpus column
     (short names like ``t``/``w`` are common in caller frames). Plane
     components come from the same md5 derivation as :func:`srp_signature`
-    (identical doubles), just computed driver-side once."""
+    (identical doubles), just computed driver-side once.
+
+    ``plane_stride`` fixes table ``t``'s flat plane indices at
+    ``t*stride .. t*stride+bits-1`` (default ``stride=bits``, the
+    :func:`srp_signatures` layout). Callers that derive ``bits`` from
+    the corpus size pass a CONSTANT stride ≥ max bits so the plane
+    family is a prefix-stable function of (t, j): growing ``bits`` adds
+    planes without re-seeding the ones already in use — and the oracle
+    twin can enumerate a fixed plane set gated by a runtime bit count.
+    """
+    stride = bits if plane_stride is None else plane_stride
+    if stride < bits:
+        raise ValueError(f"plane_stride {stride} < bits {bits}: tables overlap")
     rows = [
         (
             t,
             j,
-            [_srp_plane(t * bits + j, i) for i in range(dims)],
+            [_srp_plane(t * stride + j, i) for i in range(dims)],
             1 << j,
         )
         for t in range(tables)
@@ -216,6 +231,7 @@ def srp_buckets_long(
     dims: int,
     tables: int = 1,
     extra_cols: tuple[str, ...] = (),
+    plane_stride: int | None = None,
 ) -> "DataFrame":
     """Multi-table SRP buckets in long form: ``(id, *extra, __table,
     __bucket)`` — one row per (vector, table).
@@ -229,7 +245,9 @@ def srp_buckets_long(
     bit-identical to :func:`srp_signature`'s fused chain (same plane
     doubles, same left-associative projection fold).
     """
-    planes = srp_planes_df(corpus.sparkSession, bits, dims, tables)
+    planes = srp_planes_df(
+        corpus.sparkSession, bits, dims, tables, plane_stride=plane_stride
+    )
     return (
         corpus.crossJoin(F.broadcast(planes))
         .withColumn("__proj", F.expr(dot_sql(vec_col, "__plane", dims)))

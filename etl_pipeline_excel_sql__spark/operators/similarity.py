@@ -366,6 +366,7 @@ def cosine_neardup_pairs(
     dims: int | None = None,
     srp_bits: int = 0,
     srp_tables: int = 1,
+    srp_plane_stride: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, blocked + LSH-bucketed.
 
@@ -414,6 +415,7 @@ def cosine_neardup_pairs(
             dims,
             srp_tables,
             extra_cols=("__block",) if block_col else (),
+            plane_stride=srp_plane_stride,
         ).persist()
         # The key table is tiny (srp_tables rows of four scalars per
         # vector) but its signature subtree is wide; both sides of the
@@ -479,6 +481,7 @@ def srp_candidate_stats(
     dims: int | None = None,
     srp_bits: int = 6,
     srp_tables: int = 1,
+    srp_plane_stride: int | None = None,
 ) -> dict:
     """Bucket-occupancy and candidate-pair diagnostics for the SRP
     blocking that :func:`cosine_neardup_pairs` (and the semantic-dedup
@@ -525,13 +528,16 @@ def srp_candidate_stats(
         dims,
         srp_tables,
         extra_cols=("__block",) if block_col else (),
+        plane_stride=srp_plane_stride,
     ).persist()
     key_cols = (["__block"] if block_col else []) + ["__table", "__bucket"]
     occ = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("sz"))
+    # Integer DIV keeps the Σ C(sz,2) sum exact past 2^53 (a `/` would
+    # route through doubles); sz*(sz-1) is even, so DIV 2 is lossless.
     row = occ.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("sz").alias("max_bucket"),
-        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias(
+        F.expr("sum(sz * (sz - 1) DIV 2)").cast("bigint").alias(
             "raw_candidates"
         ),
     ).collect()[0]
@@ -544,11 +550,13 @@ def srp_candidate_stats(
         .count()
     )
     keys.unpersist()
+    # max/sum aggregates return NULL on an empty corpus — report zeros
+    # rather than TypeError'ing, so the diagnostic runs at any SF.
     return {
         "n_vectors": int(n_vectors),
         "n_buckets": int(row["n_buckets"]),
-        "max_bucket": int(row["max_bucket"]),
-        "raw_candidates": int(row["raw_candidates"]),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "raw_candidates": int(row["raw_candidates"] or 0),
         "distinct_candidates": int(distinct_candidates),
     }
 

@@ -65,6 +65,40 @@ NGRAM_BOTTOM_K = 2
 CONTAINMENT_THRESHOLD = 0.2
 SRP_NEARDUP_BITS = 6
 SRP_NEARDUP_TABLES = 3
+#: Adaptive SRP sizing (SCALING.md knob rule, measured round 7): hold
+#: expected bucket occupancy ~constant by growing bits with the corpus —
+#: each +1 bit halves occupancy and ~quarters candidate pairs. The r7
+#: sf1 probe showed the fixed-6-bit family going quadratic (10× vectors
+#: → ~100× candidate pairs); bits ≈ log2(n / target_bucket) is the fix.
+SRP_NEARDUP_MAX_BITS = 16
+SRP_TARGET_BUCKET = 16
+
+
+def adaptive_srp_bits(n_vectors: int) -> int:
+    """``clamp(ceil(log2(n / SRP_TARGET_BUCKET)), MIN, MAX)`` in pure
+    integer arithmetic (an integer threshold ladder — no float log2, so
+    the DuckDB twin ``_NV_CTE`` reproduces it bit-for-bit at every SF).
+    ``MAX=16`` bounds the oracle's gated plane enumeration; it is a
+    registered-query policy, not an operator limit — a 100 TB deployment
+    calls :func:`cosine_neardup_pairs` with whatever bits it needs.
+    """
+    return SRP_NEARDUP_BITS + sum(
+        1
+        for k in range(SRP_NEARDUP_BITS + 1, SRP_NEARDUP_MAX_BITS + 1)
+        if n_vectors > SRP_TARGET_BUCKET * (1 << (k - 1))
+    )
+
+
+#: DuckDB twin of :func:`adaptive_srp_bits`: the same integer threshold
+#: ladder over COUNT(*), generated from the same constants so the two
+#: can never desynchronize.
+_NV_CTE = "nv AS (SELECT {min_bits} + {ladder} AS bits FROM (SELECT COUNT(*) AS cnt FROM embeddings))".format(
+    min_bits=SRP_NEARDUP_BITS,
+    ladder=" + ".join(
+        f"(CASE WHEN cnt > {SRP_TARGET_BUCKET * (1 << (k - 1))} THEN 1 ELSE 0 END)"
+        for k in range(SRP_NEARDUP_BITS + 1, SRP_NEARDUP_MAX_BITS + 1)
+    ),
+)
 IVF_NCELLS = 8
 IVF_ITERS = 2
 COSINE_THRESHOLD = 0.3
@@ -153,14 +187,21 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs: label block × multi-table SRP
-    pre-filter, exact cosine verification (no cell is ever all-pairs)."""
+    pre-filter, exact cosine verification (no cell is ever all-pairs).
+
+    Bits scale with the corpus (one cheap ``count()`` at build time,
+    :func:`adaptive_srp_bits`) so expected bucket occupancy — and with
+    it the candidate-pair workload — stays ~constant per data decade
+    instead of growing quadratically (SCALING.md knob rule)."""
+    emb = load_table(spark, "embeddings", sf_dir)
     return cosine_neardup_pairs(
-        load_table(spark, "embeddings", sf_dir),
+        emb,
         threshold=COSINE_THRESHOLD,
         block_col="label",
         dims=EMB_DIMS,
-        srp_bits=SRP_NEARDUP_BITS,
+        srp_bits=adaptive_srp_bits(emb.count()),
         srp_tables=SRP_NEARDUP_TABLES,
+        srp_plane_stride=SRP_NEARDUP_MAX_BITS,
     )
 
 
@@ -384,9 +425,18 @@ WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
 """
 
 
-def _srp_sql(bits: int = 8, dims: int = 64, plane_offset: int = 0) -> str:
+def _srp_sql(
+    max_bits: int, dims: int = 64, plane_offset: int = 0, gate: str | None = None
+) -> str:
+    """SRP bucket as a BIGINT bit-sum. With ``gate`` (a SQL ref to the
+    runtime bit count, e.g. ``nv.bits``), the expression enumerates all
+    ``max_bits`` planes but masks plane ``jj`` unless ``jj < gate`` —
+    one static SQL text that reproduces :func:`adaptive_srp_bits`-sized
+    buckets at every SF. Plane seeds are ``plane_offset + jj`` (callers
+    pass ``t * SRP_NEARDUP_MAX_BITS``, the constant stride the Spark
+    side uses, so the family is prefix-stable as bits grow)."""
     planes = []
-    for jj in range(bits):
+    for jj in range(max_bits):
         j = plane_offset + jj
         h = (
             "CAST(concat('0x', substr(md5(concat('srp:{j}:', CAST(i - 1 AS VARCHAR))), 1, 15)) AS BIGINT)"
@@ -396,18 +446,21 @@ def _srp_sql(bits: int = 8, dims: int = 64, plane_offset: int = 0) -> str:
             f"list_reduce(list_prepend(0.0, list_transform(range(1, {dims + 1}), "
             f"i -> embedding[i]::DOUBLE * {comp})), (x, y) -> x + y)"
         )
+        cond = f"{proj} > 0" if gate is None else f"{jj} < {gate} AND {proj} > 0"
         planes.append(
-            f"CASE WHEN {proj} > 0 THEN CAST({1 << jj} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            f"CASE WHEN {cond} THEN CAST({1 << jj} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     return " + ".join(planes)
 
 
 _NEARDUP_COS_SQL = f"""
-WITH sig AS (
+WITH {_NV_CTE},
+sig AS (
   {" UNION ALL ".join(
       f'''SELECT vec_id, label, {t} AS t,
-          {_srp_sql(SRP_NEARDUP_BITS, EMB_DIMS, plane_offset=t * SRP_NEARDUP_BITS)}
-            AS bucket FROM embeddings'''
+          {_srp_sql(SRP_NEARDUP_MAX_BITS, EMB_DIMS,
+                    plane_offset=t * SRP_NEARDUP_MAX_BITS, gate="nv.bits")}
+            AS bucket FROM embeddings, nv'''
       for t in range(SRP_NEARDUP_TABLES)
   )}
 ), cand AS (
@@ -676,7 +729,7 @@ def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ann_srp_buckets"] = f"""
-    SELECT vec_id, {_srp_sql()} AS srp_bucket FROM embeddings
+    SELECT vec_id, {_srp_sql(8, EMB_DIMS)} AS srp_bucket FROM embeddings
 """
 QUERIES["ann_srp_buckets"] = q_ann_srp_buckets
 
@@ -785,8 +838,9 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=COSINE_THRESHOLD,
         block_col="label",
         dims=EMB_DIMS,
-        srp_bits=SRP_NEARDUP_BITS,
+        srp_bits=adaptive_srp_bits(emb.count()),
         srp_tables=SRP_NEARDUP_TABLES,
+        srp_plane_stride=SRP_NEARDUP_MAX_BITS,
     )
     comp = connected_components(pairs)
     drop = comp.filter(F.col("member_id") != F.col("cluster_id")).select(

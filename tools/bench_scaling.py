@@ -44,18 +44,24 @@ def srp_diagnostics(spark, sf_dir: str) -> dict:
     )
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
         EMB_DIMS,
-        SRP_NEARDUP_BITS,
+        SRP_NEARDUP_MAX_BITS,
         SRP_NEARDUP_TABLES,
+        adaptive_srp_bits,
     )
     from etl_pipeline_excel_sql__spark.plans.reference_queries import load_table
 
-    return srp_candidate_stats(
-        load_table(spark, "embeddings", sf_dir),
+    emb = load_table(spark, "embeddings", sf_dir)
+    bits = adaptive_srp_bits(emb.count())
+    stats = srp_candidate_stats(
+        emb,
         block_col="label",
         dims=EMB_DIMS,
-        srp_bits=SRP_NEARDUP_BITS,
+        srp_bits=bits,
         srp_tables=SRP_NEARDUP_TABLES,
+        srp_plane_stride=SRP_NEARDUP_MAX_BITS,
     )
+    stats["srp_bits"] = bits
+    return stats
 
 
 def main() -> None:
@@ -101,8 +107,12 @@ def main() -> None:
 
     small = {n: min(r) for n, r in raw["small"].items() if r}
     big = {n: min(r) for n, r in raw["big"].items() if r}
+    # Timings are rounded to ms; clamp the denominator so a sub-ms
+    # small-SF sample can't ZeroDivisionError away a completed probe.
     ratios = {
-        n: round(big[n] / small[n], 2) for n in names if n in small and n in big
+        n: round(big[n] / max(small[n], 0.001), 2)
+        for n in names
+        if n in small and n in big
     }
     gate = 2.0 * args.factor
     violations = sorted(n for n, r in ratios.items() if r > gate)
