@@ -77,6 +77,40 @@ def kgram_rows(
 #: unreachable). See cut_occurrences for why packing, not struct-min.
 _POS_BITS = 21
 
+#: largest doc_id the packed key can carry: 63 usable bits minus the
+#: position field (ids are non-negative — enforced below).
+_DOC_ID_MAX = (1 << (63 - _POS_BITS)) - 1
+
+
+def _packed_key():
+    """``doc_id·2^21 + pos`` with the documented bounds ENFORCED: a
+    corpus that breaks them (a ≥2M-token document or a doc_id ≥ 2^42)
+    would silently alias packed keys across (doc_id, pos) pairs and
+    corrupt which occurrences are kept — fail loudly instead. The guard
+    is a codegen branch per row, noise next to the md5 the row already
+    paid for."""
+    in_bounds = (
+        (F.col("pos") >= 0)
+        & (F.col("pos") < F.lit(1 << _POS_BITS))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") <= F.lit(_DOC_ID_MAX))
+    )
+    return F.when(
+        in_bounds, F.col("doc_id") * (1 << _POS_BITS) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cut_occurrences: (doc_id, pos) outside packed-key "
+                    f"bounds (pos < 2^{_POS_BITS}, doc_id <= {_DOC_ID_MAX}): "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(", "),
+                F.col("pos").cast("string"),
+            )
+        ).cast("bigint")
+    )
+
 
 def cut_occurrences(
     occ: DataFrame, min_count: int = 2
@@ -101,7 +135,7 @@ def cut_occurrences(
     size-gated by the engine (the duplicated-gram table grows with the
     corpus — forced broadcast here is the banned census pattern).
     """
-    packed = F.col("doc_id") * (1 << _POS_BITS) + F.col("pos")
+    packed = _packed_key()
     dup = (
         occ.groupBy("h")
         .agg(

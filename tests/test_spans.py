@@ -197,3 +197,32 @@ def test_corpus_invariants(spark, sf_dir):
         cut_by_doc[r.doc_id] = cut_by_doc.get(r.doc_id, 0) + r.span_len
     for r in rows:
         assert r.n_cut == cut_by_doc.get(r.doc_id, 0)
+
+
+def test_cut_occurrences_rejects_out_of_bounds_packed_key(spark):
+    """A (doc_id, pos) outside the packed int64 bounds must fail loudly,
+    never silently alias keeper keys (ADVICE r7)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_pipeline_excel_sql__spark.operators.spans import (
+        _POS_BITS,
+        cut_occurrences,
+    )
+
+    bad_pos = spark.createDataFrame(
+        [(1, 1 << _POS_BITS, "h1"), (2, 0, "h1")], ["doc_id", "pos", "h"]
+    )
+    with pytest.raises(SparkRuntimeException, match="packed-key"):
+        cut_occurrences(bad_pos).collect()
+    bad_doc = spark.createDataFrame(
+        [(1 << 42, 0, "h1"), (2, 0, "h1")], ["doc_id", "pos", "h"]
+    )
+    with pytest.raises(SparkRuntimeException, match="packed-key"):
+        cut_occurrences(bad_doc).collect()
+    # in-bounds corpus is untouched by the guard
+    ok = spark.createDataFrame(
+        [(1, 5, "h1"), (2, 0, "h1"), (3, 7, "h2")], ["doc_id", "pos", "h"]
+    )
+    got = {(r.doc_id, r.pos) for r in cut_occurrences(ok).collect()}
+    assert got == {(2, 0)}  # keeper is (1,5) — min packed key; h2 unique

@@ -98,7 +98,18 @@ def main() -> int:
         Fresh connections make each query's memory independent; view
         registration over parquet is metadata-only and costs ~ms."""
         c = duckdb.connect()
-        c.execute("SET memory_limit='40GB'")
+        # Cap at 40GB but never ABOVE DuckDB's default 80%-of-RAM — a
+        # hard-coded 40GB on a smaller host would raise the cap and
+        # invite an OS OOM-kill instead of clean spilling. Env override
+        # for unusual hosts.
+        limit = os.environ.get("ORACLE_DUCKDB_MEM")
+        if not limit:
+            try:
+                total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                limit = f"{min(40.0, total * 0.8 / 2**30):.1f}GB"
+            except (ValueError, OSError):
+                limit = "40GB"
+        c.execute(f"SET memory_limit='{limit}'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             # `{t}.parquet` is a single file in the driver corpus but a
