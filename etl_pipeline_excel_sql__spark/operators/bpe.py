@@ -231,6 +231,7 @@ def bpe_train_merges_from_words(
     checkpoint_dir: str | None = None,
     batch_pairs: int = 1,
     stats: dict | None = None,
+    max_batch_pairs: int | None = None,
 ) -> DataFrame:
     """Training loop over a prebuilt ``(w, freq)`` table (see
     :func:`word_frequencies`).
@@ -244,9 +245,24 @@ def bpe_train_merges_from_words(
     round-trips. ``stats["rounds"]``, when a dict is passed, records the
     driver round-trip count (the per-round job count is fixed, so this
     is the job-scaling evidence).
+
+    ``max_batch_pairs`` makes the width ADAPTIVE: the round width starts
+    at ``batch_pairs`` and doubles after every fully-accepted round
+    (capped at ``max_batch_pairs``), halves after a partial one (floored
+    at ``batch_pairs``) — so the driver round-trip count tracks how
+    batchable the corpus actually is instead of a fixed guess, and a 50k
+    vocabulary on a wide-alphabet corpus converges in O(log) rather than
+    O(n/B) round-trips. The proof obligation is per-batch and width-
+    independent (:func:`_accept_batch`), so the merge table is STILL
+    bit-identical to sequential training at any width schedule;
+    over-fetching past what the proof accepts costs only limit-k rows.
     """
     if batch_pairs < 1:
         raise ValueError("bpe_train_merges_from_words: batch_pairs >= 1")
+    if max_batch_pairs is not None and max_batch_pairs < batch_pairs:
+        raise ValueError(
+            "bpe_train_merges_from_words: max_batch_pairs >= batch_pairs"
+        )
     spark = words.sparkSession
     trunc = LineageTruncator(spark, checkpoint_dir)
     syms = words.select(
@@ -260,6 +276,8 @@ def bpe_train_merges_from_words(
     # "which pairs win" and completes the lineage cut — one job per
     # round instead of a materialize job plus an aggregate job (the
     # same fold as _propagate_labels' changed-count action).
+    width = batch_pairs
+
     def _top(d: DataFrame):
         return (
             d.filter(F.size("syms") >= 2)
@@ -267,7 +285,7 @@ def bpe_train_merges_from_words(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(batch_pairs + 1)
+            .limit(width + 1)
             .collect()
         )
 
@@ -277,7 +295,7 @@ def bpe_train_merges_from_words(
     vocab_concats: set[str] = set()
     while len(merges) < n_merges:
         batch = _accept_batch(
-            top, n_merges - len(merges), batch_pairs, vocab_concats
+            top, n_merges - len(merges), width, vocab_concats
         )
         if not batch:
             break
@@ -286,6 +304,14 @@ def bpe_train_merges_from_words(
             (base + i, a, b, cnt) for i, (a, b, cnt) in enumerate(batch)
         )
         vocab_concats.update(a + b for a, b, _ in batch)
+        if max_batch_pairs is not None:
+            # full acceptance => the corpus is batchier than the width;
+            # partial => the proof hit an overlap/dominance stop — back
+            # off so over-fetch stays proportional to what's provable.
+            if len(batch) >= width:
+                width = min(width * 2, max_batch_pairs)
+            else:
+                width = max(width // 2, batch_pairs)
         if len(merges) < n_merges:
             syms, top = trunc.truncate_with(
                 syms.select(

@@ -533,7 +533,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r.left, r.right)
         for r in bpe_train_merges_from_words(
-            words, BPE_TRAIN_MERGES, batch_pairs=4
+            words, BPE_TRAIN_MERGES, batch_pairs=4, max_batch_pairs=64
         ).collect()
     ]
     return bpe_subword_vocab(
@@ -583,7 +583,7 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r.left, r.right)
         for r in bpe_train_merges_from_words(
-            words, BPE_TRAIN_MERGES, batch_pairs=4
+            words, BPE_TRAIN_MERGES, batch_pairs=4, max_batch_pairs=64
         ).collect()
     ]
     return render_packed_for_harness(
@@ -636,7 +636,7 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r.left, r.right)
         for r in bpe_train_merges_from_words(
-            words, BPE_TRAIN_MERGES, batch_pairs=4
+            words, BPE_TRAIN_MERGES, batch_pairs=4, max_batch_pairs=64
         ).collect()
     ]
     ids = bpe_doc_token_ids(docs, "text", merges, words=words)

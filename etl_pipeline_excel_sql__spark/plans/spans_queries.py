@@ -234,7 +234,7 @@ def q_curate_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r.left, r.right)
         for r in bpe_train_merges_from_words(
-            words, BPE_TRAIN_MERGES, batch_pairs=4
+            words, BPE_TRAIN_MERGES, batch_pairs=4, max_batch_pairs=64
         ).collect()
     ]
     ids = bpe_doc_token_ids(trimmed, "text", merges, words=words)

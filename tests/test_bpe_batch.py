@@ -182,3 +182,82 @@ def test_batch_pairs_validation(spark):
     df = spark.createDataFrame([("a b",)], ["text"])
     with pytest.raises(ValueError, match="batch_pairs"):
         bpe_train_merges_from_words(word_frequencies(df, "text"), 3, batch_pairs=0)
+
+
+def test_adaptive_width_equals_sequential_adversarial(spark):
+    """Adaptive width (double on full acceptance, halve on partial) must
+    yield the identical merge table on the corpora where the proof
+    actually gets exercised — overlaps, ties, chained merges."""
+    texts = ["low lower lowest", "new newer newest", "aaaa ab", "low low"]
+    want = _reference_merges(texts, 8)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    words = word_frequencies(df, "text")
+    got = bpe_train_merges_from_words(
+        words, 8, batch_pairs=1, max_batch_pairs=256
+    )
+    assert [
+        (r.merge_rank, r.left, r.right, r.pair_count) for r in got.collect()
+    ] == want
+
+
+def test_adaptive_width_round_count_evidence(spark):
+    """VERDICT r7 item 4's done-bar: on a corpus with many batchable
+    merges, the geometric width schedule needs >=10x fewer driver
+    round-trips than sequential — same table — without anyone guessing
+    a fixed B up front."""
+    # 200 symbol-disjoint two-char words (400 distinct code points),
+    # strictly decreasing frequencies: every prefix is provably
+    # sequential, so each full round doubles the width.
+    pairs = [chr(0x100 + 2 * i) + chr(0x100 + 2 * i + 1) for i in range(200)]
+    words = spark.createDataFrame(
+        [(p, 1000 - i) for i, p in enumerate(pairs)], ["w", "freq"]
+    )
+    seq_stats: dict = {}
+    want = [
+        tuple(r)
+        for r in bpe_train_merges_from_words(
+            words, 200, batch_pairs=1, stats=seq_stats
+        ).collect()
+    ]
+    assert seq_stats["rounds"] == 200
+    ada_stats: dict = {}
+    got = [
+        tuple(r)
+        for r in bpe_train_merges_from_words(
+            words, 200, batch_pairs=4, max_batch_pairs=256, stats=ada_stats
+        ).collect()
+    ]
+    assert got == want
+    # widths 4,8,16,32,64,76-remaining -> 6 rounds vs 200
+    assert ada_stats["rounds"] <= 10
+    assert seq_stats["rounds"] >= 10 * ada_stats["rounds"]
+
+
+def test_adaptive_width_backs_off_on_partial_acceptance(spark):
+    """A corpus whose top pairs chain (overlap) forces partial batches;
+    the schedule must halve back toward the floor and still produce the
+    sequential table."""
+    rng = random.Random(3)
+    ws = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 7)))
+        for _ in range(60)
+    ]
+    texts = [" ".join(ws[i::3]) for i in range(3)]
+    want = _reference_merges(texts, 12)
+    assert len(want) >= 8
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    words = word_frequencies(df, "text")
+    got = bpe_train_merges_from_words(
+        words, 12, batch_pairs=2, max_batch_pairs=32
+    )
+    assert [
+        (r.merge_rank, r.left, r.right, r.pair_count) for r in got.collect()
+    ] == want
+
+
+def test_max_batch_pairs_validation(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    with pytest.raises(ValueError, match="max_batch_pairs"):
+        bpe_train_merges_from_words(
+            word_frequencies(df, "text"), 3, batch_pairs=8, max_batch_pairs=4
+        )
