@@ -64,6 +64,36 @@ def srp_diagnostics(spark, sf_dir: str) -> dict:
     return stats
 
 
+def span_diagnostics(spark, sf_dir: str) -> dict:
+    """K-gram volume and duplication profile at SPAN_K — decomposes the
+    span family's growth into k-gram rows (scales with tokens/doc, the
+    axis the --mode longdoc corpus exercises) vs duplicated fraction
+    (should hold ~constant in a SCALED workload, not a new one)."""
+    from etl_pipeline_excel_sql__spark.operators.spans import kgram_rows
+    from etl_pipeline_excel_sql__spark.plans.reference_queries import load_table
+    from etl_pipeline_excel_sql__spark.plans.spans_queries import SPAN_K
+    from pyspark.sql import functions as F
+
+    grams = kgram_rows(
+        load_table(spark, "documents", sf_dir), "text", "doc_id", SPAN_K
+    )
+    occ = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    row = occ.agg(
+        F.sum("cnt").alias("kgram_rows"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_occurrences"
+        ),
+    ).collect()[0]
+    total = int(row["kgram_rows"] or 0)
+    dup = int(row["dup_occurrences"] or 0)
+    return {
+        "span_k": SPAN_K,
+        "kgram_rows": total,
+        "dup_occurrences": dup,
+        "dup_fraction_ppm": (dup * 1_000_000) // total if total else 0,
+    }
+
+
 def main() -> None:
     repo = Path(__file__).resolve().parent.parent
     ap = argparse.ArgumentParser()
@@ -73,6 +103,18 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=None, help="comma-separated override")
     ap.add_argument("--json", default=None, help="also write the report here")
+    ap.add_argument(
+        "--no-srp-diagnostics",
+        action="store_true",
+        help="skip the SRP bucket diagnostics (e.g. longdoc probes, "
+        "where embeddings are identical across SFs)",
+    )
+    ap.add_argument(
+        "--span-diagnostics",
+        action="store_true",
+        help="record k-gram volume + duplication profile per SF "
+        "(the span-family growth attribution)",
+    )
     args = ap.parse_args()
 
     names = (
@@ -117,9 +159,15 @@ def main() -> None:
     gate = 2.0 * args.factor
     violations = sorted(n for n, r in ratios.items() if r > gate)
 
-    diagnostics = {
-        "srp_neardup": {k: srp_diagnostics(spark, d) for k, d in sfs.items()}
-    }
+    diagnostics = {}
+    if not args.no_srp_diagnostics:
+        diagnostics["srp_neardup"] = {
+            k: srp_diagnostics(spark, d) for k, d in sfs.items()
+        }
+    if args.span_diagnostics:
+        diagnostics["span_dedup"] = {
+            k: span_diagnostics(spark, d) for k, d in sfs.items()
+        }
 
     out = {
         "metric": (

@@ -71,6 +71,26 @@ def rows_to_multiset(cols: list[str], rows) -> Counter:
     )
 
 
+def driver_canon(cols: list[str], rows) -> "object":
+    """Replicate the DRIVER's canonicalization shape: a pandas frame,
+    columns sorted by name, multi-column ``sort_values`` over every
+    column. Multi-key sort lexsorts via ``factorize``, which HASHES
+    object cells — exactly where a raw ``array<int>`` result dies in the
+    driver window (``TypeError: unhashable type: 'list'``, round 7's
+    only red row) while the tuple-based local canon sails through. Run
+    under ``--driver-canon`` so that failure mode surfaces here, for all
+    queries, every round — not one 50-query driver rotation at a time.
+    Returns the canonical frame; raises on any shape the driver's canon
+    would reject."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -79,6 +99,14 @@ def main() -> int:
         "--json",
         default=None,
         help="also write results as a driver-style JSON map to this path",
+    )
+    ap.add_argument(
+        "--driver-canon",
+        action="store_true",
+        help="additionally push every result frame (Spark and oracle) "
+        "through the driver's pandas sort/factorize canonicalization — "
+        "catches harness-shape bugs (unhashable/unsortable cells) the "
+        "tuple-based local canon tolerates",
     )
     args = ap.parse_args()
 
@@ -134,6 +162,16 @@ def main() -> int:
             report[name] = {"err": f"spark error: {exc}"[:300]}
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        if args.driver_canon:
+            try:
+                driver_canon(s_cols, s_rows)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(name)
+                report[name] = {
+                    "err": f"driver-canon error: {type(exc).__name__}: {exc}"[:300]
+                }
+                print(f"FAIL {name}: driver-canon error: {exc}")
+                continue
         if name not in oracles:
             report[name] = {
                 "rows_only": True,
@@ -159,6 +197,17 @@ def main() -> int:
             report[name] = {"err": f"duckdb error: {exc}"[:300]}
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
+        if args.driver_canon:
+            try:
+                driver_canon(d_cols, d_rows)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(name)
+                report[name] = {
+                    "err": f"driver-canon error (oracle): "
+                    f"{type(exc).__name__}: {exc}"[:300]
+                }
+                print(f"FAIL {name}: driver-canon error (oracle): {exc}")
+                continue
 
         ok = True
         msgs = []
@@ -184,6 +233,8 @@ def main() -> int:
             "oracle_rows": len(d_rows),
             "err": None,
         }
+        if args.driver_canon:
+            report[name]["driver_canon_ok"] = True
         if ok:
             print(f"OK   {name} ({len(s_rows)} rows, {dt:.1f}s)")
         else:

@@ -123,14 +123,62 @@ def _replicate(df: DataFrame, table: str, factor: int) -> DataFrame:
     return out.drop("copy")
 
 
+def _lengthen_documents(df: DataFrame, factor: int) -> DataFrame:
+    """LONG-DOCUMENT variant: same rows, ``factor``× tokens per doc.
+
+    The span-dedup family's cost scales with per-doc token counts
+    (k-gram rows = tokens/doc), which row replication never exercises.
+    Each document becomes ``factor`` concatenated segments: segment 0 is
+    the original text verbatim; segment s ≥ 1 prefixes every whitespace
+    token with ``s{s}_``. Cross-doc duplication structure is therefore
+    REPLICATED per segment (docs sharing a span originally share its
+    prefixed image in every segment) while segments stay mutually
+    disjoint — duplicated-token FRACTION holds ~constant as k-gram rows
+    grow ``factor``×, which is the scaled workload (not a new one)."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.lit(factor - 1)),
+        lambda s: F.when(s == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    toks,
+                    lambda w: F.concat(
+                        F.lit("s"), s.cast("string"), F.lit("_"), w
+                    ),
+                ),
+                " ",
+            )
+        ),
+    )
+    return df.withColumn("text", F.array_join(segs, " ")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+
+
 def generate(
-    spark: SparkSession, src: str, dst: str, factor: int
+    spark: SparkSession, src: str, dst: str, factor: int,
+    mode: str = "replicate",
 ) -> dict[str, int]:
     """Scale every table from ``src`` by ``factor`` into ``dst``.
 
-    Returns {table: output_row_count} for a quick sanity report.
+    ``mode="replicate"`` multiplies ROWS (FK-preserving copies);
+    ``mode="longdoc"`` multiplies TOKENS PER DOCUMENT (documents only,
+    every other table verbatim) — the decade the span family's per-doc
+    windows actually scale along. Returns {table: output_row_count}.
     """
     counts: dict[str, int] = {}
+    if mode == "longdoc":
+        for table in VERBATIM + list(OFFSET_KEYS):
+            df = spark.read.parquet(f"{src}/{table}.parquet")
+            cols = df.columns
+            if table == "documents":
+                df = _lengthen_documents(df, factor).select(*cols)
+            df.repartition(OUT_PARTITIONS if table == "documents" else 1)\
+                .write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+            counts[table] = spark.read.parquet(
+                f"{dst}/{table}.parquet"
+            ).count()
+        return counts
     for table in VERBATIM:
         df = spark.read.parquet(f"{src}/{table}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(
@@ -156,11 +204,18 @@ def main() -> None:
         default=str(Path(__file__).resolve().parent.parent / ".localdata/sf1"),
     )
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--mode",
+        choices=["replicate", "longdoc"],
+        default="replicate",
+        help="replicate = factor× rows; longdoc = factor× tokens/doc "
+        "(documents only, other tables verbatim)",
+    )
     args = ap.parse_args()
 
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
-    counts = generate(spark, args.src, args.dst, args.factor)
+    counts = generate(spark, args.src, args.dst, args.factor, mode=args.mode)
     for table, n in counts.items():
         print(f"{table:12s} {n:>10,d}")
 
