@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "bpe_token_ids",
     "pack_token_ids",
     "curate_pack_pipeline",
+    # round-8 additions (appended; earlier ordering preserved)
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 
@@ -134,8 +137,20 @@ def main() -> None:
     # A single failing query must not zero out the whole bench (round 2
     # lost every timing to one AnalysisException): failures are recorded
     # structurally per-query and the run continues.
+    # Per-query WARMUP pass (untimed): the first execution of a query in
+    # a session pays one-off costs the steady state doesn't — codegen
+    # compilation of its specific operator chain, broadcast build,
+    # shuffle-file allocation. Round-8 measurement: first samples ran
+    # 1.3-6x their settled times (multimodal_extract 2.6s -> 0.42s
+    # steady), so with only N_RUNS timed samples the min still carried
+    # warmup and round-over-round totals drifted ~10% on nothing.
     raw_runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     errors: dict[str, str] = {}
+    for name in BENCH_QUERIES:
+        try:
+            run_one(spark, name, SF_DIR)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     for _ in range(N_RUNS):
         for name in BENCH_QUERIES:
             if name in errors:

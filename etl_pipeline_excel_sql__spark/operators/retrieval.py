@@ -1,0 +1,170 @@
+"""Sparse + hybrid retrieval over the document corpus: BM25 keyword
+scoring and reciprocal-rank fusion with the dense (embedding) ranker.
+
+The RAG-era serving pair the engine was missing next to its ANN family:
+score a keyword query against the corpus (BM25), score it against the
+embedding index (exact/IVF cosine, ``operators/similarity``), and fuse
+the two rankings (RRF — Cormack et al. SIGIR'09's robust rank-only
+fusion; no score normalization across incommensurable scales).
+
+Cross-engine exactness doctrine (the repo's float rules):
+
+* Per-term BM25 contributions use ONLY IEEE +,-,*,/ — correctly rounded
+  and therefore bit-identical in Spark and DuckDB when written with the
+  same association. The classic ``ln``-smoothed idf would hit libm,
+  whose last-ulp behavior differs per engine, so the REGISTERED queries
+  run the rational-idf variant ``(N - df + 0.5) / (df + 0.5)`` (the
+  argument of Robertson's log; ``log_idf=True`` switches production
+  scoring to the textbook form — same plan shape, weaker cross-engine
+  hash guarantee, documented here rather than hidden).
+* Per-(query, doc) totals sum FLOOR-quantized integer micro-units, so
+  the aggregate is order-free and exact under any partitioning (the
+  ``emb_label_centroids`` pattern).
+* RRF is pure integer arithmetic: ``SCALE DIV (k + rank)`` summed over
+  rankers — no floats anywhere.
+
+Scale shape:
+
+* The query list is bounded by construction (a serving batch, not a
+  corpus) — it broadcasts; the corpus term table NEVER does.
+* BM25 is explode → two hash aggregates (doc-term tf, then term df) +
+  one shuffle join on term, then the broadcast query join prunes the
+  corpus to matching terms BEFORE the per-(query, doc) aggregate.
+* Top-k per query is a window over query_id — as many groups as
+  queries, each bounded by the candidate count.
+* RRF full-outer-joins two (query, doc, rank) lists — both already
+  top-k-bounded, so the join is tiny at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+#: BM25 free parameters (Robertson's defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Micro-unit quantum for the per-term score (FLOOR(score * 1e6)).
+BM25_SCALE = 1_000_000
+
+#: RRF constants: score = Σ RRF_SCALE DIV (RRF_K + rank).
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    log_idf: bool = False,
+) -> DataFrame:
+    """BM25 score of every (query, document) pair with ≥1 matching term.
+
+    ``query_terms`` is a bounded ``(query_id, term)`` table (a serving
+    batch — it broadcasts). Returns ``(query_id, doc_id, n_hit,
+    score_u)`` where ``score_u`` is the integer micro-unit sum of
+    per-term contributions (see module doctrine) and ``n_hit`` the
+    matched-term count.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    # avgdl as ONE double division of two exact longs — bit-reproducible.
+    total_toks = toks.count()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+
+    idf_rational = (
+        (F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    idf = (
+        F.log(idf_rational) if log_idf else idf_rational
+    )
+    avgdl = float(total_toks) / float(n_docs)
+    dnorm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * (
+        (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * dnorm)
+    )
+    matched = (
+        tf.join(F.broadcast(query_terms), on="term")
+        .join(dl, on="doc_id")
+        .join(dfreq, on="term")
+    )
+    return matched.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.sum(
+            F.floor(contrib * F.lit(BM25_SCALE)).cast("bigint")
+        ).alias("score_u"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_idf: bool = False,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, deterministic ties
+    (score_u DESC, doc_id ASC) → ``(query_id, doc_id, n_hit, score_u,
+    rank)``."""
+    scored = bm25_scores(
+        docs, query_terms, text_col=text_col, id_col=id_col, log_idf=log_idf
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_hit", "score_u", "rank")
+    )
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ``(query_id, doc_id, rank)`` lists:
+    ``rrf_u = Σ RRF_SCALE DIV (rrf_k + rank)`` over the lists the doc
+    appears in (full outer join — a doc ranked by one side only gets
+    that side's contribution). Pure integer arithmetic; the fused rank
+    breaks ties (rrf_u DESC, doc_id ASC)."""
+    a = rank_a.select("query_id", "doc_id", F.col("rank").alias("__ra"))
+    b = rank_b.select("query_id", "doc_id", F.col("rank").alias("__rb"))
+    fused = a.join(b, on=["query_id", "doc_id"], how="full_outer")
+    # integer DIV, not /: exact in both engines, no float anywhere
+    contrib_a = F.when(
+        F.col("__ra").isNotNull(),
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) DIV ({rrf_k} + __ra)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    contrib_b = F.when(
+        F.col("__rb").isNotNull(),
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) DIV ({rrf_k} + __rb)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            (contrib_a + contrib_b).alias("rrf_u"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .select("query_id", "doc_id", "rrf_u", "fused_rank")
+    )

@@ -96,6 +96,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     pq_queries,
     quality_queries,
     reference_queries,
+    retrieval_queries,
     streaming_queries,
     tpch2_queries,
     tpch_queries,
@@ -123,6 +124,7 @@ _ALL_QUERIES = {
     **spans_queries.QUERIES,
     **graph_queries.QUERIES,
     **quality_queries.QUERIES,
+    **retrieval_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
 
@@ -148,6 +150,7 @@ _ALL_ORACLE = {
     **spans_queries.ORACLE,
     **graph_queries.ORACLE,
     **quality_queries.ORACLE,
+    **retrieval_queries.ORACLE,
     **streaming_queries.ORACLE,
 }
 

@@ -1,0 +1,173 @@
+"""Sparse + hybrid retrieval queries: BM25 keyword top-k over the
+documents corpus, and reciprocal-rank fusion of the BM25 ranking with
+the dense (exact-cosine) ranking — the RAG serving pair next to the
+ANN family.
+
+Oracles replay the identical arithmetic in DuckDB. Exactness contract
+(see ``operators/retrieval`` doctrine): per-term BM25 contributions use
+only IEEE +,-,*,/ written with the same association in both engines
+(rational idf — no libm), per-(query, doc) totals sum FLOOR-quantized
+integer micro-units (order-free), and RRF is pure integer division
+(Spark ``DIV`` == DuckDB ``//`` on non-negative operands), so every
+emitted column hashes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    BM25_SCALE,
+    RRF_K,
+    RRF_SCALE,
+    bm25_topk,
+    rrf_fuse,
+)
+from etl_pipeline_excel_sql__spark.operators.similarity import brute_force_topk
+from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+    EMB_DIMS,
+    _cos_sql,
+    _TOKS,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: The serving batch: bounded by construction (it broadcasts; the
+#: corpus never does). Query ids double as the probe vec_ids on the
+#: dense side of the hybrid (doc_id == vec_id in the synthetic corpus,
+#: the ``ann_filtered_topk`` identity).
+RETRIEVAL_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "join", "hash"]),
+    (1, ["vector", "scan", "filter"]),
+    (2, ["stream", "window", "agg"]),
+]
+
+BM25_TOPK = 10
+
+
+def _query_terms_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, t) for qid, terms in RETRIEVAL_QUERIES for t in terms]
+    return spark.createDataFrame(rows, "query_id INT, term STRING")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per keyword query by BM25 (rational idf,
+    micro-unit exact — see module doctrine). Explode → two hash
+    aggregates → broadcast query join pruning the corpus term table
+    BEFORE the per-(query, doc) aggregate; top-k is a per-query window.
+    """
+    return bm25_topk(
+        load_table(spark, "documents", sf_dir),
+        _query_terms_df(spark),
+        k=BM25_TOPK,
+    )
+
+
+_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in RETRIEVAL_QUERIES for t in terms
+)
+
+#: Shared BM25 CTE chain (through the scored table). Float literals are
+#: repr()'d from the SAME Python constants the Spark side passes to
+#: F.lit, so both engines parse identical doubles.
+_BM25_CTES = f"""qt(query_id, term) AS (VALUES {_QT_VALUES}),
+toks AS MATERIALIZED (
+  SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM toks) AS total_toks
+),
+bm25 AS MATERIALIZED (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(COUNT(*) AS INT) AS n_hit,
+         SUM(CAST(FLOOR(
+           ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+              / (CAST(f.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+              / (CAST(tf.tf AS DOUBLE) + {BM25_K1!r}
+                 * ({1.0 - BM25_B!r} + {BM25_B!r}
+                    * (CAST(d.dl AS DOUBLE)
+                       / (CAST(s.total_toks AS DOUBLE)
+                          / CAST(s.n_docs AS DOUBLE))))))
+           * {BM25_SCALE}) AS BIGINT)) AS score_u
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dfreq f ON f.term = tf.term
+  JOIN dl d ON d.doc_id = tf.doc_id, stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+bm25_topk AS MATERIALIZED (
+  SELECT query_id, doc_id, n_hit, score_u,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_u DESC, doc_id ASC) AS INT) AS rank
+  FROM bm25 QUALIFY rank <= {BM25_TOPK}
+)"""
+
+ORACLE["bm25_topk"] = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, n_hit, score_u, rank FROM bm25_topk
+"""
+QUERIES["bm25_topk"] = q_bm25_topk
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 fused with exact-cosine top-10
+    (probe vectors = the query ids) by reciprocal-rank fusion — rank-only
+    integer arithmetic, so sparse and dense scores never need a common
+    scale. Both inputs are already top-k-bounded, so the fusion join is
+    tiny at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    sparse = bm25_topk(docs, _query_terms_df(spark), k=BM25_TOPK)
+    dense = brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        k=BM25_TOPK,
+        dims=EMB_DIMS,
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(sparse.select("query_id", "doc_id", "rank"), dense)
+
+
+ORACLE["hybrid_rrf_topk"] = f"""
+WITH {_BM25_CTES},
+dense AS MATERIALIZED (
+  SELECT CAST(q.vec_id AS INT) AS query_id, c.vec_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY {_cos_sql('q.embedding', 'c.embedding', EMB_DIMS)} DESC,
+                       c.vec_id ASC) AS INT) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+  CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.vec_id
+  QUALIFY rank <= {BM25_TOPK}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(CASE WHEN b.rank IS NOT NULL
+               THEN {RRF_SCALE} // ({RRF_K} + b.rank) ELSE 0 END
+            + CASE WHEN d.rank IS NOT NULL
+               THEN {RRF_SCALE} // ({RRF_K} + d.rank) ELSE 0 END
+           AS BIGINT) AS rrf_u
+  FROM (SELECT query_id, doc_id, rank FROM bm25_topk) b
+  FULL OUTER JOIN dense d USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_u,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_u DESC, doc_id ASC) AS INT) AS fused_rank
+FROM fused
+"""
+QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
