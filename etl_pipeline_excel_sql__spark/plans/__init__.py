@@ -194,7 +194,11 @@ DRIVER_PRIORITY = [
     # (displacing agg_orders_by_status / window_running_sum, family-redundant
     # with agg_pricing_summary+agg_rollup / window_zscore respectively)
     "pagerank_nations",
-    "join_bloom_prefilter",
+    # join_bloom_prefilter rotated out round 8 (r2-r7 history; join
+    # family kept by join_multitable_revenue + join_anti_new +
+    # band_join_recent_errors + asof_join) for the hybrid sparse+dense
+    # RRF fusion row (locally green at all four SFs before rotating in)
+    "hybrid_rrf_topk",
     "asof_join",
     # window_agg_events rotated out round 4 (r1-r4 history; window family
     # kept by window_zscore + window_range_frame) for the time-weighted
@@ -243,7 +247,11 @@ DRIVER_PRIORITY = [
     # kept by text_quality + ngram_lm_score) for the BPE train+apply
     # family's first driver row — now running the batched trainer path
     "bpe_vocab",
-    "dedup_exact",
+    # dedup_exact rotated out round 8 (r1-r7 history; dedup family keeps
+    # incremental/clusters/spans + neardup_cosine in-window) for the BM25
+    # keyword-retrieval family's first driver row (locally green at
+    # sf0.001/0.01/0.1/sf1 before rotating in)
+    "bm25_topk",
     # dedup_minhash rotated out round 7 (r1-r6 history; dedup family
     # keeps exact/incremental/containment/clusters + neardup_cosine
     # in-window) for the span-level exact-substring dedup family
