@@ -113,7 +113,22 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    # Iterative queries (BPE, k-means, components, span digests) leave
+    # their FINAL localCheckpoint blocks persisted — unevictable, so a
+    # 50-query suite accumulates them in the executor JVM and every
+    # LATER query runs in a shrinking memory budget (the round-8 "broad
+    # +10% drift": suite totals grew as rounds ADDED iterative queries,
+    # while each query alone still hit its round-6 time). check_oracle
+    # has swept per-query since round 6; the bench must too, or it
+    # measures suite-order memory pressure instead of the queries.
+    # Sweep time is excluded from the sample — it is harness bookkeeping.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    return dt
 
 
 def main() -> None:
