@@ -78,6 +78,7 @@ dedup rows stay in-window).
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
+    classifier_queries,
     analytics3_queries,
     analytics4_queries,
     analytics5_queries,
@@ -124,6 +125,7 @@ _ALL_QUERIES = {
     **spans_queries.QUERIES,
     **graph_queries.QUERIES,
     **quality_queries.QUERIES,
+    **classifier_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
@@ -150,6 +152,7 @@ _ALL_ORACLE = {
     **spans_queries.ORACLE,
     **graph_queries.ORACLE,
     **quality_queries.ORACLE,
+    **classifier_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **streaming_queries.ORACLE,
 }

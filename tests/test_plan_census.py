@@ -34,6 +34,8 @@ BNLJ_WHITELIST = {
     "ann_recall",  # composes ann_brute_topk + ann_ivf_topk; inherits their
     #               broadcast-singleton BNLJs (query-set broadcast, bounded)
     "ann_srp_buckets",  # broadcast SRP hyperplanes
+    "hybrid_rrf_topk",  # composes brute_force_topk; inherits its bounded
+    #               query-vector broadcast BNLJ (3-row probe set)
     "ivfpq_adc",  # broadcast ncells-row coarse-centroid tables (seed +
     #               trained) cross-joined for assignment/probing — the
     #               same bounded singleton pattern as ann_ivf_topk
@@ -212,6 +214,9 @@ CORPUS_BROADCAST_WHITELIST = {
     "ann_filtered_topk": "same constant-range query set",
     "ann_ivf_topk": "query set vec_id < 5; probe list = queries x nprobe",
     "ann_recall": "composes brute + ivf; same bounded query set",
+    "hybrid_rrf_topk": "composes brute_force_topk; dense query set is "
+    "vec_id < 3 — constant-range predicate (the BM25 query side is a "
+    "literal serving batch, not corpus-derived)",
     "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
     "events_anomaly_mad": "per-event-type median/MAD — small type enum",
     "lang_confusion": "per-language totals — fixed language set",
