@@ -260,8 +260,11 @@ DRIVER_PRIORITY = [
     # in-window) for the span-level exact-substring dedup family
     "dedup_spans",
     # dedup_simhash rotated out round 4 (r1-r4 history; five dedup rows
-    # stay in-window) for association-rule mining's first driver row
-    "basket_lift",
+    # stay in-window) for association-rule mining's first driver row;
+    # basket_lift rotated out round 8 (r4-r7 history, locally green) for
+    # the supervised classifier-training family's first driver row
+    # (locally green at sf0.001/0.01/0.1/sf1 before rotating in)
+    "perceptron_quality",
     # dedup_ngram_jaccard rotated out round 4 (r1-r4 history) for the
     # streaming M4 row — the ninth streaming surface gets gate history
     "stream_m4_downsample",
