@@ -93,6 +93,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     spans_queries,
     extended_queries,
     graph_queries,
+    layout_queries,
     pipeline_queries,
     pq_queries,
     quality_queries,
@@ -126,6 +127,7 @@ _ALL_QUERIES = {
     **graph_queries.QUERIES,
     **quality_queries.QUERIES,
     **classifier_queries.QUERIES,
+    **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
@@ -153,6 +155,7 @@ _ALL_ORACLE = {
     **graph_queries.ORACLE,
     **quality_queries.ORACLE,
     **classifier_queries.ORACLE,
+    **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **streaming_queries.ORACLE,
 }
