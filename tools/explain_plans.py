@@ -306,6 +306,37 @@ COMMENTARY = {
         "exchange carrying three numbers per group — compare two copies "
         "of a 100 TB table without moving either."
     ),
+    "bm25_topk": (
+        "Sparse retrieval: explode -> two map-side-combined hash "
+        "aggregates (doc-term tf, term df); the BOUNDED query batch "
+        "broadcasts and prunes the corpus term table BEFORE the "
+        "per-(query, doc) aggregate, so only matching terms ever reach "
+        "the scoring join; top-k is a window over query_id (as many "
+        "groups as queries). The corpus never force-broadcasts."
+    ),
+    "hybrid_rrf_topk": (
+        "Rank fusion: both inputs are already top-k-bounded (queries x "
+        "k rows), so the full-outer fusion join and the fused-rank "
+        "window are trivially small at any corpus size; the only "
+        "corpus-scale work is the two rankers themselves (BM25's "
+        "aggregates, brute-force cosine's broadcast-probe scan). RRF is "
+        "integer DIV — no cross-engine float risk in the fused score."
+    ),
+    "perceptron_quality": (
+        "Supervised training as per-ROUND aggregates: the bounded "
+        "weight table (n_buckets rows) broadcasts against the (doc, "
+        "bucket) feature table; margins partial-combine per doc, "
+        "updates per bucket. Per-round driver state is the weight "
+        "vector only — no corpus collect, no per-sample SGD ordering. "
+        "The feature table is built once and persisted across rounds."
+    ),
+    "zorder_key": (
+        "Pure narrow map — 2x21 shift/mask terms in one WholeStageCodegen "
+        "projection over the events scan, zero shuffle at any scale. The "
+        "layout VALUE shows up at write time (sinks/layout.write_zordered: "
+        "one range shuffle + per-partition sort) and is measured from real "
+        "parquet footers in tests/test_zorder.py."
+    ),
 }
 
 
