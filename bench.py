@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     # round-8 additions (appended; earlier ordering preserved)
     "bm25_topk",
     "hybrid_rrf_topk",
+    "perceptron_quality",
 ]
 
 
