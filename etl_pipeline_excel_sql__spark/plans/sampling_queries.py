@@ -201,7 +201,79 @@ _MIX_RATES_SQL = f"""
                 AS INT) AS rate_bp
     FROM rates WHERE target_raw IS NOT NULL"""
 
+
+EPOCHS = 2
+
+#: high-bits bucket width for the epoch-shuffle two-phase numbering:
+#: 60-bit key >> 52 leaves 256 buckets per epoch.
+_EPOCH_KEY_SHIFT = 52
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: each (epoch, doc) gets
+    a pure-function shuffle key ``md5("epoch:<e>:<doc_id>")`` and its
+    1-based position within the epoch — the reproducible re-shuffle a
+    multi-epoch data loader needs (same order on any cluster, any retry,
+    any partitioning; different order per epoch).
+
+    Scale shape: the naive form is a per-epoch global window (whole
+    corpus through one task). This runs the ``global_row_numbers``
+    two-phase formulation instead, bucketing on (epoch, key-high-bits) —
+    a PREFIX of the (epoch, key, doc_id) order — and converting the
+    contiguous global ordinal to a per-epoch position with one
+    ``count()`` scalar. The oracle IS the naive window (the semantic
+    definition), numbering-identical by construction.
+    """
+    from etl_pipeline_excel_sql__spark.operators.ordering import (
+        global_row_numbers,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    ep = docs.select("doc_id").withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1)))
+    )
+    key = md5_hash60(
+        F.concat(
+            F.lit("epoch:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = ep.withColumn("__key", key).withColumn(
+        "__ebkt",
+        F.col("epoch").cast("bigint") * F.lit(1 << (60 - _EPOCH_KEY_SHIFT))
+        + F.shiftright(F.col("__key"), _EPOCH_KEY_SHIFT),
+    )
+    numbered = global_row_numbers(
+        keyed, "__ebkt", ["__key", "doc_id"], out="__rn"
+    )
+    return numbered.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("__rn") - F.col("epoch").cast("bigint") * F.lit(n))
+        .cast("bigint")
+        .alias("position"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "epoch_shuffle": f"""
+        WITH ep AS (
+          SELECT doc_id, e AS epoch
+          FROM documents, (VALUES (0), (1)) v(e)
+        ),
+        k AS (
+          SELECT doc_id, epoch,
+                 {H60_SQL.format(x="'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS key
+          FROM ep
+        )
+        SELECT doc_id, CAST(epoch AS INT) AS epoch,
+               CAST(row_number() OVER (
+                    PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT)
+                 AS position
+        FROM k""",
     "mix_rates": _MIX_RATES_SQL,
     "mix_domains": f"""
         WITH rates AS ({_MIX_RATES_SQL})
@@ -244,6 +316,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "epoch_shuffle": q_epoch_shuffle,
     "mix_rates": q_mix_rates,
     "mix_domains": q_mix_domains,
     "sample_stratified": q_sample_stratified,
