@@ -74,6 +74,14 @@ capstone driver-gate history: ``curate_pack_pipeline`` (span trim →
 batched BPE → token ids → packed LM sequences, one DAG, locally green
 at all four SFs) displaced ``dedup_containment`` (r4–r6 history; six
 dedup rows stay in-window).
+Round 8's rotation gave the three round-8-new families their first gate
+runs — ``bm25_topk`` (sparse keyword retrieval), ``hybrid_rrf_topk``
+(sparse+dense RRF fusion), and ``perceptron_quality`` (supervised
+classifier training) displaced ``dedup_exact`` (r1–r7 history; four
+dedup rows stay in-window), ``join_bloom_prefilter`` (r2–r7 history;
+four join rows stay), and ``basket_lift`` (r4–r7 history) — all three
+incomers oracle-green at sf0.001/0.01/0.1 AND the generated sf1
+locally first.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
