@@ -82,34 +82,38 @@ _POS_BITS = 21
 _DOC_ID_MAX = (1 << (63 - _POS_BITS)) - 1
 
 
-def _packed_key():
+def packed_doc_pos(doc_col: str = "doc_id", pos_col: str = "pos"):
     """``doc_id·2^21 + pos`` with the documented bounds ENFORCED: a
     corpus that breaks them (a ≥2M-token document or a doc_id ≥ 2^42)
     would silently alias packed keys across (doc_id, pos) pairs and
     corrupt which occurrences are kept — fail loudly instead. The guard
     is a codegen branch per row, noise next to the md5 the row already
-    paid for."""
+    paid for. Shared with the CDC chunk-dedup keeper (operators/cdc.py),
+    which packs (doc_id, chunk start pos) under the same bounds."""
     in_bounds = (
-        (F.col("pos") >= 0)
-        & (F.col("pos") < F.lit(1 << _POS_BITS))
-        & (F.col("doc_id") >= 0)
-        & (F.col("doc_id") <= F.lit(_DOC_ID_MAX))
+        (F.col(pos_col) >= 0)
+        & (F.col(pos_col) < F.lit(1 << _POS_BITS))
+        & (F.col(doc_col) >= 0)
+        & (F.col(doc_col) <= F.lit(_DOC_ID_MAX))
     )
     return F.when(
-        in_bounds, F.col("doc_id") * (1 << _POS_BITS) + F.col("pos")
+        in_bounds, F.col(doc_col) * (1 << _POS_BITS) + F.col(pos_col)
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    "cut_occurrences: (doc_id, pos) outside packed-key "
+                    "packed_doc_pos: (doc_id, pos) outside packed-key "
                     f"bounds (pos < 2^{_POS_BITS}, doc_id <= {_DOC_ID_MAX}): "
                 ),
-                F.col("doc_id").cast("string"),
+                F.col(doc_col).cast("string"),
                 F.lit(", "),
-                F.col("pos").cast("string"),
+                F.col(pos_col).cast("string"),
             )
         ).cast("bigint")
     )
+
+
+_packed_key = packed_doc_pos
 
 
 def cut_occurrences(

@@ -94,6 +94,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics7_queries,
     analytics8_queries,
     analytics_queries,
+    cdc_queries,
     ops_queries,
     corpus_queries,
     corpus2_queries,
@@ -137,6 +138,7 @@ _ALL_QUERIES = {
     **classifier_queries.QUERIES,
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
+    **cdc_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
 
@@ -165,6 +167,7 @@ _ALL_ORACLE = {
     **classifier_queries.ORACLE,
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
+    **cdc_queries.ORACLE,
     **streaming_queries.ORACLE,
 }
 
