@@ -96,6 +96,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics_queries,
     cdc_queries,
     ops_queries,
+    sketch_queries,
     corpus_queries,
     corpus2_queries,
     sampling_queries,
@@ -139,6 +140,7 @@ _ALL_QUERIES = {
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **cdc_queries.QUERIES,
+    **sketch_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
 
@@ -168,6 +170,7 @@ _ALL_ORACLE = {
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **cdc_queries.ORACLE,
+    **sketch_queries.ORACLE,
     **streaming_queries.ORACLE,
 }
 

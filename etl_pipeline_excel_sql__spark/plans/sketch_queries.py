@@ -1,0 +1,154 @@
+"""Engine-exact HyperLogLog queries (operators/sketches.py): per-language
+distinct 3-token-shingle sketches plus the merged corpus sketch, each
+next to the exact count it approximates — the oracle-gated counterpart
+to the rows-only ``approx_distinct``. Shingles (not raw tokens) are the
+sketched value because the synthetic corpus's unigram vocabulary is ~31
+types — far below the m=64 raw-estimator regime — while its 3-gram
+space is ~16k, where the estimate's ~1/sqrt(m) error is meaningful and
+gated via the emitted err_ppm.
+
+The oracle replays the identical integer pipeline in DuckDB (same
+``H60_SQL`` hash, same un-padded ``bin()`` bitlength, same shifted
+harmonic sum and rational-alpha division), so every column — including
+the estimate itself — hashes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
+from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+from etl_pipeline_excel_sql__spark.operators.sketches import (
+    HLL_ALPHA_DEN,
+    HLL_ALPHA_NUM,
+    HLL_M,
+    HLL_RHO_SCALE,
+    hll_estimate,
+    hll_registers,
+)
+from etl_pipeline_excel_sql__spark.plans.spans_queries import _tok_sql
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: shingle width for the sketched value.
+HLL_SHINGLE_K = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, sh) — every 3-token window, the ``kgram_rows`` lead-window
+    shape with the language tag carried through."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(ws_tokens(F.col("text"))).alias("pos", "__t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [
+        F.lead("__t", r).over(w).alias(f"__l{r}")
+        for r in range(1, HLL_SHINGLE_K)
+    ]
+    windowed = toks.select("lang", "pos", "__t", *leads)
+    return windowed.filter(
+        F.col(f"__l{HLL_SHINGLE_K - 1}").isNotNull()
+    ).select(
+        "lang",
+        F.concat_ws(
+            " ",
+            F.col("__t"),
+            *[F.col(f"__l{r}") for r in range(1, HLL_SHINGLE_K)],
+        ).alias("sh"),
+    )
+
+
+def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle HLL per language plus the merged '*' corpus row.
+
+    The '*' row is computed by MERGING the per-language register tables
+    (register-wise MAX) — the sketch's union property, never a second
+    pass over the corpus — and every row carries the exact distinct
+    count and the error in ppm, so estimator quality is itself gated.
+    """
+    sh = _shingles(spark, sf_dir)
+    regs = hll_registers(sh, "sh", ["lang"])
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("*").alias("lang"), "reg", "rho")
+    )
+    est = hll_estimate(regs.unionByName(merged), ["lang"])
+    exact = sh.groupBy("lang").agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    )
+    exact_all = sh.agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    ).select(F.lit("*").alias("lang"), "exact_distinct")
+    return (
+        est.join(exact.unionByName(exact_all), "lang")
+        .select(
+            "lang",
+            "v_zero",
+            "sum_scaled",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " DIV exact_distinct"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+_H60_SH = H60_SQL.format(x="sh")
+_NUMER = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_SCALE)
+
+ORACLE["hll_distinct_shingles"] = f"""
+WITH sh AS MATERIALIZED (
+  SELECT lang, concat_ws(' ', tok, {", ".join(f"l{r}" for r in range(1, HLL_SHINGLE_K))}) AS sh FROM (
+    SELECT d.lang, t.tok,
+           {", ".join(f"lead(tok, {r}) OVER w AS l{r}" for r in range(1, HLL_SHINGLE_K))}
+    FROM ({_tok_sql("SELECT doc_id, text FROM documents")}) t
+    JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+  ) WHERE l{HLL_SHINGLE_K - 1} IS NOT NULL
+), hs AS (
+  SELECT lang, {_H60_SH} AS h FROM sh
+), rr AS (
+  SELECT lang, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h // {HLL_M}), '0')) END AS rho
+  FROM hs
+), hit AS MATERIALIZED (
+  SELECT lang, reg, MAX(rho) AS rho FROM rr GROUP BY lang, reg
+), grid AS (
+  SELECT l.lang, g.reg, CAST(COALESCE(h.rho, 0) AS INT) AS rho
+  FROM (SELECT DISTINCT lang FROM sh) l
+  CROSS JOIN (SELECT UNNEST(range({HLL_M})) AS reg) g
+  LEFT JOIN hit h ON h.lang = l.lang AND h.reg = g.reg
+), all_regs AS (
+  SELECT lang, reg, rho FROM grid
+  UNION ALL
+  SELECT '*' AS lang, reg, MAX(rho) AS rho FROM grid GROUP BY reg
+), est AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
+         CAST(SUM(1::BIGINT << ({HLL_RHO_SCALE}
+              - LEAST(rho, {HLL_RHO_SCALE}))) AS BIGINT) AS sum_scaled
+  FROM all_regs GROUP BY lang
+), exact AS (
+  SELECT lang, COUNT(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang
+  UNION ALL
+  SELECT '*' AS lang, COUNT(DISTINCT sh) AS exact_distinct FROM sh
+)
+SELECT e.lang, e.v_zero, e.sum_scaled,
+       {_NUMER} // ({HLL_ALPHA_DEN} * e.sum_scaled) AS est_distinct,
+       x.exact_distinct,
+       abs({_NUMER} // ({HLL_ALPHA_DEN} * e.sum_scaled)
+           - x.exact_distinct) * 1000000 // x.exact_distinct AS err_ppm
+FROM est e JOIN exact x USING (lang)
+"""
+QUERIES["hll_distinct_shingles"] = q_hll_distinct_shingles

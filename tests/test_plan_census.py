@@ -218,6 +218,9 @@ CORPUS_BROADCAST_WHITELIST = {
     "vec_id < 3 — constant-range predicate (the BM25 query side is a "
     "literal serving batch, not corpus-derived)",
     "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
+    "epoch_shuffle": "global_row_numbers offsets keyed on the (epoch, "
+    "key-high-8-bits) bucket — <= EPOCHS x 2^(60-_EPOCH_KEY_SHIFT) = 512 "
+    "rows by construction, independent of corpus size",
     "events_anomaly_mad": "per-event-type median/MAD — small type enum",
     "lang_confusion": "per-language totals — fixed language set",
     "mix_domains": "per-domain rate table — bounded domain enum (spec'd)",

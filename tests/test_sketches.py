@@ -1,0 +1,84 @@
+"""Engine-exact HLL (operators/sketches.py) property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.operators.sketches import (
+    HLL_M,
+    _rho_int,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "grp STRING, v STRING")
+
+
+def test_rho_spark_matches_python(spark):
+    """The bin()-bitlength rank agrees with Python's bit_length twin on
+    edge payloads (0, 1, max 54-bit)."""
+    import etl_pipeline_excel_sql__spark.operators.sketches as sk
+
+    payloads = [0, 1, 2, 3, 63, 64, (1 << 53), (1 << 54) - 1]
+    df = spark.createDataFrame([(p,) for p in payloads], "r LONG")
+    got = {
+        r.r: r.rho
+        for r in df.select("r", sk._rho(F.col("r")).alias("rho")).collect()
+    }
+    for p in payloads:
+        assert got[p] == _rho_int(p), p
+
+
+def test_register_grid_complete_and_partition_invariant(spark):
+    """Every (group, register) pair appears exactly once, and the
+    register table is identical under a different partitioning."""
+    rows = [("a", f"x{i}") for i in range(500)] + [
+        ("b", f"y{i}") for i in range(20)
+    ]
+    df = _vals(spark, rows)
+    regs = hll_registers(df, "v", ["grp"]).collect()
+    assert len(regs) == 2 * HLL_M
+    assert len({(r.grp, r.reg) for r in regs}) == 2 * HLL_M
+    regs2 = hll_registers(df.repartition(7, "v"), "v", ["grp"]).collect()
+    assert sorted(map(tuple, regs)) == sorted(map(tuple, regs2))
+
+
+def test_merge_is_registerwise_max(spark):
+    """Union sketch == register-wise MAX of part sketches — the
+    mergeability contract that makes the sketch a distributed
+    aggregate."""
+    a = _vals(spark, [("g", f"a{i}") for i in range(300)])
+    b = _vals(spark, [("g", f"b{i}") for i in range(300)])
+    ra = {r.reg: r.rho for r in hll_registers(a, "v", ["grp"]).collect()}
+    rb = {r.reg: r.rho for r in hll_registers(b, "v", ["grp"]).collect()}
+    ru = {
+        r.reg: r.rho
+        for r in hll_registers(a.union(b), "v", ["grp"]).collect()
+    }
+    assert ru == {reg: max(ra[reg], rb[reg]) for reg in ra}
+
+
+def test_estimate_accuracy_at_sketch_regime(spark):
+    """Raw estimator lands within ~4/sqrt(m) of truth for cardinalities
+    well past 2.5m (the regime the registered query targets)."""
+    for n in (2_000, 20_000):
+        df = _vals(spark, [("g", f"val-{i}") for i in range(n)])
+        est = hll_estimate(
+            hll_registers(df, "v", ["grp"]), ["grp"]
+        ).collect()[0]
+        assert abs(est.est_distinct - n) / n < 0.5, (n, est.est_distinct)
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    """The sketch depends only on the distinct value set."""
+    base = [("g", f"v{i}") for i in range(1_000)]
+    d1 = hll_estimate(
+        hll_registers(_vals(spark, base), "v", ["grp"]), ["grp"]
+    ).collect()[0]
+    d2 = hll_estimate(
+        hll_registers(_vals(spark, base * 3), "v", ["grp"]), ["grp"]
+    ).collect()[0]
+    assert d1.sum_scaled == d2.sum_scaled
+    assert d1.est_distinct == d2.est_distinct
