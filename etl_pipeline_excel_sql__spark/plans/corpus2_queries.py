@@ -275,8 +275,84 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kneser-Ney absolute discount D = 3/4 (the standard 0.75) as an exact
+#: rational, so the smoothed probability stays integer arithmetic.
+KN_D_NUM = 3
+KN_D_DEN = 4
+
+
+def q_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency score per document — the
+    smoothing `ngram_lm_score`'s raw conditional model lacks (raw MLE
+    overweights frequent continuations and zeroes unseen mass; KN
+    discounts every observed bigram by D and redistributes the mass by
+    CONTINUATION counts, Kneser & Ney 1995 / Chen & Goodman 1999).
+
+    Per observed bigram, with c2 = c(w1,w2), c1 = c(w1·),
+    n1f = |{w2 : c(w1,w2)>0}|, n1p = |{w1 : c(w1,w2)>0}| and bt = total
+    bigram types:
+
+        P_KN = max(c2 - D, 0)/c1 + D·n1f/c1 · n1p/bt
+
+    emitted as ONE floored scaled integer
+    ``(max(4·c2-3, 0)·bt + 3·n1f·n1p) · LM_SCALE DIV (4·c1·bt)`` — a
+    single floor, so the value is exact cross-engine. Per-doc score is
+    the k-weighted floor mean over its bigram occurrences. Bigint bound:
+    c2·bt·LM_SCALE must stay < 2^63 (c2·bt < 9.2e12 — a corpus past
+    that moves LM_SCALE down or the expression to decimal).
+
+    Scale shape mirrors ``ngram_lm_score``: occurrences compress to
+    per-doc multiplicities first; c1/n1f/n1p are windows over the
+    MODEL (bigram-type-sized), never another corpus pass; bt is a
+    singleton aggregate broadcast (bounded by construction).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("__toks") - 1)).alias("__i"),
+        "__toks",
+    ).select(
+        "doc_id",
+        F.element_at("__toks", F.col("__i")).alias("w1"),
+        F.element_at("__toks", F.col("__i") + 1).alias("w2"),
+    )
+    d = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m = d.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    m = (
+        m.withColumn("c1", F.sum("c2").over(w1w))
+        .withColumn("n1f", F.count(F.lit(1)).over(w1w))
+        .withColumn("n1p", F.count(F.lit(1)).over(w2w))
+    )
+    bt = m.groupBy().agg(F.count(F.lit(1)).alias("bt"))
+    scored = d.join(m.crossJoin(F.broadcast(bt)), ["w1", "w2"]).select(
+        "doc_id",
+        "k",
+        F.expr(
+            f"(greatest({KN_D_DEN} * c2 - {KN_D_NUM}, CAST(0 AS BIGINT))"
+            f" * bt + {KN_D_NUM} * n1f * n1p)"
+            f" * CAST({LM_SCALE} AS BIGINT)"
+            f" DIV ({KN_D_DEN} * c1 * bt)"
+        ).alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.expr("SUM(k * s) DIV SUM(k)").cast("bigint").alias(
+            "kn_score_scaled"
+        ),
+    )
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
+    "kn_lm_score": q_kn_lm_score,
     "domain_quota_sample": q_domain_quota_sample,
     "ngram_lm_score": q_ngram_lm_score,
     "vocab_coverage": q_vocab_coverage,
@@ -341,6 +417,40 @@ ORACLE = {
                  ) AS BIGINT) AS quota_rank
           FROM documents)
         WHERE quota_rank <= {QUOTA_CAP}""",
+    "kn_lm_score": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2
+        ), b AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, n - 1)) AS i
+          FROM nz
+        ), pairs AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b
+        ), d AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS k
+          FROM pairs GROUP BY doc_id, w1, w2
+        ), m AS (
+          SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2
+          FROM d GROUP BY w1, w2
+        ), m2 AS (
+          SELECT w1, w2, c2,
+                 CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1f,
+                 CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p
+          FROM m
+        ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM m), scored AS (
+          SELECT d.doc_id, d.k,
+                 (GREATEST({KN_D_DEN} * m2.c2 - {KN_D_NUM}, 0) * tot.bt
+                  + {KN_D_NUM} * m2.n1f * m2.n1p) * {LM_SCALE}
+                 // ({KN_D_DEN} * m2.c1 * tot.bt) AS s
+          FROM d JOIN m2 USING (w1, w2) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(k * s) // SUM(k) AS BIGINT) AS kn_score_scaled
+        FROM scored GROUP BY doc_id""",
     "ngram_lm_score": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents

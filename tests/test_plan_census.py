@@ -61,6 +61,7 @@ BNLJ_WHITELIST = {
     "emb_gram_matrix",  # broadcast scale singleton
     "vec_quantize_int8",  # broadcast per-dim max row
     "ngram_lm_score",  # broadcast vocab-total scalar
+    "kn_lm_score",  # broadcast bigram-type-count scalar
     "vocab_coverage",  # broadcast top-V vocab list
     "text_tfidf_topk",  # broadcast doc-count scalar
     "heavy_hitter_terms",  # broadcast doc-count scalar
