@@ -95,6 +95,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics8_queries,
     analytics_queries,
     cdc_queries,
+    clusterbal_queries,
     ops_queries,
     sketch_queries,
     corpus_queries,
@@ -140,6 +141,7 @@ _ALL_QUERIES = {
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **cdc_queries.QUERIES,
+    **clusterbal_queries.QUERIES,
     **sketch_queries.QUERIES,
     **streaming_queries.QUERIES,
 }
@@ -170,6 +172,7 @@ _ALL_ORACLE = {
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **cdc_queries.ORACLE,
+    **clusterbal_queries.ORACLE,
     **sketch_queries.ORACLE,
     **streaming_queries.ORACLE,
 }

@@ -34,6 +34,8 @@ BNLJ_WHITELIST = {
     "ann_recall",  # composes ann_brute_topk + ann_ivf_topk; inherits their
     #               broadcast-singleton BNLJs (query-set broadcast, bounded)
     "ann_srp_buckets",  # broadcast SRP hyperplanes
+    "cluster_balanced_sample",  # broadcast ncells-row trained centroids
+    #               (kmeans_train_assign's bounded quantizer, as ann_ivf_topk)
     "hybrid_rrf_topk",  # composes brute_force_topk; inherits its bounded
     #               query-vector broadcast BNLJ (3-row probe set)
     "ivfpq_adc",  # broadcast ncells-row coarse-centroid tables (seed +
@@ -214,6 +216,8 @@ CORPUS_BROADCAST_WHITELIST = {
     "ann_brute_topk": "query set is vec_id < 5 — constant-range predicate",
     "ann_filtered_topk": "same constant-range query set",
     "ann_ivf_topk": "query set vec_id < 5; probe list = queries x nprobe",
+    "cluster_balanced_sample": "trained centroid table — ncells rows by "
+    "construction (the ann_ivf_topk quantizer argument)",
     "ann_recall": "composes brute + ivf; same bounded query set",
     "hybrid_rrf_topk": "composes brute_force_topk; dense query set is "
     "vec_id < 3 — constant-range predicate (the BM25 query side is a "
