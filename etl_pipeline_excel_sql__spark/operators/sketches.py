@@ -125,3 +125,65 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
 def _rho_int(r: int) -> int:
     """Python twin of ``_rho`` for the unit tests."""
     return _RHO_MAX if r == 0 else _RHO_MAX - r.bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the frequency twin of
+# the HLL above. d seeded hash rows × w counters; an item's estimate is
+# the MIN over its d cells, never below the true count (one-sided error
+# <= 2N/w with probability 1 - (1/2)^d). Deterministic by construction —
+# the seeded md5 row hashes are the shared md5_hash60 contract — so the
+# DuckDB oracle replays cell-for-cell. Mergeability is cell-wise SUM
+# (proved in tests), which is also why the build is one map-side-
+# combinable groupBy: (row, col) keys, d·w bounded output regardless of
+# corpus size.
+
+#: depth (hash rows) and width (counters per row).
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_col(value: Column, row: int) -> Column:
+    """Column index of ``value`` in hash row ``row``."""
+    return (
+        md5_hash60(F.concat(F.lit(f"cms{row}:"), value)) % CMS_W
+    ).cast("int")
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-Min table ``(row, col, cnt)`` over every occurrence of
+    ``value_col`` (at most d·w rows; absent cells are zero)."""
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_col(F.col(value_col), j).alias(f"c{j}")
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_query(cms: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """Point-query the sketch for each probe value: est = MIN over the
+    d cells. The probe table is expected to be bounded (a serving
+    batch); the sketch itself is d·w rows, so the join is tiny no
+    matter the corpus."""
+    keyed = probes.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_col(F.col(value_col), j).alias(f"c{j}")
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    return (
+        keyed.join(cms, ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -21,10 +21,14 @@ from pyspark.sql import functions as F
 from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
 from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 from etl_pipeline_excel_sql__spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
     HLL_ALPHA_DEN,
     HLL_ALPHA_NUM,
     HLL_M,
     HLL_RHO_SCALE,
+    cms_build,
+    cms_query,
     hll_estimate,
     hll_registers,
 )
@@ -152,3 +156,71 @@ SELECT e.lang, e.v_zero, e.sum_scaled,
 FROM est e JOIN exact x USING (lang)
 """
 QUERIES["hll_distinct_shingles"] = q_hll_distinct_shingles
+
+
+#: heavy-hitter probe size.
+CMS_PROBE_K = 5
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over every 3-shingle occurrence, probed at the
+    corpus's top-5 shingles (count DESC, shingle ASC tie-break): the
+    estimate, the exact count, and the one-sided overestimate in ppm —
+    the CMS guarantee (est >= exact, error <= 2N/w w.h.p.) gated as
+    data. The sketch is d·w = 2048 cells regardless of corpus size; the
+    exact side of the probe is a TakeOrdered top-k, never a full sort.
+    """
+    sh = _shingles(spark, sf_dir).select("sh")
+    cms = cms_build(sh, "sh")
+    top = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("sh").asc())
+        .limit(CMS_PROBE_K)
+    )
+    est = cms_query(cms, top.select("sh"), "sh")
+    return top.join(est, "sh").select(
+        "sh",
+        "est_count",
+        "exact_count",
+        F.expr(
+            "(est_count - exact_count) * 1000000 DIV exact_count"
+        ).alias("over_ppm"),
+    )
+
+
+def _h60_cms(sh_expr: str) -> str:
+    return H60_SQL.format(
+        x=f"'cms' || CAST(j AS VARCHAR) || ':' || {sh_expr}"
+    )
+
+ORACLE["cms_heavy_hitters"] = f"""
+WITH sh AS MATERIALIZED (
+  SELECT lang, concat_ws(' ', tok, {", ".join(f"l{r}" for r in range(1, HLL_SHINGLE_K))}) AS sh FROM (
+    SELECT d.lang, t.tok,
+           {", ".join(f"lead(tok, {r}) OVER w AS l{r}" for r in range(1, HLL_SHINGLE_K))}
+    FROM ({_tok_sql("SELECT doc_id, text FROM documents")}) t
+    JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+  ) WHERE l{HLL_SHINGLE_K - 1} IS NOT NULL
+), rows_ AS (SELECT UNNEST(range({CMS_D})) AS j),
+cms AS MATERIALIZED (
+  SELECT j AS row, {_h60_cms("sh")} % {CMS_W} AS col, COUNT(*) AS cnt
+  FROM sh CROSS JOIN rows_ GROUP BY 1, 2
+), top AS MATERIALIZED (
+  SELECT sh, COUNT(*) AS exact_count FROM sh GROUP BY sh
+  ORDER BY exact_count DESC, sh ASC LIMIT {CMS_PROBE_K}
+), probe AS (
+  SELECT t.sh, t.exact_count, j AS row, {_h60_cms("t.sh")} % {CMS_W} AS col
+  FROM top t CROSS JOIN rows_
+), est AS (
+  SELECT sh, exact_count,
+         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM probe LEFT JOIN cms c USING (row, col)
+  GROUP BY sh, exact_count
+)
+SELECT sh, est_count, exact_count,
+       (est_count - exact_count) * 1000000 // exact_count AS over_ppm
+FROM est
+"""
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters

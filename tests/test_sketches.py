@@ -71,6 +71,39 @@ def test_estimate_accuracy_at_sketch_regime(spark):
         assert abs(est.est_distinct - n) / n < 0.5, (n, est.est_distinct)
 
 
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS guarantees: est >= exact for EVERY value, and the sketch of
+    a union is the cell-wise sum of the parts' sketches."""
+    from collections import Counter
+
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    vals_a = [f"v{i % 50}" for i in range(400)]
+    vals_b = [f"v{i % 37}" for i in range(300)]
+    truth = Counter(vals_a + vals_b)
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "v STRING")
+    cms_u = cms_build(mk(vals_a + vals_b), "v")
+    probes = mk(sorted(truth))
+    est = {
+        r.v: r.est_count
+        for r in cms_query(cms_u, probes, "v").collect()
+    }
+    assert all(est[v] >= c for v, c in truth.items())
+    # mergeability: union sketch == cellwise sum of part sketches
+    parts = (
+        cms_build(mk(vals_a), "v")
+        .union(cms_build(mk(vals_b), "v"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, cms_u.collect())) == sorted(
+        map(tuple, parts.collect())
+    )
+
+
 def test_duplicates_do_not_move_the_sketch(spark):
     """The sketch depends only on the distinct value set."""
     base = [("g", f"v{i}") for i in range(1_000)]
