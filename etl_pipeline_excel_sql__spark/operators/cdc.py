@@ -171,6 +171,57 @@ def cdc_doc_stats(
     )
 
 
+def cdc_incremental_stats(
+    batch: DataFrame,
+    store_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Production ingest shape (the chunk-level analogue of
+    ``dedup_incremental`` / ``dedup_spans_incremental``): per incoming
+    document, how many of its chunks — and what token fraction — the
+    content-addressed store ALREADY holds, so the append writes only
+    the complement. ``store_digests`` is the persisted digest set (one
+    ``digest`` column — what a chunk store keeps between batches); the
+    batch never re-reads corpus text. The digest join is size-gated
+    (store is corpus-derived — forced broadcast is the banned census
+    pattern); only cross-set membership is tested, never within-batch
+    pairs.
+    """
+    chunks = cdc_chunk_rows(batch, text_col, id_col, divisor)
+    store = store_digests.select("digest").distinct().withColumn(
+        "__in", F.lit(1)
+    )
+    m = chunks.join(store, "digest", "left")
+    stored_toks = F.sum(
+        F.when(F.col("__in").isNotNull(), F.col("n_toks")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(F.col("__in").isNotNull().cast("bigint")).alias(
+                "stored_chunks"
+            ),
+            stored_toks.alias("stored_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_tokens",
+            "stored_chunks",
+            "stored_tokens",
+            F.expr("stored_tokens * 1000000 DIV n_tokens").alias(
+                "stored_ppm"
+            ),
+        )
+    )
+
+
 def cdc_corpus_stats(
     docs: DataFrame,
     text_col: str = "text",

@@ -85,6 +85,31 @@ def test_prefix_insertion_realigns(spark):
     assert len(dig0) > 5  # the doc actually chunked
 
 
+def test_incremental_membership_is_cross_set_only(spark):
+    """A batch doc identical to a store doc is fully stored (ppm = 1e6);
+    a novel doc stores nothing — and within-batch duplicates do NOT
+    count as stored (membership is strictly vs the persisted store)."""
+    from etl_pipeline_excel_sql__spark.operators.cdc import (
+        cdc_chunk_rows,
+        cdc_incremental_stats,
+    )
+
+    store_doc = "red green blue cyan magenta yellow black white " * 4
+    novel = "totally fresh tokens never seen before anywhere " * 4
+    store = cdc_chunk_rows(_docs(spark, [(1, store_doc)])).select("digest")
+    got = {
+        r.doc_id: r
+        for r in cdc_incremental_stats(
+            _docs(spark, [(10, store_doc), (20, novel), (30, novel)]),
+            store,
+        ).collect()
+    }
+    assert got[10].stored_ppm == 1_000_000
+    assert got[20].stored_ppm == 0
+    assert got[30].stored_ppm == 0  # within-batch twin isn't "stored"
+    assert got[10].stored_chunks == got[10].n_chunks
+
+
 def test_doc_and_corpus_stats_consistent(spark, sf_dir):
     """Corpus totals equal the sum of per-doc stats on real testdata,
     and ppm arithmetic is the integer DIV contract."""
