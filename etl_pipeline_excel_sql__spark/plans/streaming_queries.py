@@ -259,3 +259,65 @@ from etl_pipeline_excel_sql__spark.plans.analytics_queries import (  # noqa: E40
 )
 
 ORACLE["stream_window_counts"] = _AN_ORACLE["window_agg_events"]
+
+
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL by the STREAMING engine: register
+    state is HLL_M cells per window no matter the user cardinality (the
+    reason COUNT(DISTINCT) is unsupported on streams is the reason this
+    sketch exists). Same integer arithmetic as the batch sketch
+    (operators/sketches.py), so the drained complete-mode result
+    hash-matches the DuckDB batch replay."""
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        hll_users_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory_sink(
+        hll_users_stream(ev), _sink_name("stream_hll_users")
+    )
+
+
+QUERIES["stream_hll_users"] = q_stream_hll_users
+
+
+def _stream_hll_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        HLL_ALPHA_DEN,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RHO_SCALE,
+    )
+
+    h = H60_SQL.format(x="CAST(user_id AS VARCHAR)")
+    numer = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_SCALE)
+    return f"""
+WITH hs AS (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         {h} AS h
+  FROM events
+), rr AS (
+  SELECT window_start, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h // {HLL_M}), '0')) END AS rho
+  FROM hs
+), regs AS (
+  SELECT window_start, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2
+), est AS (
+  SELECT window_start,
+         CAST({HLL_M} - COUNT(*) AS INT) AS v_zero,
+         CAST(SUM(1::BIGINT << ({HLL_RHO_SCALE}
+                  - LEAST(rho, {HLL_RHO_SCALE})))
+              + ({HLL_M} - COUNT(*))
+                * (1::BIGINT << {HLL_RHO_SCALE}) AS BIGINT) AS sum_scaled
+  FROM regs GROUP BY 1
+)
+SELECT window_start, v_zero, sum_scaled,
+       {numer} // ({HLL_ALPHA_DEN} * sum_scaled) AS est_distinct
+FROM est
+"""
+
+
+ORACLE["stream_hll_users"] = _stream_hll_oracle()

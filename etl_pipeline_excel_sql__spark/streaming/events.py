@@ -448,3 +448,78 @@ def purchase_attribution_stream(
         ),
         "purchase_value",
     )
+
+
+def hll_users_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Per-window distinct-user HLL BY THE STREAMING ENGINE — the
+    sketch as bounded streaming state.
+
+    ``COUNT(DISTINCT)`` is unsupported in streaming for the same reason
+    it hurts at batch scale (per-window state grows with cardinality);
+    the HLL register table is the fix: constant HLL_M-sized state per
+    window regardless of user count. Chained stateful aggregations are
+    restricted in streaming, so the registers live as ONE watermarked
+    aggregation with HLL_M conditional MAX columns (register j =
+    ``max(rho) FILTER (reg = j)``), folded to the estimate by stateless
+    projection — same integer arithmetic as the batch sketch
+    (operators/sketches.py), so the drained result hash-matches the
+    DuckDB replay exactly.
+    """
+    import functools
+    import operator as _op
+
+    from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        HLL_ALPHA_DEN,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RHO_SCALE,
+        _rho,
+    )
+
+    hs = events.select(
+        "ts", md5_hash60(F.col("user_id").cast("string")).alias("__h")
+    )
+    keyed = hs.select(
+        "ts",
+        (F.col("__h") % HLL_M).alias("reg"),
+        _rho(F.expr(f"__h DIV {HLL_M}")).alias("rho"),
+    )
+    regs = (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            *[
+                F.max(F.when(F.col("reg") == j, F.col("rho"))).alias(
+                    f"r{j}"
+                )
+                for j in range(HLL_M)
+            ]
+        )
+    )
+    contribs = [
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_SCALE}"
+            f" - least(coalesce(r{j}, 0), {HLL_RHO_SCALE}))"
+        )
+        for j in range(HLL_M)
+    ]
+    zeros = [
+        (F.coalesce(F.col(f"r{j}"), F.lit(0)) == 0).cast("int")
+        for j in range(HLL_M)
+    ]
+    numer = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_SCALE)
+    return regs.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        functools.reduce(_op.add, zeros).alias("v_zero"),
+        functools.reduce(_op.add, contribs).alias("sum_scaled"),
+    ).withColumn(
+        "est_distinct",
+        F.expr(
+            f"CAST({numer} DIV ({HLL_ALPHA_DEN} * sum_scaled) AS BIGINT)"
+        ),
+    )

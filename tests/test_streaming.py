@@ -410,3 +410,24 @@ def test_user_totals_timeout_wiring(spark, sf_dir):
     untimed = running_user_totals_stream(ev, exact_micros=True)
     plan2 = untimed._jdf.queryExecution().analyzed().toString()
     assert "NoTimeout" in plan2 and "ProcessingTimeTimeout" not in plan2
+
+
+def test_hll_users_stream_equals_batch_sketch(spark, sf_dir):
+    """The streamed per-window HLL drains to exactly the batch sketch
+    (same helper on the batch frame — withWatermark is a no-op there),
+    and every estimate is positive with v_zero in [0, HLL_M]."""
+    from etl_pipeline_excel_sql__spark.operators.sketches import HLL_M
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        hll_users_stream,
+    )
+
+    got = run_to_memory_sink(
+        hll_users_stream(read_events_stream(spark, sf_dir)),
+        "hll_users_test",
+    ).collect()
+    batch = hll_users_stream(load_table(spark, "events", sf_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert got and all(
+        r.est_distinct > 0 and 0 <= r.v_zero <= HLL_M for r in got
+    )
