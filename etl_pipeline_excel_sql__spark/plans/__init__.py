@@ -82,6 +82,18 @@ dedup rows stay in-window), ``join_bloom_prefilter`` (r2–r7 history;
 four join rows stay), and ``basket_lift`` (r4–r7 history) — all three
 incomers oracle-green at sf0.001/0.01/0.1 AND the generated sf1
 locally first.
+A second round-8 rotation covered the session's five new families —
+``cdc_chunk_stats`` (content-defined chunking), ``hll_distinct_shingles``
+(engine-exact HLL sketch), ``kn_lm_score`` (Kneser-Ney smoothed LM),
+``cluster_balanced_sample`` (selection over trained k-means cells), and
+``stream_hll_users`` (the sketch as bounded streaming state) — displacing
+``agg_rowcount`` (A1, trivially typed, r1–r7), ``dedup_lastwins`` (J3,
+r1–r7; the semantics also runs inside ``diff_cells``), ``order_custom``
+(O1, r1–r7; ordering kept by ``global_row_number``), ``events_twap``
+(r4–r7), and ``stream_window_counts`` (r3–r7; five streaming rows stay) —
+every incomer oracle-green at sf0.001/0.01/0.1 AND sf1 locally first;
+``cdc_dedup_stats``/``cdc_incremental``/``cms_heavy_hitters`` stay
+local-only (family-covered by the in-window CDC and sketch rows).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -192,15 +204,28 @@ DRIVER_PRIORITY = [
     # null_literal rotated out round 4 (trivially typed, r1-r4 history)
     # for the robust-statistics family's first driver row
     "agg_trimmed_mean",
-    "order_custom",
-    "dedup_lastwins",
+    # order_custom rotated out round 8b (O1, r1-r7 history; ordering
+    # family kept by global_row_number) for the Kneser-Ney smoothed LM
+    # scorer — the LM family's second row, zero history (locally green
+    # at sf0.001/0.01/0.1/sf1 before rotating in)
+    "kn_lm_score",
+    # dedup_lastwins rotated out round 8b (J3, r1-r7 history; the
+    # last-wins key semantics also runs inside diff_cells' build side)
+    # for the engine-exact HLL sketch family's first driver row
+    # (locally green at all four SFs before rotating in)
+    "hll_distinct_shingles",
     "join_anti_new",
     "diff_cells",
     # word_diff rotated out round 4 (D3, r1-r4 history; D-family kept by
     # diff_cells) for the replica-verification fingerprint family
     "table_fingerprint",
     "download_pipeline",
-    "agg_rowcount",
+    # agg_rowcount rotated out round 8b (A1, r1-r7 history, trivially
+    # typed; the aggregate family keeps agg_pricing_summary +
+    # agg_rollup + agg_trimmed_mean in-window) for the content-defined
+    # chunking family's first driver row (locally green at all four SFs
+    # before rotating in)
+    "cdc_chunk_stats",
     "array_funcs",
     # numerically risky aggregates / windows (the round-1 hash failures)
     "agg_pricing_summary",
@@ -225,8 +250,11 @@ DRIVER_PRIORITY = [
     "asof_join",
     # window_agg_events rotated out round 4 (r1-r4 history; window family
     # kept by window_zscore + window_range_frame) for the time-weighted
-    # LOCF aggregate — a new family with zero history
-    "events_twap",
+    # LOCF aggregate; events_twap rotated out round 8b (r4-r7 history,
+    # locally green) for cluster-balanced sampling over trained k-means
+    # cells — a new selection family with zero history (locally green at
+    # all four SFs before rotating in)
+    "cluster_balanced_sample",
     # third round-4 rotation: the newest zero-history families displace
     # range_join (r2-r4 history; band_join_recent_errors carries the
     # richer KEYLESS variant of the family), sessionize (r2-r4 history;
@@ -246,8 +274,12 @@ DRIVER_PRIORITY = [
     "scd2_pointintime",
     "tpch_q21_sole_late_supplier",
     # round-3 additions: the streaming engine path and the composed
-    # curation pipeline — the two highest-leverage new rows
-    "stream_window_counts",
+    # curation pipeline — the two highest-leverage new rows.
+    # stream_window_counts rotated out round 8b (r3-r7 history; five
+    # streaming rows stay in-window) for the streamed HLL — the sketch
+    # as bounded streaming state, zero history (locally green at all
+    # four SFs before rotating in)
+    "stream_hll_users",
     "corpus_curate_pipeline",
     # round-4 rotation: five families with zero driver history get their
     # first gate run (displacing filter_nonblank / to_str_trim /
