@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "bm25_topk",
     "hybrid_rrf_topk",
     "perceptron_quality",
+    # round-8b additions (appended; earlier ordering preserved)
+    "cdc_chunk_stats",
+    "hll_distinct_shingles",
+    "cms_heavy_hitters",
+    "kn_lm_score",
+    "cluster_balanced_sample",
 ]
 
 
