@@ -337,6 +337,49 @@ COMMENTARY = {
         "one range shuffle + per-partition sort) and is measured from real "
         "parquet footers in tests/test_zorder.py."
     ),
+    "cdc_chunk_stats": (
+        "The whole per-document phase — boundary lag, running-sum chunk "
+        "numbering, (doc, chunk) grouping — rides ONE doc_id exchange; "
+        "the digest side is a map-side-combinable count+packed-MIN "
+        "aggregate joined back size-gated (the span-dedup doctrine: an "
+        "aggregate+join, never a window over the digest, so a "
+        "billion-occurrence boilerplate chunk has no hot reducer key). "
+        "The chunk derivation appears on both join sides (same accepted "
+        "shape as dedup_spans — the scan is column-pruned to "
+        "doc_id+text, and persisting corpus-scale chunks to save the "
+        "recompute would cost more than it saves)."
+    ),
+    "hll_distinct_shingles": (
+        "The sketch IS the plan story: shingling is posexplode + one "
+        "per-doc lead window, register max(rho) partial-aggregates "
+        "map-side into m=64 rows per language, and the corpus row is a "
+        "REGISTER MERGE over those tables — the corpus is never "
+        "re-scanned for the '*' estimate. The exact counts ride the "
+        "same shingle pass; everything downstream of the registers is "
+        "register-cardinality work."
+    ),
+    "cms_heavy_hitters": (
+        "One map-side-combinable (row, col) groupBy builds the 2048-cell "
+        "sketch; the exact side is TakeOrderedAndProject (top-5, never a "
+        "full sort); the probe join is sketch-sized x 5 rows. At 100 TB "
+        "the only corpus-scale work is the shingle pass the sketch and "
+        "the top-k already share upstream."
+    ),
+    "kn_lm_score": (
+        "Occurrences compress to per-doc (w1, w2, k) multiplicities "
+        "BEFORE any model math; prefix totals and continuation fan-in/"
+        "fan-out are windows over the bigram-TYPE table (model-sized); "
+        "the single broadcast is the type-count scalar. Shuffle rows "
+        "carry word pairs and counts, never text."
+    ),
+    "cluster_balanced_sample": (
+        "Training reuses kmeans_train_assign (per round: one corpus scan "
+        "+ an ncells x dims decimal-exact aggregate, centroids broadcast "
+        "and never collected, rounds lineage-truncated). The quota is "
+        "one window on the cell key computing population and md5 rank "
+        "in the same exchange — selection adds a single shuffle to the "
+        "trained assignment."
+    ),
 }
 
 
