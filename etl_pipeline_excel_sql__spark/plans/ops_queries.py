@@ -152,3 +152,48 @@ QUERIES = {
     "table_fingerprint": q_table_fingerprint,
     "sample_fixed_per_group": q_sample_fixed_per_group,
 }
+
+
+#: exact-quantile request: percentiles and the phase-1 bucket width
+#: (l_extendedprice spans ~900–105000, so width 64 → ~1.6k buckets).
+QUANTILE_PCTS = [50, 90, 99, 100]
+QUANTILE_WIDTH = 64.0
+
+
+def q_exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99/p100 of l_extendedprice WITHOUT a global sort
+    (operators/quantiles.exact_quantiles): one monotone-bucket
+    aggregate, a window over the ~1.6k-row bucket table, then a second
+    pass over only the located buckets. The oracle is the naive
+    single-partition global window — a driver pass certifies the
+    two-phase decomposition picks the identical elements, ties and all
+    (tie-break (l_orderkey, l_linenumber))."""
+    from etl_pipeline_excel_sql__spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    return exact_quantiles(
+        load_table(spark, "lineitem", sf_dir),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        QUANTILE_PCTS,
+        QUANTILE_WIDTH,
+    )
+
+
+ORACLE["exact_price_quantiles"] = f"""
+WITH ordered AS (
+  SELECT l_extendedprice AS value,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn
+  FROM lineitem
+), n AS (SELECT COUNT(*) AS n FROM lineitem),
+ranks AS (
+  SELECT pct, GREATEST(CAST(1 AS BIGINT),
+              CAST(ceil(pct * n / 100.0) AS BIGINT)) AS rank
+  FROM (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)}) p(pct)
+  CROSS JOIN n
+)
+SELECT pct, rank, value FROM ranks JOIN ordered ON ordered.rn = ranks.rank
+"""
+QUERIES["exact_price_quantiles"] = q_exact_price_quantiles

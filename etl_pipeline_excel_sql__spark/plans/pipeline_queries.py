@@ -1221,3 +1221,62 @@ WHERE len(list_intersect(sh_n, sh_c))::DOUBLE
     >= {MINHASH_THRESHOLD}
 """
 QUERIES["dedup_incremental"] = q_dedup_incremental
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE the train/val/test split — the
+    curation bug evals die of: a val document with a train near-copy
+    scores as memorization, not generalization. Composes the MinHash
+    pair generator with the hash-split assignment (both already gated
+    alone); a clean corpus returns zero rows, and every emitted row is
+    an actionable (train-doc, eval-doc) pair with its Jaccard.
+
+    Scale shape: the split table is a narrow zero-shuffle map, the two
+    membership joins are id-keyed and size-gated; all the heavy lifting
+    (banding, verification) is the audited `dedup_minhash` plan itself.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard_sim"
+    )
+    splits = q_split_train_val(spark, sf_dir).select("doc_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard_sim", "split_a", "split_b")
+    )
+
+
+ORACLE["split_leakage_audit"] = f"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           {_HASH60.format(e=f"concat('{SPLIT_SALT}', CAST(doc_id AS VARCHAR))")}
+             % 100 AS b
+    FROM documents
+  )
+)
+SELECT p.id_a, p.id_b, p.jaccard_sim, sa.split AS split_a,
+       sb.split AS split_b
+FROM ({_MINHASH_SQL}) p
+JOIN splits sa ON sa.doc_id = p.id_a
+JOIN splits sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+"""
+QUERIES["split_leakage_audit"] = q_split_leakage_audit

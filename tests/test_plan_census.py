@@ -58,6 +58,8 @@ BNLJ_WHITELIST = {
     "scalar_subquery",  # the scalar subquery itself
     "basket_lift",  # broadcast n_orders singleton
     "scd2_pointintime",  # broadcast 3-row probe-date list
+    "exact_price_quantiles",  # rank table (pcts x n-scalar crossJoin) +
+    #               non-equi locate against the ~1.6k-row bucket table
     "emb_label_centroids",  # broadcast dim-count singleton
     "emb_centroid_distances",  # centroid base relation reuse
     "emb_gram_matrix",  # broadcast scale singleton
@@ -223,6 +225,9 @@ CORPUS_BROADCAST_WHITELIST = {
     "vec_id < 3 — constant-range predicate (the BM25 query side is a "
     "literal serving batch, not corpus-derived)",
     "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
+    "exact_price_quantiles": "bucket table keyed on floor(value/width) — "
+    "bounded by value range / bucket width (~1.6k rows), independent of "
+    "corpus row count",
     "epoch_shuffle": "global_row_numbers offsets keyed on the (epoch, "
     "key-high-8-bits) bucket — <= EPOCHS x 2^(60-_EPOCH_KEY_SHIFT) = 512 "
     "rows by construction, independent of corpus size",

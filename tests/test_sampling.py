@@ -222,3 +222,29 @@ def test_mixture_rates_hypothesis_vs_reference(spark):
         assert got == want
 
     check()
+
+
+def test_split_leakage_audit_is_the_straddling_subset(spark, sf_dir):
+    """Every audited pair is a real near-dup pair whose endpoints sit in
+    DIFFERENT splits, and the audit finds ALL such pairs (it is exactly
+    the straddling subset of dedup_minhash x split_train_val)."""
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+        q_split_leakage_audit,
+        q_split_train_val,
+    )
+
+    split = {
+        r.doc_id: r.split
+        for r in q_split_train_val(spark, sf_dir).collect()
+    }
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+    }
+    expected = {
+        (a, b) for a, b in pairs if split[a] != split[b]
+    }
+    got = q_split_leakage_audit(spark, sf_dir).collect()
+    assert {(r.id_a, r.id_b) for r in got} == expected
+    assert all(r.split_a != r.split_b for r in got)
