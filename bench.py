@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "kn_lm_score",
     "cluster_balanced_sample",
+    "exact_price_quantiles",
 ]
 
 
