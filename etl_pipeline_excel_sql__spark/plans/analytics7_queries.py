@@ -461,3 +461,52 @@ QUERIES = {
     "text_weighted_sample": q_text_weighted_sample,
     "weighted_median_price": q_weighted_median_price,
 }
+
+
+#: exponential-decay activity score: half-life = 1 day, ages capped so
+#: the shift stays in-range (a 40-day-old event's contribution is 0 at
+#: micro-unit magnitudes — which IS the decay semantics).
+DECAY_CAP_DAYS = 40
+_DAY_US = 86_400_000_000
+
+
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity score (half-life 1 day,
+    anchored at the corpus max timestamp): each event contributes
+    ``floor(value·1e6) >> age_days`` — FLOOR-quantized micro-units with
+    an arithmetic right shift, so every contribution is an exact
+    integer and the sum is order-free (the float form ``value·2^-age``
+    would accumulate in partition order). One scalar-anchor broadcast,
+    one partial-combining aggregate; shift semantics (arithmetic ==
+    floor) agree between Spark shiftright and DuckDB ``>>``."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("vu"),
+    )
+    tmax = ev.agg(F.max("tus").alias("tmax"))
+    contrib = ev.crossJoin(F.broadcast(tmax)).select(
+        "user_id",
+        F.expr(
+            f"shiftright(vu, least(CAST((tmax - tus) DIV {_DAY_US} AS INT),"
+            f" {DECAY_CAP_DAYS}))"
+        ).alias("c"),
+    )
+    return contrib.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("decay_score_u"),
+    )
+
+
+ORACLE["events_decay_score"] = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vu
+  FROM events
+), t AS (SELECT MAX(tus) AS tmax FROM ev)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(vu >> LEAST(CAST((t.tmax - tus) // {_DAY_US} AS INT),
+                            {DECAY_CAP_DAYS})) AS BIGINT) AS decay_score_u
+FROM ev CROSS JOIN t GROUP BY user_id
+"""
+QUERIES["events_decay_score"] = q_events_decay_score

@@ -80,3 +80,54 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_recall": q_ann_recall,
 }
+
+
+def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Simpson diversity, exact in ppm:
+    ``1e6 - Σk_i²·1e6 DIV n²`` — the probability two random token draws
+    differ (1 - the Simpson concentration index). A pure-rational
+    diversity signal next to ``text_repetition``'s duplicate-n-gram
+    fractions: entropy needs libm, Simpson doesn't, so this one is
+    hash-exact cross-engine. Occurrences compress to per-doc type
+    multiplicities first (the ngram_lm_score doctrine); docs with zero
+    tokens are excluded (no draw is possible). Bigint bound:
+    n²·1e6 < 2^63 ⇒ n < ~3M tokens/doc, above the packed-key doc cap.
+    """
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return k.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.expr(
+            "CAST(1000000 - sum(k * k) * 1000000"
+            " DIV (sum(k) * sum(k)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+ORACLE["text_simpson_diversity"] = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), k AS (
+  SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_tokens,
+       COUNT(*) AS distinct_tokens,
+       CAST(1000000 - SUM(k * k) * 1000000
+            // (SUM(k) * SUM(k)) AS BIGINT) AS simpson_ppm
+FROM k GROUP BY doc_id
+"""
+QUERIES["text_simpson_diversity"] = q_text_simpson_diversity

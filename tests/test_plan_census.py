@@ -50,6 +50,7 @@ BNLJ_WHITELIST = {
     "graph_cluster_coeff",  # same pair generator
     "pagerank_nations",  # broadcast dangling-mass singleton
     "corr_regression",  # broadcast scalar moment row
+    "events_decay_score",  # broadcast max-timestamp anchor scalar
     "decontam_overlap",  # broadcast benchmark shingle set membership
     "tpch_q11_important_stock",  # broadcast global-share scalar
     "tpch_q14_promo_share",  # broadcast scalar denominator
