@@ -55,34 +55,53 @@ RRF_K = 60
 RRF_SCALE = 1_000_000_000
 
 
-def bm25_scores(
-    docs: DataFrame,
-    query_terms: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    log_idf: bool = False,
-) -> DataFrame:
-    """BM25 score of every (query, document) pair with ≥1 matching term.
-
-    ``query_terms`` is a bounded ``(query_id, term)`` table (a serving
-    batch — it broadcasts). Returns ``(query_id, doc_id, n_hit,
-    score_u)`` where ``score_u`` is the integer micro-unit sum of
-    per-term contributions (see module doctrine) and ``n_hit`` the
-    matched-term count.
+class Bm25Index:
+    """The inverted-index statistics BM25 serves from: per-(doc, term)
+    frequencies, per-doc lengths, per-term document frequencies, and the
+    two corpus scalars. In production these are built in ONE corpus
+    pass, persisted (``save_bm25_index``), and every serving job scores
+    queries against the loaded tables without re-tokenizing the corpus —
+    the same train-once/serve-many seam as ``sinks/models``' bounded
+    artifacts, except tf/dl/df are corpus-vocabulary-scale, so they
+    persist as ordinary (partitionable) parquet, not one-file artifacts.
     """
+
+    def __init__(self, tf, dl, dfreq, n_docs: int, total_toks: int):
+        self.tf = tf
+        self.dl = dl
+        self.dfreq = dfreq
+        self.n_docs = n_docs
+        self.total_toks = total_toks
+
+
+def bm25_build_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> Bm25Index:
+    """One tokenization pass → the four index statistics (module
+    doctrine: two hash aggregates over the exploded term table; the
+    scalars are exact longs so avgdl is ONE double division)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    # avgdl as ONE double division of two exact longs — bit-reproducible.
-    total_toks = toks.count()
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return Bm25Index(tf, dl, dfreq, docs.count(), toks.count())
 
+
+def bm25_scores_from_index(
+    idx: Bm25Index,
+    query_terms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Score a bounded query batch against a (built or loaded) index —
+    identical arithmetic to ``bm25_scores``, which is this function over
+    a freshly-built index."""
+    n_docs, total_toks = idx.n_docs, idx.total_toks
+    tf, dl, dfreq = idx.tf, idx.dl, idx.dfreq
     idf_rational = (
         (F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
@@ -107,6 +126,32 @@ def bm25_scores(
         F.sum(
             F.floor(contrib * F.lit(BM25_SCALE)).cast("bigint")
         ).alias("score_u"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    log_idf: bool = False,
+) -> DataFrame:
+    """BM25 score of every (query, document) pair with ≥1 matching term.
+
+    ``query_terms`` is a bounded ``(query_id, term)`` table (a serving
+    batch — it broadcasts). Returns ``(query_id, doc_id, n_hit,
+    score_u)`` where ``score_u`` is the integer micro-unit sum of
+    per-term contributions (see module doctrine) and ``n_hit`` the
+    matched-term count.
+    """
+    return bm25_scores_from_index(
+        bm25_build_index(docs, text_col, id_col),
+        query_terms,
+        k1=k1,
+        b=b,
+        log_idf=log_idf,
     )
 
 

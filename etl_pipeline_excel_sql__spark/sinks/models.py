@@ -92,3 +92,69 @@ def load_perceptron_weights(spark: SparkSession, path: str) -> dict[int, int]:
         for r in df.collect()
         if r["w"] and r["bucket"] >= 0
     }
+
+
+# --- BM25 inverted-index persistence (operators/retrieval.Bm25Index) ---
+# tf/dl/df are corpus-vocabulary-scale (unlike the bounded artifacts
+# above), so they persist as ordinary partitionable parquet; only the
+# two corpus scalars ride a one-row artifact. Load enforces each
+# table's schema the same way load_artifact does.
+
+from pyspark.sql.types import (  # noqa: E402
+    LongType,
+    StructField,
+)
+from pyspark.sql.types import StringType as _Str  # noqa: E402
+
+BM25_TF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("term", _Str()),
+        StructField("tf", LongType()),
+    ]
+)
+BM25_DL_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("dl", LongType())]
+)
+BM25_DF_SCHEMA = StructType(
+    [StructField("term", _Str()), StructField("df", LongType())]
+)
+BM25_STATS_SCHEMA = StructType(
+    [
+        StructField("n_docs", LongType()),
+        StructField("total_toks", LongType()),
+    ]
+)
+
+
+def save_bm25_index(idx, path: str) -> None:
+    """Persist a built index: three parquet tables + a one-row stats
+    artifact. No coalesce on the big tables — the posting list keeps
+    its partitioning."""
+    idx.tf.write.mode("overwrite").parquet(f"{path}/tf")
+    idx.dl.write.mode("overwrite").parquet(f"{path}/dl")
+    idx.dfreq.write.mode("overwrite").parquet(f"{path}/df")
+    spark = idx.tf.sparkSession
+    save_artifact(
+        spark.createDataFrame(
+            [(idx.n_docs, idx.total_toks)], BM25_STATS_SCHEMA
+        ),
+        f"{path}/stats",
+    )
+
+
+def load_bm25_index(spark: SparkSession, path: str):
+    """Load a persisted index with every table's schema enforced; the
+    stats row is the only (bounded) collect."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import Bm25Index
+
+    stats = load_artifact(spark, f"{path}/stats", BM25_STATS_SCHEMA).collect()[
+        0
+    ]
+    return Bm25Index(
+        load_artifact(spark, f"{path}/tf", BM25_TF_SCHEMA),
+        load_artifact(spark, f"{path}/dl", BM25_DL_SCHEMA),
+        load_artifact(spark, f"{path}/df", BM25_DF_SCHEMA),
+        int(stats.n_docs),
+        int(stats.total_toks),
+    )
