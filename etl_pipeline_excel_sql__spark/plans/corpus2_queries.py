@@ -500,3 +500,69 @@ ORACLE = {
                      * 10000) // len(toks) AS BIGINT) AS oov_bp
         FROM nz CROSS JOIN vocab""",
 }
+
+
+#: CCNet bucket cutpoints (percentiles of the fluency score) and the
+#: phase-1 width for the two-phase quantile locate over the scaled
+#: score domain (0..LM_SCALE → ≤ ~1k buckets at width 1024).
+CCNET_PCTS = [33, 67]
+CCNET_QWIDTH = 1024.0
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split by LM fluency: every document
+    bucketed by where its Kneser-Ney score falls against the corpus's
+    exact 33rd/67th percentiles (high score = low perplexity = head —
+    the slice CCNet keeps). Composes two audited operators: the KN
+    scorer and the two-phase exact-quantile locate (no global sort);
+    the two cutoff scalars broadcast, so bucketing is a narrow map over
+    the score table."""
+    from etl_pipeline_excel_sql__spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    scores = q_kn_lm_score(spark, sf_dir).select(
+        "doc_id", "kn_score_scaled"
+    )
+    cuts = (
+        exact_quantiles(
+            scores, "kn_score_scaled", ["doc_id"], CCNET_PCTS, CCNET_QWIDTH
+        )
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("pct") == 33, F.col("value"))).alias("c33"),
+            F.max(F.when(F.col("pct") == 67, F.col("value"))).alias("c67"),
+        )
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "kn_score_scaled",
+        F.when(F.col("kn_score_scaled") > F.col("c67"), "head")
+        .when(F.col("kn_score_scaled") > F.col("c33"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+ORACLE["ccnet_ppl_buckets"] = f"""
+WITH scores AS ({ORACLE["kn_lm_score"]}
+), n AS (SELECT COUNT(*) AS n FROM scores),
+ranked AS (
+  SELECT kn_score_scaled AS v,
+         row_number() OVER (ORDER BY kn_score_scaled, doc_id) AS rn
+  FROM scores
+), cuts AS (
+  SELECT MAX(CASE WHEN pct = 33 THEN v END) AS c33,
+         MAX(CASE WHEN pct = 67 THEN v END) AS c67
+  FROM (SELECT pct, GREATEST(CAST(1 AS BIGINT),
+               CAST(ceil(pct * n / 100.0) AS BIGINT)) AS rank
+        FROM (VALUES (33), (67)) p(pct) CROSS JOIN n) r
+  JOIN ranked ON ranked.rn = r.rank
+)
+SELECT doc_id, kn_score_scaled,
+       CASE WHEN kn_score_scaled > c67 THEN 'head'
+            WHEN kn_score_scaled > c33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores CROSS JOIN cuts
+"""
+QUERIES["ccnet_ppl_buckets"] = q_ccnet_ppl_buckets

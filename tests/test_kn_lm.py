@@ -92,3 +92,32 @@ def test_kn_query_matches_fraction_twin(spark, tmp_path):
         for r in q_kn_lm_score(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_ccnet_buckets_partition_by_exact_terciles(spark, sf_dir):
+    """Buckets are a partition of the scored docs, cut at the exact
+    33rd/67th percentile score values (computed naively here)."""
+    import math
+
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
+        q_ccnet_ppl_buckets,
+        q_kn_lm_score,
+    )
+
+    scores = sorted(
+        (r.kn_score_scaled, r.doc_id)
+        for r in q_kn_lm_score(spark, sf_dir).collect()
+    )
+    n = len(scores)
+    c33 = scores[max(1, math.ceil(33 * n / 100)) - 1][0]
+    c67 = scores[max(1, math.ceil(67 * n / 100)) - 1][0]
+    got = q_ccnet_ppl_buckets(spark, sf_dir).collect()
+    assert len(got) == n
+    for r in got:
+        want = (
+            "head" if r.kn_score_scaled > c67
+            else "middle" if r.kn_score_scaled > c33
+            else "tail"
+        )
+        assert r.bucket == want, (r, c33, c67)
+    assert {r.bucket for r in got} == {"head", "middle", "tail"}

@@ -61,6 +61,8 @@ BNLJ_WHITELIST = {
     "scd2_pointintime",  # broadcast 3-row probe-date list
     "exact_price_quantiles",  # rank table (pcts x n-scalar crossJoin) +
     #               non-equi locate against the ~1.6k-row bucket table
+    "ccnet_ppl_buckets",  # composes exact_quantiles (same bounded locate)
+    #               + the 2-cutoff scalar row broadcast over the scores
     "emb_label_centroids",  # broadcast dim-count singleton
     "emb_centroid_distances",  # centroid base relation reuse
     "emb_gram_matrix",  # broadcast scale singleton
@@ -229,6 +231,9 @@ CORPUS_BROADCAST_WHITELIST = {
     "exact_price_quantiles": "bucket table keyed on floor(value/width) — "
     "bounded by value range / bucket width (~1.6k rows), independent of "
     "corpus row count",
+    "ccnet_ppl_buckets": "exact_quantiles' bucket table over the scaled "
+    "score domain (0..LM_SCALE / width — <= ~1k rows) + the 2-cutoff "
+    "scalar row",
     "epoch_shuffle": "global_row_numbers offsets keyed on the (epoch, "
     "key-high-8-bits) bucket — <= EPOCHS x 2^(60-_EPOCH_KEY_SHIFT) = 512 "
     "rows by construction, independent of corpus size",
