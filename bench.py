@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "kn_lm_score",
     "cluster_balanced_sample",
     "exact_price_quantiles",
+    "ccnet_ppl_buckets",
 ]
 
 
