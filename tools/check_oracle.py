@@ -91,10 +91,82 @@ def driver_canon(cols: list[str], rows) -> "object":
     return df.reset_index(drop=True)
 
 
+def run_chunked(args) -> int:
+    """The sf1 memory recipe as one command: run the name list in
+    fresh-PROCESS chunks (process RSS fragmentation after dozens of
+    million-row verifications next to the Spark JVM and the DuckDB
+    buffer pool OOMs a single sweep at sf1 — see the verify skill),
+    re-run any residual failures in their own fresh process (ambient
+    failures pass there; real bugs stay red), and merge into --json."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    names = args.names or sorted(entrymod.queries())
+    env = {
+        **os.environ,
+        "ORACLE_DUCKDB_MEM": os.environ.get("ORACLE_DUCKDB_MEM", "24GB"),
+        "SPARK_GRAFT_DRIVER_MEM": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        ),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run_names(batch: list[str], out: str) -> None:
+        cmd = [_sys.executable, os.path.join(here, "check_oracle.py"),
+               "--sf", args.sf, "--json", out]
+        if args.driver_canon:
+            cmd.append("--driver-canon")
+        r = subprocess.run(cmd + batch, capture_output=True, text=True)
+        last = r.stdout.strip().splitlines()[-1:] or [""]
+        print(f"  chunk rc={r.returncode} {last[0]}", flush=True)
+
+    merged: dict = {}
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(0, len(names), args.chunk_size):
+            out = os.path.join(td, f"part_{i}.json")
+            run_names(names[i : i + args.chunk_size], out)
+            if os.path.exists(out):
+                merged.update(_json.load(open(out)))
+        bad = sorted(
+            k
+            for k, v in merged.items()
+            if v.get("err") or v.get("hash_match") is False
+        )
+        if bad:
+            print(f"retrying {len(bad)} residual failures fresh: {bad}")
+            out = os.path.join(td, "retry.json")
+            run_names(bad, out)
+            if os.path.exists(out):
+                merged.update(_json.load(open(out)))
+    still_bad = sorted(
+        k
+        for k, v in merged.items()
+        if v.get("err") or v.get("hash_match") is False
+    )
+    if args.json:
+        _json.dump(merged, open(args.json, "w"), indent=2)
+        print(f"wrote {args.json}")
+    print(f"\n{len(merged) - len(still_bad)}/{len(merged)} passed")
+    if still_bad:
+        print("still failing:", still_bad)
+    return 1 if still_bad else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--chunk-size",
+        type=int,
+        default=None,
+        help="run the sweep in fresh-process chunks of this many names "
+        "and merge the reports — the sf1 memory recipe (suggested: 45)",
+    )
     ap.add_argument(
         "--json",
         default=None,
@@ -109,6 +181,8 @@ def main() -> int:
         "tuple-based local canon tolerates",
     )
     args = ap.parse_args()
+    if args.chunk_size:
+        return run_chunked(args)
 
     import __spark_entry__ as entrymod
     from etl_pipeline_excel_sql__spark.session import get_session
