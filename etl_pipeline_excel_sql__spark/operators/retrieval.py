@@ -9,19 +9,36 @@ fusion; no score normalization across incommensurable scales).
 
 Cross-engine exactness doctrine (the repo's float rules):
 
-* Per-term BM25 contributions use ONLY IEEE +,-,*,/ — correctly rounded
-  and therefore bit-identical in Spark and DuckDB when written with the
-  same association. The classic ``ln``-smoothed idf would hit libm,
-  whose last-ulp behavior differs per engine, so the REGISTERED queries
-  run the rational-idf variant ``(N - df + 0.5) / (df + 0.5)`` (the
-  argument of Robertson's log; ``log_idf=True`` switches production
-  scoring to the textbook form — same plan shape, weaker cross-engine
-  hash guarantee, documented here rather than hidden).
-* Per-(query, doc) totals sum FLOOR-quantized integer micro-units, so
-  the aggregate is order-free and exact under any partitioning (the
+* The REGISTERED score is FLOAT-FREE. With rational idf
+  ``(N - df + 0.5) / (df + 0.5)`` and rational ``k1``/``b``, the whole
+  per-term contribution is one exact fraction: clearing denominators
+  (see ``_rational_coeffs``) gives
+
+      contrib = [(2(N-df)+1) · C1·T·tf]
+              / [(2df+1) · (C2·T·tf + C3·T + C4·dl·N)]
+
+  with integer constants C1..C4 folding k1, b AND the micro-unit scale,
+  so ``FLOOR(contrib · SCALE)`` is ONE integer division — decimal(38,0)
+  ``DIV`` in Spark, HUGEINT ``//`` in DuckDB — with no double anywhere.
+  (Round 8 ran this as a double chain with the same association; the
+  driver's DuckDB build landed one contribution on the other side of a
+  FLOOR boundary — the exact failure class this module's r8 doctrine
+  predicted for ``log_idf`` and wrongly accepted for the rational form.
+  Exact integers cannot drift.)
+* ``log_idf=True`` switches production scoring to Robertson's textbook
+  ``ln`` form — libm, per-engine last-ulp behavior, same plan shape, NO
+  cross-engine hash guarantee; documented here rather than hidden.
+* Per-(query, doc) totals sum integer micro-units, so the aggregate is
+  order-free and exact under any partitioning (the
   ``emb_label_centroids`` pattern).
 * RRF is pure integer arithmetic: ``SCALE DIV (k + rank)`` summed over
   rankers — no floats anywhere.
+
+Overflow headroom: the numerator is ``2N · C1 · T · tf``; at a
+100 TB-ish corpus (N=1e9 docs, T=1e12 tokens, tf=1e4, default
+C1=22·10⁶) that is ~4.4e32 ≪ 10³⁸, inside both engines' 128-bit
+integer/decimal range, and the quotient (≤ 2N·(k1+1)·SCALE ≈ 4e15)
+fits bigint.
 
 Scale shape:
 
@@ -38,6 +55,9 @@ Scale shape:
 
 from __future__ import annotations
 
+from fractions import Fraction
+from math import gcd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +73,28 @@ BM25_SCALE = 1_000_000
 #: RRF constants: score = Σ RRF_SCALE DIV (RRF_K + rank).
 RRF_K = 60
 RRF_SCALE = 1_000_000_000
+
+
+def _rational_coeffs(k1: float, b: float, scale: int) -> tuple[int, int, int, int]:
+    """Fold rational ``k1 = p/q``, ``b = r/s`` (exact from their decimal
+    literals) and the micro-unit ``scale`` into the four integer
+    constants of the cleared-denominator per-term contribution::
+
+        FLOOR(scale · idf · sat)
+          = [(2(N-df)+1) · C1·T·tf] DIV [(2df+1) · (C2·T·tf + C3·T + C4·dl·N)]
+
+    where ``C1 = (p+q)·s·scale``, ``C2 = q·s``, ``C3 = p·(s-r)``,
+    ``C4 = p·r``, reduced by their gcd. Defaults (k1=1.2, b=0.75,
+    scale=10⁶) give (22_000_000, 10, 3, 9)."""
+    fk1, fb = Fraction(str(k1)), Fraction(str(b))
+    p, q = fk1.numerator, fk1.denominator
+    r, s = fb.numerator, fb.denominator
+    c1 = (p + q) * s * scale
+    c2 = q * s
+    c3 = p * (s - r)
+    c4 = p * r
+    g = gcd(gcd(c1, c2), gcd(c3, c4))
+    return c1 // g, c2 // g, c3 // g, c4 // g
 
 
 class Bm25Index:
@@ -102,30 +144,53 @@ def bm25_scores_from_index(
     a freshly-built index."""
     n_docs, total_toks = idx.n_docs, idx.total_toks
     tf, dl, dfreq = idx.tf, idx.dl, idx.dfreq
-    idf_rational = (
-        (F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    idf = (
-        F.log(idf_rational) if log_idf else idf_rational
-    )
-    avgdl = float(total_toks) / float(n_docs)
-    dnorm = F.lit(1.0 - b) + F.lit(b) * (
-        F.col("dl").cast("double") / F.lit(avgdl)
-    )
-    contrib = idf * (
-        (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-        / (F.col("tf").cast("double") + F.lit(k1) * dnorm)
-    )
     matched = (
         tf.join(F.broadcast(query_terms), on="term")
         .join(dl, on="doc_id")
         .join(dfreq, on="term")
     )
-    return matched.groupBy("query_id", "doc_id").agg(
+    if log_idf:
+        # production ``ln`` idf: libm, no cross-engine hash guarantee
+        # (module doctrine) — the plan shape is identical to the exact
+        # path, only the per-term expression differs.
+        idf = F.log(
+            ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        avgdl = float(total_toks) / float(n_docs)
+        dnorm = F.lit(1.0 - b) + F.lit(b) * (
+            F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        contrib = idf * (
+            (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (F.col("tf").cast("double") + F.lit(k1) * dnorm)
+        )
+        contrib_u = F.floor(contrib * F.lit(BM25_SCALE)).cast("bigint")
+        return matched.groupBy("query_id", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit"),
+            F.sum(contrib_u).alias("score_u"),
+        )
+    # float-free registered path: one decimal(38,0) integer division per
+    # term (module doctrine; constants from _rational_coeffs).
+    c1, c2, c3, c4 = _rational_coeffs(k1, b, BM25_SCALE)
+    dec = "decimal(38,0)"
+    num = (
+        (F.lit(2) * (F.lit(n_docs) - F.col("df")) + F.lit(1)).cast(dec)
+        * F.lit(c1).cast(dec)
+        * F.lit(total_toks).cast(dec)
+        * F.col("tf").cast(dec)
+    )
+    den = (F.lit(2) * F.col("df") + F.lit(1)).cast(dec) * (
+        F.lit(c2).cast(dec) * F.lit(total_toks).cast(dec) * F.col("tf").cast(dec)
+        + F.lit(c3).cast(dec) * F.lit(total_toks).cast(dec)
+        + F.lit(c4).cast(dec) * F.col("dl").cast(dec) * F.lit(n_docs).cast(dec)
+    )
+    per_term = matched.withColumn("__num", num).withColumn(
+        "__den", den
+    ).withColumn("__contrib_u", F.expr("CAST(__num DIV __den AS BIGINT)"))
+    return per_term.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_hit"),
-        F.sum(
-            F.floor(contrib * F.lit(BM25_SCALE)).cast("bigint")
-        ).alias("score_u"),
+        F.sum("__contrib_u").alias("score_u"),
     )
 
 

@@ -403,6 +403,15 @@ def cosine_neardup_pairs(
         from etl_pipeline_excel_sql__spark.functions.vectors import srp_buckets_long
 
         global _last_keys
+        # Drop the previous call's cache BEFORE persisting the new one:
+        # a repeat invocation builds an identical plan, the CacheManager
+        # dedups the new persist() onto the old entry, and a
+        # persist-then-unpersist order would evict BOTH (the perceptron
+        # _last_feats lesson — both sides of the self-join would then
+        # recompute the signature subtree).
+        if _last_keys is not None:
+            _last_keys.unpersist()
+            _last_keys = None
         keys = srp_buckets_long(
             corpus.select(
                 F.col(id_col).alias("__id"),
@@ -421,8 +430,6 @@ def cosine_neardup_pairs(
         # vector) but its signature subtree is wide; both sides of the
         # self-join read it, so persist and drop the previous call's cache
         # (bounded to one lingering table, as in dedup.minhash_lsh_pairs).
-        if _last_keys is not None:
-            _last_keys.unpersist()
         _last_keys = keys
         key_cols = (["__block"] if block_col else []) + ["__table", "__bucket"]
         cand = (

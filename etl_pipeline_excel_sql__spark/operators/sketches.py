@@ -47,6 +47,9 @@ HLL_ALPHA_DEN = 1000
 #: max rank: 54 payload bits all zero -> rho = 55.
 _RHO_MAX = 55
 
+#: Previous invocation's persisted hit table (see hll_registers).
+_last_hit: DataFrame | None = None
+
 
 def _rho(r: Column) -> Column:
     """1 + leading zeros of the 54-bit payload ``r`` = 55 - bitlength.
@@ -61,9 +64,21 @@ def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str]
 ) -> DataFrame:
     """Complete per-group register table ``(*group_cols, reg, rho)`` —
-    one row per (group, register) with rho = 0 for never-hit registers
-    (the grid is generated per group via ``sequence``, a narrow op, not
-    a join against a register dimension)."""
+    one row per (group, register) with rho = 0 for never-hit registers.
+    The m-register grid is derived from the ALREADY-AGGREGATED hit
+    table's distinct groups (≤ m rows per group — aggregate-scale) and
+    left-joined back; the hit table is persisted (it is sketch-sized,
+    groups × m rows, and referenced by both the grid and the join), so
+    the corpus is scanned exactly once, by the hit aggregate. (Every
+    group has ≥1 row, hence ≥1 hit register, so the hit table's group
+    set is complete.) Cache lifetime follows the perceptron
+    ``_last_feats`` contract: each call drops the previous call's entry
+    BEFORE persisting (persist-then-unpersist on an identical plan
+    evicts both)."""
+    global _last_hit
+    if _last_hit is not None:
+        _last_hit.unpersist()
+        _last_hit = None
     h = md5_hash60(F.col(value_col))
     hit = (
         df.select(*group_cols, h.alias("__h"))
@@ -74,9 +89,11 @@ def hll_registers(
         )
         .groupBy(*group_cols, "reg")
         .agg(F.max("__rho").alias("rho"))
+        .persist()
     )
+    _last_hit = hit
     grid = (
-        df.select(*group_cols)
+        hit.select(*group_cols)
         .distinct()
         .select(
             *group_cols,
@@ -138,26 +155,52 @@ def _rho_int(r: int) -> int:
 # combinable groupBy: (row, col) keys, d·w bounded output regardless of
 # corpus size.
 
-#: depth (hash rows) and width (counters per row).
+#: depth (hash rows) and default width (counters per row).
 CMS_D = 4
 CMS_W = 512
 
+#: Adaptive width (the ``adaptive_srp_bits`` knob rule, VERDICT r8 task
+#: #6): the one-sided overestimate is ≤ 2N/w w.h.p., so a FIXED w lets
+#: overestimate-ppm grow linearly with the corpus. The registered query
+#: doubles w whenever total occurrences N cross ``CMS_TARGET_LOAD · w``,
+#: holding per-cell load (and therefore ppm) ~flat across scale decades.
+#: MIN is the round-8 fixed width (512); MAX bounds the gated sketch at
+#: d·2²⁰ ≈ 4M cells — a registered-query policy, not an operator limit.
+CMS_MIN_W_LOG2 = 9
+CMS_MAX_W_LOG2 = 20
+CMS_TARGET_LOAD = 256
 
-def _cms_col(value: Column, row: int) -> Column:
+
+def adaptive_cms_w(n_items: int) -> int:
+    """``clamp(2^ceil(log2(n / CMS_TARGET_LOAD)), 2^MIN, 2^MAX)`` as a
+    pure-integer threshold ladder — no float log2, so the DuckDB twin
+    (``sketch_queries._CMS_W_LADDER``) reproduces it bit-for-bit at
+    every SF."""
+    return 1 << (
+        CMS_MIN_W_LOG2
+        + sum(
+            1
+            for k in range(CMS_MIN_W_LOG2 + 1, CMS_MAX_W_LOG2 + 1)
+            if n_items > CMS_TARGET_LOAD * (1 << (k - 1))
+        )
+    )
+
+
+def _cms_col(value: Column, row: int, w: int = CMS_W) -> Column:
     """Column index of ``value`` in hash row ``row``."""
     return (
-        md5_hash60(F.concat(F.lit(f"cms{row}:"), value)) % CMS_W
+        md5_hash60(F.concat(F.lit(f"cms{row}:"), value)) % w
     ).cast("int")
 
 
-def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+def cms_build(df: DataFrame, value_col: str, w: int = CMS_W) -> DataFrame:
     """Count-Min table ``(row, col, cnt)`` over every occurrence of
     ``value_col`` (at most d·w rows; absent cells are zero)."""
     cells = df.select(
         F.posexplode(
             F.array(
                 *[
-                    _cms_col(F.col(value_col), j).alias(f"c{j}")
+                    _cms_col(F.col(value_col), j, w).alias(f"c{j}")
                     for j in range(CMS_D)
                 ]
             )
@@ -166,7 +209,9 @@ def cms_build(df: DataFrame, value_col: str) -> DataFrame:
     return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def cms_query(cms: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+def cms_query(
+    cms: DataFrame, probes: DataFrame, value_col: str, w: int = CMS_W
+) -> DataFrame:
     """Point-query the sketch for each probe value: est = MIN over the
     d cells. The probe table is expected to be bounded (a serving
     batch); the sketch itself is d·w rows, so the join is tiny no
@@ -176,7 +221,7 @@ def cms_query(cms: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    _cms_col(F.col(value_col), j).alias(f"c{j}")
+                    _cms_col(F.col(value_col), j, w).alias(f"c{j}")
                     for j in range(CMS_D)
                 ]
             )

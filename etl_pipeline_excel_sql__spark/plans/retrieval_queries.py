@@ -4,12 +4,14 @@ the dense (exact-cosine) ranking — the RAG serving pair next to the
 ANN family.
 
 Oracles replay the identical arithmetic in DuckDB. Exactness contract
-(see ``operators/retrieval`` doctrine): per-term BM25 contributions use
-only IEEE +,-,*,/ written with the same association in both engines
-(rational idf — no libm), per-(query, doc) totals sum FLOOR-quantized
-integer micro-units (order-free), and RRF is pure integer division
-(Spark ``DIV`` == DuckDB ``//`` on non-negative operands), so every
-emitted column hashes exactly.
+(see ``operators/retrieval`` doctrine): the per-term BM25 contribution
+is FLOAT-FREE — a single cleared-denominator integer division
+(decimal(38,0) ``DIV`` in Spark == HUGEINT ``//`` in DuckDB on
+non-negative operands) whose C1..C4 constants both sides take from the
+same ``_rational_coeffs`` call — per-(query, doc) totals sum integer
+micro-units (order-free), and RRF is pure integer division, so every
+emitted column hashes exactly on ANY engine build (round 8's driver
+red row was the old double chain landing on a FLOOR boundary).
 """
 
 from __future__ import annotations
@@ -23,6 +25,9 @@ from etl_pipeline_excel_sql__spark.operators.retrieval import (
     BM25_SCALE,
     RRF_K,
     RRF_SCALE,
+    _rational_coeffs,
+    bm25_build_index,
+    bm25_scores_from_index,
     bm25_topk,
     rrf_fuse,
 )
@@ -72,9 +77,12 @@ _QT_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, terms in RETRIEVAL_QUERIES for t in terms
 )
 
-#: Shared BM25 CTE chain (through the scored table). Float literals are
-#: repr()'d from the SAME Python constants the Spark side passes to
-#: F.lit, so both engines parse identical doubles.
+#: The cleared-denominator constants — taken from the SAME call the
+#: Spark side uses, so the two engines cannot disagree on the fraction.
+_C1, _C2, _C3, _C4 = _rational_coeffs(BM25_K1, BM25_B, BM25_SCALE)
+
+#: Shared BM25 CTE chain (through the scored table). The per-term score
+#: is one HUGEINT integer division — float-free, engine-build-proof.
 _BM25_CTES = f"""qt(query_id, term) AS (VALUES {_QT_VALUES}),
 toks AS MATERIALIZED (
   SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
@@ -91,16 +99,15 @@ stats AS (
 bm25 AS MATERIALIZED (
   SELECT qt.query_id, tf.doc_id,
          CAST(COUNT(*) AS INT) AS n_hit,
-         SUM(CAST(FLOOR(
-           ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
-              / (CAST(f.df AS DOUBLE) + 0.5))
-           * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
-              / (CAST(tf.tf AS DOUBLE) + {BM25_K1!r}
-                 * ({1.0 - BM25_B!r} + {BM25_B!r}
-                    * (CAST(d.dl AS DOUBLE)
-                       / (CAST(s.total_toks AS DOUBLE)
-                          / CAST(s.n_docs AS DOUBLE))))))
-           * {BM25_SCALE}) AS BIGINT)) AS score_u
+         SUM(CAST(
+           (CAST(2 * (s.n_docs - f.df) + 1 AS HUGEINT)
+              * {_C1} * s.total_toks * tf.tf)
+           //
+           (CAST(2 * f.df + 1 AS HUGEINT)
+              * ({_C2} * CAST(s.total_toks AS HUGEINT) * tf.tf
+                 + {_C3} * CAST(s.total_toks AS HUGEINT)
+                 + {_C4} * CAST(d.dl AS HUGEINT) * s.n_docs))
+           AS BIGINT)) AS score_u
   FROM tf
   JOIN qt ON qt.term = tf.term
   JOIN dfreq f ON f.term = tf.term
@@ -119,6 +126,41 @@ WITH {_BM25_CTES}
 SELECT query_id, doc_id, n_hit, score_u, rank FROM bm25_topk
 """
 QUERIES["bm25_topk"] = q_bm25_topk
+
+
+def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once/serve-many seam as a gated row: build the index,
+    PERSIST it (``save_bm25_index`` — tf/dl/df parquet + stats
+    artifact), LOAD it back with schemas enforced, and score the query
+    batch from the LOADED tables. Same oracle as ``bm25_topk`` — the
+    round-trip must be score-invisible."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_excel_sql__spark.sinks.models import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    idx = bm25_build_index(load_table(spark, "documents", sf_dir))
+    path = tempfile.mkdtemp(prefix="bm25_serve_idx_")
+    save_bm25_index(idx, path)
+    scored = bm25_scores_from_index(
+        load_bm25_index(spark, path), _query_terms_df(spark)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "n_hit", "score_u", "rank")
+    )
+
+
+ORACLE["bm25_serve_topk"] = ORACLE["bm25_topk"]
+QUERIES["bm25_serve_topk"] = q_bm25_serve_topk
 
 
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

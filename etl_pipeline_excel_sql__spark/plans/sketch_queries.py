@@ -22,11 +22,14 @@ from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
 from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 from etl_pipeline_excel_sql__spark.operators.sketches import (
     CMS_D,
-    CMS_W,
+    CMS_MAX_W_LOG2,
+    CMS_MIN_W_LOG2,
+    CMS_TARGET_LOAD,
     HLL_ALPHA_DEN,
     HLL_ALPHA_NUM,
     HLL_M,
     HLL_RHO_SCALE,
+    adaptive_cms_w,
     cms_build,
     cms_query,
     hll_estimate,
@@ -167,18 +170,23 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's top-5 shingles (count DESC, shingle ASC tie-break): the
     estimate, the exact count, and the one-sided overestimate in ppm —
     the CMS guarantee (est >= exact, error <= 2N/w w.h.p.) gated as
-    data. The sketch is d·w = 2048 cells regardless of corpus size; the
-    exact side of the probe is a TakeOrdered top-k, never a full sort.
+    data. The width ADAPTS — one cheap occurrence count drives the
+    ``adaptive_cms_w`` integer ladder, doubling w with the corpus to
+    hold over-ppm ~flat across scale decades (the adaptive_srp_bits
+    knob rule; the chosen w is emitted so adaptivity itself is gated).
+    The sketch stays d·w cells regardless of corpus size; the exact
+    side of the probe is a TakeOrdered top-k, never a full sort.
     """
     sh = _shingles(spark, sf_dir).select("sh")
-    cms = cms_build(sh, "sh")
+    w = adaptive_cms_w(sh.count())
+    cms = cms_build(sh, "sh", w)
     top = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("sh").asc())
         .limit(CMS_PROBE_K)
     )
-    est = cms_query(cms, top.select("sh"), "sh")
+    est = cms_query(cms, top.select("sh"), "sh", w)
     return top.join(est, "sh").select(
         "sh",
         "est_count",
@@ -186,6 +194,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(est_count - exact_count) * 1000000 DIV exact_count"
         ).alias("over_ppm"),
+        F.lit(w).cast("bigint").alias("w"),
     )
 
 
@@ -193,6 +202,18 @@ def _h60_cms(sh_expr: str) -> str:
     return H60_SQL.format(
         x=f"'cms' || CAST(j AS VARCHAR) || ':' || {sh_expr}"
     )
+
+
+#: DuckDB twin of :func:`operators.sketches.adaptive_cms_w`: the same
+#: integer threshold ladder over COUNT(*), generated from the same
+#: constants so the two can never desynchronize.
+_CMS_W_LADDER = "(CAST(1 AS BIGINT) << ({min_log2} + {ladder}))".format(
+    min_log2=CMS_MIN_W_LOG2,
+    ladder=" + ".join(
+        f"(CASE WHEN cnt > {CMS_TARGET_LOAD * (1 << (k - 1))} THEN 1 ELSE 0 END)"
+        for k in range(CMS_MIN_W_LOG2 + 1, CMS_MAX_W_LOG2 + 1)
+    ),
+)
 
 ORACLE["cms_heavy_hitters"] = f"""
 WITH sh AS MATERIALIZED (
@@ -203,15 +224,19 @@ WITH sh AS MATERIALIZED (
     JOIN documents d USING (doc_id)
     WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
   ) WHERE l{HLL_SHINGLE_K - 1} IS NOT NULL
+), wv AS MATERIALIZED (
+  SELECT {_CMS_W_LADDER} AS w FROM (SELECT COUNT(*) AS cnt FROM sh)
 ), rows_ AS (SELECT UNNEST(range({CMS_D})) AS j),
 cms AS MATERIALIZED (
-  SELECT j AS row, {_h60_cms("sh")} % {CMS_W} AS col, COUNT(*) AS cnt
+  SELECT j AS row, {_h60_cms("sh")} % (SELECT w FROM wv) AS col,
+         COUNT(*) AS cnt
   FROM sh CROSS JOIN rows_ GROUP BY 1, 2
 ), top AS MATERIALIZED (
   SELECT sh, COUNT(*) AS exact_count FROM sh GROUP BY sh
   ORDER BY exact_count DESC, sh ASC LIMIT {CMS_PROBE_K}
 ), probe AS (
-  SELECT t.sh, t.exact_count, j AS row, {_h60_cms("t.sh")} % {CMS_W} AS col
+  SELECT t.sh, t.exact_count, j AS row,
+         {_h60_cms("t.sh")} % (SELECT w FROM wv) AS col
   FROM top t CROSS JOIN rows_
 ), est AS (
   SELECT sh, exact_count,
@@ -220,7 +245,8 @@ cms AS MATERIALIZED (
   GROUP BY sh, exact_count
 )
 SELECT sh, est_count, exact_count,
-       (est_count - exact_count) * 1000000 // exact_count AS over_ppm
+       (est_count - exact_count) * 1000000 // exact_count AS over_ppm,
+       (SELECT w FROM wv) AS w
 FROM est
 """
 QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters

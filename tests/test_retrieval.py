@@ -5,6 +5,7 @@ query side, bounded fusion join)."""
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 from pyspark.sql import functions as F
 
@@ -14,22 +15,29 @@ from etl_pipeline_excel_sql__spark.operators.retrieval import (
     BM25_SCALE,
     RRF_K,
     RRF_SCALE,
+    _rational_coeffs,
     bm25_scores,
     bm25_topk,
     rrf_fuse,
 )
 
 
-def _bm25_ref(docs, queries, k1=BM25_K1, b=BM25_B):
-    """Independent float BM25 (rational idf), micro-unit quantized —
-    the operator must match this bit-for-bit."""
+def _bm25_ref(docs, queries, k1=BM25_K1, b=BM25_B, exact=True):
+    """Independent BM25 (rational idf), micro-unit quantized — the
+    operator must match this bit-for-bit. ``exact=True`` evaluates the
+    per-term contribution in Fraction arithmetic (the TRUE floor, what
+    the registered float-free path must produce); ``exact=False`` is
+    the round-8 double chain, kept to pin how far the doubles sit from
+    the floors on the test corpora."""
     toks = {d: t.split() for d, t in docs}
     n = len(docs)
-    avgdl = float(sum(len(t) for t in toks.values())) / float(n)
+    total = sum(len(t) for t in toks.values())
+    avgdl = float(total) / float(n)
     df: dict[str, int] = {}
     for t in toks.values():
         for term in set(t):
             df[term] = df.get(term, 0) + 1
+    fk1, fb = Fraction(str(k1)), Fraction(str(b))
     out = {}
     for qid, terms in queries:
         for d, t in toks.items():
@@ -39,13 +47,30 @@ def _bm25_ref(docs, queries, k1=BM25_K1, b=BM25_B):
                 if not tf:
                     continue
                 hits += 1
-                idf = (float(n - df[term]) + 0.5) / (float(df[term]) + 0.5)
-                dnorm = (1.0 - b) + b * (float(len(t)) / avgdl)
-                contrib = idf * ((tf * (k1 + 1.0)) / (tf + k1 * dnorm))
-                score += math.floor(contrib * BM25_SCALE)
+                if exact:
+                    idf = Fraction(2 * (n - df[term]) + 1, 2 * df[term] + 1)
+                    dnorm = (1 - fb) + fb * Fraction(len(t) * n, total)
+                    contrib = idf * (tf * (fk1 + 1)) / (tf + fk1 * dnorm)
+                    score += int(contrib * BM25_SCALE)  # exact floor
+                else:
+                    idf = (float(n - df[term]) + 0.5) / (float(df[term]) + 0.5)
+                    dn = (1.0 - b) + b * (float(len(t)) / avgdl)
+                    contrib = idf * ((tf * (k1 + 1.0)) / (tf + k1 * dn))
+                    score += math.floor(contrib * BM25_SCALE)
             if hits:
                 out[(qid, d)] = (hits, score)
     return out
+
+
+def test_rational_coeffs_defaults_and_reduction():
+    assert _rational_coeffs(BM25_K1, BM25_B, BM25_SCALE) == (
+        22_000_000,
+        10,
+        3,
+        9,
+    )
+    # k1=2 (p/q=2/1), b=1/2 (r/s=1/2), scale=10: (60,2,2,2) / gcd 2
+    assert _rational_coeffs(2.0, 0.5, 10) == (30, 1, 1, 1)
 
 
 def test_bm25_matches_reference_quantized(spark):
@@ -127,3 +152,46 @@ def test_bm25_plan_shape(spark, sf_dir):
         log_idf=True,
     ).collect()
     assert len(log_rows) == len(rows)
+
+
+def test_bm25_integer_scores_pin_double_form(spark, sf_dir):
+    """VERDICT r8 task #1 'done' gate: the float-free registered scores
+    equal the round-8 double-chain scores on the full smoke corpus —
+    i.e. the rewrite changed the REPRESENTATION of the arithmetic, not
+    one value of it (on this host; the driver's DuckDB build is exactly
+    where the double form diverged)."""
+    from etl_pipeline_excel_sql__spark.plans.retrieval_queries import (
+        RETRIEVAL_QUERIES,
+        _query_terms_df,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    exact = _bm25_ref(docs, RETRIEVAL_QUERIES, exact=True)
+    dbl = _bm25_ref(docs, RETRIEVAL_QUERIES, exact=False)
+    assert exact == dbl, "double form sat on a floor boundary even here"
+    got = {
+        (r.query_id, r.doc_id): (r.n_hit, r.score_u)
+        for r in bm25_scores(
+            load_table(spark, "documents", sf_dir), _query_terms_df(spark)
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_bm25_serve_roundtrip_is_score_invisible(spark, sf_dir):
+    """bm25_serve_topk (save → load → score) returns exactly what the
+    in-memory bm25_topk returns."""
+    from etl_pipeline_excel_sql__spark.plans.retrieval_queries import (
+        q_bm25_serve_topk,
+        q_bm25_topk,
+    )
+
+    direct = sorted(map(tuple, q_bm25_topk(spark, sf_dir).collect()))
+    served = sorted(map(tuple, q_bm25_serve_topk(spark, sf_dir).collect()))
+    assert served == direct

@@ -115,3 +115,46 @@ def test_duplicates_do_not_move_the_sketch(spark):
     ).collect()[0]
     assert d1.sum_scaled == d2.sum_scaled
     assert d1.est_distinct == d2.est_distinct
+
+
+def test_adaptive_cms_w_ladder():
+    """Pure-integer width ladder: round-8 fixed width at small N,
+    doubling per load decade, clamped at both ends."""
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        CMS_MAX_W_LOG2,
+        CMS_MIN_W_LOG2,
+        CMS_TARGET_LOAD,
+        adaptive_cms_w,
+    )
+
+    w_min = 1 << CMS_MIN_W_LOG2
+    assert adaptive_cms_w(0) == w_min
+    assert adaptive_cms_w(CMS_TARGET_LOAD * w_min) == w_min  # boundary stays
+    assert adaptive_cms_w(CMS_TARGET_LOAD * w_min + 1) == 2 * w_min
+    assert adaptive_cms_w(CMS_TARGET_LOAD * 2 * w_min + 1) == 4 * w_min
+    assert adaptive_cms_w(10**18) == 1 << CMS_MAX_W_LOG2
+    # load (= N/w) never exceeds CMS_TARGET_LOAD until the MAX clamp
+    for n in (10**3, 10**5, 10**7, 10**9):
+        w = adaptive_cms_w(n)
+        if w < (1 << CMS_MAX_W_LOG2):
+            assert n <= CMS_TARGET_LOAD * w
+
+
+def test_cms_width_parameter_threads_through(spark):
+    """cms_build/cms_query agree on the estimate at a non-default w."""
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    vals = [("a",)] * 7 + [("b",)] * 3 + [(f"x{i}",) for i in range(50)]
+    df = spark.createDataFrame(vals, "v STRING")
+    for w in (64, 4096):
+        cms = cms_build(df, "v", w)
+        est = {
+            r.v: r.est_count
+            for r in cms_query(
+                cms, spark.createDataFrame([("a",), ("b",)], "v STRING"), "v", w
+            ).collect()
+        }
+        assert est["a"] >= 7 and est["b"] >= 3  # one-sided

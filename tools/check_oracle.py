@@ -120,7 +120,9 @@ def run_chunked(args) -> int:
                "--sf", args.sf, "--json", out]
         if args.driver_canon:
             cmd.append("--driver-canon")
-        r = subprocess.run(cmd + batch, capture_output=True, text=True)
+        # env carries the memory caps this mode exists to apply — without
+        # it a chunk inherits only what the CALLER happened to export.
+        r = subprocess.run(cmd + batch, capture_output=True, text=True, env=env)
         last = r.stdout.strip().splitlines()[-1:] or [""]
         print(f"  chunk rc={r.returncode} {last[0]}", flush=True)
 
@@ -131,17 +133,23 @@ def run_chunked(args) -> int:
             run_names(names[i : i + args.chunk_size], out)
             if os.path.exists(out):
                 merged.update(_json.load(open(out)))
+        # a chunk that CRASHED (the segfault class this mode contains)
+        # never wrote its names — they must be retried, and if they stay
+        # absent they are failures, not silently-skipped passes.
         bad = sorted(
             k
             for k, v in merged.items()
             if v.get("err") or v.get("hash_match") is False
-        )
+        ) + sorted(set(names) - set(merged))
         if bad:
             print(f"retrying {len(bad)} residual failures fresh: {bad}")
             out = os.path.join(td, "retry.json")
             run_names(bad, out)
             if os.path.exists(out):
                 merged.update(_json.load(open(out)))
+    for name in names:
+        if name not in merged:
+            merged[name] = {"err": "chunk subprocess died before reporting"}
     still_bad = sorted(
         k
         for k, v in merged.items()
