@@ -244,6 +244,83 @@ def bm25_topk(
     )
 
 
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index rows ``(doc_id, pos, term)`` — the
+    classic IR structure BM25's bag-of-words index can't answer phrase
+    queries from. One tokenize pass, narrow (posexplode)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase occurrence counts: ``(phrase_id, doc_id, n_occ)``
+    for every document containing each phrase at least once.
+
+    ``phrase_terms`` is the bounded query batch ``(phrase_id, slot,
+    term, phrase_len)`` — one row per phrase position. The classic
+    positional-index anchor trick, all integers: a posting at ``pos``
+    matching slot ``s`` votes for anchor ``pos - s``; an anchor whose
+    DISTINCT matched slots cover the whole phrase is one occurrence
+    (distinctness makes repeated terms in a phrase — "the cat the" —
+    count each slot once per anchor).
+
+    Scale shape (the BM25 doctrine): the phrase batch broadcasts, the
+    postings table never does; the broadcast term join prunes the
+    corpus to matching terms BEFORE any aggregate, and both aggregates
+    key on (phrase, doc[, anchor]) — no self-join of the postings.
+    """
+    hits = positional_postings(docs, text_col, id_col).join(
+        F.broadcast(phrase_terms), on="term"
+    )
+    anchors = (
+        hits.select(
+            "phrase_id",
+            "doc_id",
+            "phrase_len",
+            (F.col("pos") - F.col("slot")).alias("anchor"),
+            "slot",
+        )
+        .filter(F.col("anchor") >= 0)
+        .groupBy("phrase_id", "doc_id", "phrase_len", "anchor")
+        .agg(F.count_distinct(F.col("slot")).alias("n_slots"))
+    )
+    return (
+        anchors.filter(F.col("n_slots") == F.col("phrase_len"))
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase_terms: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per phrase by occurrence count, deterministic
+    ties (n_occ DESC, doc_id ASC) — pure-integer hash inputs end to
+    end."""
+    counts = phrase_match_counts(docs, phrase_terms, text_col, id_col)
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_occ").desc(), F.col("doc_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("phrase_id", "doc_id", "n_occ", "rank")
+    )
+
+
 def rrf_fuse(
     rank_a: DataFrame,
     rank_b: DataFrame,

@@ -108,6 +108,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     analytics_queries,
     cdc_queries,
     clusterbal_queries,
+    cooccur_queries,
     ops_queries,
     sketch_queries,
     corpus_queries,
@@ -150,6 +151,7 @@ _ALL_QUERIES = {
     **graph_queries.QUERIES,
     **quality_queries.QUERIES,
     **classifier_queries.QUERIES,
+    **cooccur_queries.QUERIES,
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **cdc_queries.QUERIES,
@@ -181,6 +183,7 @@ _ALL_ORACLE = {
     **graph_queries.ORACLE,
     **quality_queries.ORACLE,
     **classifier_queries.ORACLE,
+    **cooccur_queries.ORACLE,
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **cdc_queries.ORACLE,

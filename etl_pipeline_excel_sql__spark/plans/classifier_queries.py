@@ -114,3 +114,38 @@ ORACLE["perceptron_quality"] = perceptron_unrolled_sql(
     PERCEPTRON_BUCKETS, PERCEPTRON_ROUNDS, PERCEPTRON_TARGET_TOKEN
 )
 QUERIES["perceptron_quality"] = q_perceptron_quality
+
+
+def q_perceptron_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier's confusion matrix: ``(y, pred, n,
+    share_ppm)`` — counts per (label, prediction) cell plus each cell's
+    integer parts-per-million share of the corpus, closing the
+    classifier tier's evaluation loop as a gated row. Pure integers
+    (doctrine 'exact' class); one extra aggregate over the scored
+    table."""
+    scored = q_perceptron_quality(spark, sf_dir)
+    cells = scored.groupBy("y", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # total via a window over the ≤4-row cell table — ONE training run,
+    # not a second count() action over the scored corpus
+    return cells.select(
+        "y",
+        "pred",
+        "n",
+        F.expr("n * 1000000 DIV sum(n) OVER ()").alias("share_ppm"),
+    )
+
+
+ORACLE["perceptron_confusion"] = f"""
+WITH scored AS MATERIALIZED (
+{ORACLE["perceptron_quality"]}
+),
+cells AS (
+  SELECT y, pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored GROUP BY y, pred
+)
+SELECT y, pred, n, n * 1000000 // SUM(n) OVER () AS share_ppm
+FROM cells
+"""
+QUERIES["perceptron_confusion"] = q_perceptron_confusion

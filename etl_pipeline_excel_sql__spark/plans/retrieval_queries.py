@@ -29,8 +29,10 @@ from etl_pipeline_excel_sql__spark.operators.retrieval import (
     bm25_build_index,
     bm25_scores_from_index,
     bm25_topk,
+    phrase_topk,
     rrf_fuse,
 )
+from etl_pipeline_excel_sql__spark.plans.spans_queries import _tok_sql
 from etl_pipeline_excel_sql__spark.operators.similarity import brute_force_topk
 from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
     EMB_DIMS,
@@ -161,6 +163,72 @@ def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["bm25_serve_topk"] = ORACLE["bm25_topk"]
 QUERIES["bm25_serve_topk"] = q_bm25_serve_topk
+
+
+#: The phrase serving batch: (phrase_id, [terms]) — bounded, broadcasts.
+PHRASE_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["table", "table"]),
+    (1, ["fast", "spark"]),
+    (2, ["key", "agg", "row"]),
+]
+
+PHRASE_TOPK = 10
+
+
+def _phrase_terms_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (pid, slot, t, len(terms))
+        for pid, terms in PHRASE_QUERIES
+        for slot, t in enumerate(terms)
+    ]
+    return spark.createDataFrame(
+        rows, "phrase_id INT, slot INT, term STRING, phrase_len INT"
+    )
+
+
+def q_phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over positional postings: top-10 documents
+    per phrase by occurrence count (anchor trick — a posting matching
+    slot s votes for anchor pos-s; a full-coverage anchor is one
+    occurrence). Pure-integer hash inputs; the phrase batch broadcasts
+    and prunes the postings BEFORE any aggregate (the BM25 plan
+    doctrine). The phrase capability BM25's bag-of-words index cannot
+    answer."""
+    return phrase_topk(
+        load_table(spark, "documents", sf_dir),
+        _phrase_terms_df(spark),
+        k=PHRASE_TOPK,
+    )
+
+
+_PHRASE_VALUES = ", ".join(
+    f"({pid}, {slot}, '{t}', {len(terms)})"
+    for pid, terms in PHRASE_QUERIES
+    for slot, t in enumerate(terms)
+)
+
+ORACLE["phrase_search_topk"] = f"""
+WITH pt(phrase_id, slot, term, phrase_len) AS (VALUES {_PHRASE_VALUES}),
+toks AS ({_tok_sql("SELECT doc_id, text FROM documents")}),
+anchors AS (
+  SELECT pt.phrase_id, t.doc_id, pt.phrase_len,
+         t.pos - pt.slot AS anchor,
+         COUNT(DISTINCT pt.slot) AS n_slots
+  FROM toks t JOIN pt ON pt.term = t.tok
+  WHERE t.pos - pt.slot >= 0
+  GROUP BY pt.phrase_id, t.doc_id, pt.phrase_len, t.pos - pt.slot
+),
+occ AS (
+  SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM anchors WHERE n_slots = phrase_len
+  GROUP BY phrase_id, doc_id
+)
+SELECT phrase_id, doc_id, n_occ,
+       CAST(row_number() OVER (PARTITION BY phrase_id
+            ORDER BY n_occ DESC, doc_id ASC) AS INT) AS rank
+FROM occ QUALIFY rank <= {PHRASE_TOPK}
+"""
+QUERIES["phrase_search_topk"] = q_phrase_search_topk
 
 
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

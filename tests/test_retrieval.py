@@ -195,3 +195,58 @@ def test_bm25_serve_roundtrip_is_score_invisible(spark, sf_dir):
     direct = sorted(map(tuple, q_bm25_topk(spark, sf_dir).collect()))
     served = sorted(map(tuple, q_bm25_serve_topk(spark, sf_dir).collect()))
     assert served == direct
+
+
+def test_phrase_match_counts_hand_corpus(spark):
+    """Anchor-trick semantics on a hand-checkable corpus, including
+    overlapping occurrences and a repeated-term phrase."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        phrase_match_counts,
+        phrase_topk,
+    )
+
+    docs = [
+        (1, "a b a b a"),      # "a b" twice; "a b a" twice (overlap)
+        (2, "b a b"),          # "a b" once
+        (3, "c c c"),          # "c c" twice (repeated-term phrase)
+        (4, "a x b"),          # no phrase hits
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    phrases = spark.createDataFrame(
+        [
+            (0, 0, "a", 2), (0, 1, "b", 2),            # "a b"
+            (1, 0, "a", 3), (1, 1, "b", 3), (1, 2, "a", 3),  # "a b a"
+            (2, 0, "c", 2), (2, 1, "c", 2),            # "c c"
+        ],
+        "phrase_id INT, slot INT, term STRING, phrase_len INT",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occ
+        for r in phrase_match_counts(ddf, phrases).collect()
+    }
+    assert got == {
+        (0, 1): 2,
+        (0, 2): 1,
+        (1, 1): 2,
+        (2, 3): 2,
+    }
+    ranks = {
+        (r.phrase_id, r.doc_id): r.rank
+        for r in phrase_topk(ddf, phrases, k=5).collect()
+    }
+    # phrase 0: doc 1 (2 occ) then doc 2 (1 occ)
+    assert ranks[(0, 1)] == 1 and ranks[(0, 2)] == 2
+
+
+def test_phrase_plan_broadcasts_query_side(spark, sf_dir):
+    from etl_pipeline_excel_sql__spark.plans.retrieval_queries import (
+        q_phrase_search_topk,
+    )
+
+    plan = (
+        q_phrase_search_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
