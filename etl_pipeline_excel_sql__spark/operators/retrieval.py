@@ -194,6 +194,65 @@ def bm25_scores_from_index(
     )
 
 
+def bm25_index_upsert(
+    idx: Bm25Index,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Bm25Index:
+    """Merge a batch of NEW documents into a built/loaded index without
+    re-tokenizing the existing corpus — every index statistic is
+    additive over disjoint document sets: tf rows are per-(doc, term)
+    so disjoint docs union directly, df and the two scalars sum, dl
+    unions. Incremental ingest is strictly cross-set (the
+    ``spans_incremental``/``cdc_incremental`` contract); a doc_id
+    present on both sides would corrupt the statistics silently, so the
+    merged dl carries a per-row ``raise_error`` guard (the packed-span
+    keeper-key pattern) that fails the JOB on overlap instead.
+    """
+    new_toks = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    new_tf = new_toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    new_df = new_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    new_dl = new_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        idx.dl.unionByName(new_dl)
+        .groupBy("doc_id")
+        .agg(F.sum("dl").alias("dl"), F.count(F.lit(1)).alias("__srcs"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__srcs") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("bm25_index_upsert: doc_id present in both "
+                              "index and new batch: "),
+                        F.col("doc_id").cast("string"),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("dl"))
+            .alias("dl"),
+        )
+    )
+    dfreq = (
+        idx.dfreq.unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    return Bm25Index(
+        idx.tf.unionByName(new_tf),
+        dl,
+        dfreq,
+        idx.n_docs + new_docs.count(),
+        idx.total_toks + new_toks.count(),
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: DataFrame,

@@ -16,7 +16,7 @@ red row was the old double chain landing on a FLOOR boundary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.operators.retrieval import (
@@ -138,8 +138,6 @@ def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip must be score-invisible."""
     import tempfile
 
-    from pyspark.sql import Window
-
     from etl_pipeline_excel_sql__spark.sinks.models import (
         load_bm25_index,
         save_bm25_index,
@@ -163,6 +161,36 @@ def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["bm25_serve_topk"] = ORACLE["bm25_topk"]
 QUERIES["bm25_serve_topk"] = q_bm25_serve_topk
+
+
+def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest as a gated row: build the index on HALF the
+    corpus (even doc_ids), upsert the other half (``bm25_index_upsert``
+    — no re-tokenization of the existing side), and serve top-k from
+    the merged statistics. The oracle is ``bm25_topk``'s full-corpus
+    rebuild — hash equality IS the additivity proof, cross-engine."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_index_upsert,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = bm25_index_upsert(
+        bm25_build_index(docs.filter(F.col("doc_id") % 2 == 0)),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    scored = bm25_scores_from_index(idx, _query_terms_df(spark))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "n_hit", "score_u", "rank")
+    )
+
+
+ORACLE["bm25_incremental_topk"] = ORACLE["bm25_topk"]
+QUERIES["bm25_incremental_topk"] = q_bm25_incremental_topk
 
 
 #: The phrase serving batch: (phrase_id, [terms]) — bounded, broadcasts.

@@ -321,3 +321,117 @@ FROM est
 
 
 ORACLE["stream_hll_users"] = _stream_hll_oracle()
+
+
+#: probe users for the streaming CMS point-queries (bounded batch).
+CMS_PROBE_USERS = [1, 2, 3, 4, 5]
+
+
+def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window user-frequency estimates from a Count-Min sketch
+    maintained BY THE STREAMING ENGINE (d·w cells of state per window,
+    whatever the user cardinality — the frequency twin of
+    ``stream_hll_users``). The drained cell table is probed batch-side
+    for the five fixed probe users: est = MIN over each user's d cells,
+    absent cells counting 0 via a (window × probe-cell) grid left join.
+    All integers; the oracle replays the cells and probes in DuckDB.
+    """
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_col,
+    )
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        cms_cells_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = run_to_memory_sink(
+        cms_cells_stream(ev), _sink_name("stream_cms_users")
+    )
+    probes = spark.createDataFrame(
+        [(u,) for u in CMS_PROBE_USERS], "user_id BIGINT"
+    ).select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_col(F.col("user_id").cast("string"), j, CMS_W)
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    # the sink view feeds both the window list and the probe join —
+    # rename the probe side's columns so the self-join carries no
+    # ambiguous (or conflicting) attribute references
+    grid = (
+        cells.select("window_start")
+        .distinct()
+        .crossJoin(F.broadcast(probes))
+    )
+    c = cells.select(
+        F.col("window_start").alias("__ws"),
+        F.col("row").alias("__row"),
+        F.col("col").alias("__col"),
+        "cnt",
+    )
+    return (
+        grid.join(
+            c,
+            (F.col("window_start") == F.col("__ws"))
+            & (F.col("row") == F.col("__row"))
+            & (F.col("col") == F.col("__col")),
+            "left",
+        )
+        .groupBy("window_start", "user_id")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
+QUERIES["stream_cms_users"] = q_stream_cms_users
+
+
+def _stream_cms_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
+    from etl_pipeline_excel_sql__spark.operators.sketches import CMS_D, CMS_W
+
+    def h(expr: str) -> str:
+        return H60_SQL.format(
+            x=f"'cms' || CAST(j AS VARCHAR) || ':' || {expr}"
+        )
+
+    users = ", ".join(f"({u})" for u in CMS_PROBE_USERS)
+    return f"""
+WITH rows_ AS (SELECT UNNEST(range({CMS_D})) AS j),
+cells AS MATERIALIZED (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         j AS row, {h("CAST(user_id AS VARCHAR)")} % {CMS_W} AS col,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN rows_ GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT u.user_id, j AS row,
+         {h("CAST(u.user_id AS VARCHAR)")} % {CMS_W} AS col
+  FROM (SELECT CAST(UNNEST([{", ".join(str(u) for u in CMS_PROBE_USERS)}])
+               AS BIGINT) AS user_id) u
+  CROSS JOIN rows_
+),
+grid AS (
+  SELECT w.window_start, p.user_id, p.row, p.col
+  FROM (SELECT DISTINCT window_start FROM cells) w CROSS JOIN probes p
+)
+SELECT g.window_start, g.user_id,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+FROM grid g LEFT JOIN cells c
+  ON c.window_start = g.window_start AND c.row = g.row AND c.col = g.col
+GROUP BY g.window_start, g.user_id
+"""
+
+
+ORACLE["stream_cms_users"] = _stream_cms_oracle()

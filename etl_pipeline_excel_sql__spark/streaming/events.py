@@ -523,3 +523,53 @@ def hll_users_stream(
             f"CAST({numer} DIV ({HLL_ALPHA_DEN} * sum_scaled) AS BIGINT)"
         ),
     )
+
+
+def cms_cells_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Per-window Count-Min cells BY THE STREAMING ENGINE — the
+    frequency sketch as bounded streaming state, the CMS twin of
+    ``hll_users_stream``.
+
+    Exact per-key frequency state grows with key cardinality; the CMS
+    cell table is the fix: the stateful aggregation keys on
+    ``(window, row, col)``, so state is at most d·w = CMS_D·CMS_W cells
+    per window no matter how many users the stream sees. ONE watermarked
+    aggregation (chained stateful aggs are restricted); point-query
+    probing (min over the d cells) is a stateless batch step over the
+    drained cells — see ``plans/streaming_queries.q_stream_cms_users``.
+    Same seeded integer hashes as the batch sketch
+    (operators/sketches.py), so the drained cells hash-match the DuckDB
+    replay exactly.
+    """
+    from etl_pipeline_excel_sql__spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _cms_col,
+    )
+
+    cells = events.select(
+        "ts",
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_col(F.col("user_id").cast("string"), j, CMS_W)
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    return (
+        cells.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "row",
+            "col",
+            "cnt",
+        )
+    )

@@ -250,3 +250,40 @@ def test_phrase_plan_broadcasts_query_side(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_index_upsert_equals_full_rebuild(spark):
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_index_upsert,
+        bm25_scores_from_index,
+    )
+
+    docs = [(1, "cat dog"), (2, "dog bird"), (3, "cat cat fish"), (4, "bird")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(0, "cat"), (0, "bird")], "query_id INT, term STRING"
+    )
+    full = bm25_build_index(ddf)
+    merged = bm25_index_upsert(
+        bm25_build_index(ddf.filter("doc_id <= 2")), ddf.filter("doc_id > 2")
+    )
+    assert (merged.n_docs, merged.total_toks) == (full.n_docs, full.total_toks)
+    a = sorted(map(tuple, bm25_scores_from_index(full, qdf).collect()))
+    b = sorted(map(tuple, bm25_scores_from_index(merged, qdf).collect()))
+    assert a == b
+
+
+def test_bm25_index_upsert_rejects_overlapping_doc_ids(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_index_upsert,
+    )
+
+    ddf = spark.createDataFrame([(1, "cat dog")], ["doc_id", "text"])
+    merged = bm25_index_upsert(bm25_build_index(ddf), ddf)  # same doc_id 1
+    with pytest.raises((Py4JJavaError, Exception), match="present in both"):
+        merged.dl.collect()

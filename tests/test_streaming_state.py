@@ -133,3 +133,46 @@ def test_sliding_counts_state_is_bounded_by_watermark_horizon(
     # Horizon working set: the hour-60/61 events open at most 4 distinct
     # 2h/1h windows; the 5 early windows must be gone.
     assert agg_ops[-1]["numRowsTotal"] <= 4, f"unbounded state: {agg_ops}"
+
+
+def test_cms_cells_state_is_capped_at_sketch_size(spark, tmp_path):
+    """The streaming Count-Min state is d·w CELLS per window, not one
+    row per key: 1500 distinct users in one window may naively need
+    6000 (user, row) state rows, but the store must hold ≤ CMS_D·CMS_W;
+    and the watermark must still evict closed windows."""
+    from etl_pipeline_excel_sql__spark.operators.sketches import CMS_D, CMS_W
+    from etl_pipeline_excel_sql__spark.streaming.events import (
+        cms_cells_stream,
+    )
+
+    n_users = 1500
+    batch0 = [
+        (u, BASE + u * 1_000, u, "click", 1.0, "{}") for u in range(n_users)
+    ]
+    batch1 = [
+        (100_000 + u, BASE + 50 * H + u * 1_000_000, u, "click", 1.0, "{}")
+        for u in range(2)
+    ]
+    batch2 = [(200_000, BASE + 51 * H, 5, "click", 1.0, "{}")]
+    events = _multi_batch_source(spark, tmp_path, [batch0, batch1, batch2])
+    result, metrics = run_with_state_metrics(
+        cms_cells_stream(events, watermark="1 hour"),
+        "cms_state_test",
+        output_mode="update",
+    )
+    cap = CMS_D * CMS_W
+    ops = [m for m in metrics if m["numRowsTotal"] > 0]
+    assert ops, f"no state metrics recorded: {metrics}"
+    peak = max(m["numRowsTotal"] for m in ops)
+    assert peak <= cap + 3 * CMS_D, (
+        f"state exceeded the sketch cap d*w={cap}: {metrics}"
+    )
+    assert peak > CMS_W, "scenario too small to exercise the cap"
+    removed = sum(m["numRowsRemoved"] for m in metrics)
+    assert removed > 0, f"watermark never evicted closed windows: {metrics}"
+    # the drained cells reconstruct exact counts' lower bound: every
+    # hour-0 user contributes CMS_D cells' worth of increments
+    rows = result.collect()
+    first_window = min(r.window_start for r in rows)
+    hour0 = [r for r in rows if r.window_start == first_window]
+    assert sum(r.cnt for r in hour0) == n_users * CMS_D
