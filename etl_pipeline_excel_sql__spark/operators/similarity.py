@@ -75,6 +75,67 @@ def brute_force_topk(
     )
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int | None = None,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-``k`` most-similar corpus vectors with a DIFFERENT label —
+    the near-misses a contrastive objective learns the most from
+    (in-batch random negatives are mostly easy; mining by similarity is
+    the standard hard-negative recipe).
+
+    Same plan shape as :func:`brute_force_topk` (bounded query batch
+    broadcasts, corpus scans once, per-side norms), with the label
+    inequality applied BEFORE scoring so mismatched pairs never reach
+    the dot product. Output: ``query_id, query_label, neighbor_id,
+    neighbor_label, cosine_sim, rank`` — ranking by a computed double
+    with neighbor_id tie-break (tests/test_float_doctrine.py's
+    DOUBLE_SORTED review class, like the rest of the ANN family).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__cnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qvec"), F.col("__cvec"), dims)
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
 def cell_centroids(
     corpus: DataFrame,
     cell_col: str = "label",

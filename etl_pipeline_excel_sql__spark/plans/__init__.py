@@ -109,6 +109,7 @@ from etl_pipeline_excel_sql__spark.plans import (
     cdc_queries,
     clusterbal_queries,
     cooccur_queries,
+    mining_queries,
     ops_queries,
     sketch_queries,
     corpus_queries,
@@ -152,6 +153,7 @@ _ALL_QUERIES = {
     **quality_queries.QUERIES,
     **classifier_queries.QUERIES,
     **cooccur_queries.QUERIES,
+    **mining_queries.QUERIES,
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **cdc_queries.QUERIES,
@@ -184,6 +186,7 @@ _ALL_ORACLE = {
     **quality_queries.ORACLE,
     **classifier_queries.ORACLE,
     **cooccur_queries.ORACLE,
+    **mining_queries.ORACLE,
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **cdc_queries.ORACLE,

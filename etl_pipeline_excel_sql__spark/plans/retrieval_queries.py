@@ -281,8 +281,38 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(sparse.select("query_id", "doc_id", "rank"), dense)
 
 
-ORACLE["hybrid_rrf_topk"] = f"""
-WITH {_BM25_CTES},
+#: context snippet length (tokens) for the RAG serving capstone.
+RAG_SNIPPET_TOKENS = 16
+RAG_CONTEXTS_PER_QUERY = 3
+
+
+def q_rag_context_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval tier end-to-end in ONE lazy DAG: BM25 top-10 +
+    exact-cosine top-10 → integer RRF fusion → keep the top-3 contexts
+    per query → join back to the corpus for a rendered 16-token
+    snippet. ``(query_id, doc_id, rrf_u, fused_rank, snippet)`` — what
+    a RAG serving layer actually hands the generator. The fused table
+    is k-bounded per query, so the context join probes the corpus with
+    a tiny build side."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    fused = q_hybrid_rrf_topk(spark, sf_dir).filter(
+        F.col("fused_rank") <= RAG_CONTEXTS_PER_QUERY
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(ws_tokens(F.col("text")), 1, RAG_SNIPPET_TOKENS)
+        ).alias("snippet"),
+    )
+    return fused.join(docs, "doc_id").select(
+        "query_id", "doc_id", "rrf_u", "fused_rank", "snippet"
+    )
+
+
+#: hybrid fusion CTE chain (through the fused ranking), shared by the
+#: hybrid row and the RAG context capstone.
+_HYBRID_CTES = f"""{_BM25_CTES},
 dense AS MATERIALIZED (
   SELECT CAST(q.vec_id AS INT) AS query_id, c.vec_id AS doc_id,
          CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -302,10 +332,26 @@ fused AS (
            AS BIGINT) AS rrf_u
   FROM (SELECT query_id, doc_id, rank FROM bm25_topk) b
   FULL OUTER JOIN dense d USING (query_id, doc_id)
-)
-SELECT query_id, doc_id, rrf_u,
-       CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY rrf_u DESC, doc_id ASC) AS INT) AS fused_rank
-FROM fused
+),
+hybrid AS (
+  SELECT query_id, doc_id, rrf_u,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_u DESC, doc_id ASC) AS INT) AS fused_rank
+  FROM fused
+)"""
+
+ORACLE["hybrid_rrf_topk"] = f"""
+WITH {_HYBRID_CTES}
+SELECT query_id, doc_id, rrf_u, fused_rank FROM hybrid
 """
 QUERIES["hybrid_rrf_topk"] = q_hybrid_rrf_topk
+
+ORACLE["rag_context_pipeline"] = f"""
+WITH {_HYBRID_CTES}
+SELECT h.query_id, h.doc_id, h.rrf_u, h.fused_rank,
+       array_to_string(list_slice({_TOKS}, 1, {RAG_SNIPPET_TOKENS}), ' ')
+         AS snippet
+FROM hybrid h JOIN documents d ON d.doc_id = h.doc_id
+WHERE h.fused_rank <= {RAG_CONTEXTS_PER_QUERY}
+"""
+QUERIES["rag_context_pipeline"] = q_rag_context_pipeline

@@ -57,6 +57,8 @@ DOUBLE_SORTED: dict[str, str] = {
     "dedup_lastwins": "raw snapshot ordering key",
     "events_anomaly_mad": "computed MAD percentile; ties by event id",
     "exact_price_quantiles": "raw price order-statistic locate",
+    "hard_negatives_topk": "computed cosine (ANN review class); ties "
+    "(score DESC, neighbor_id ASC)",
     "hybrid_rrf_topk": "dense leg ranks computed cosine; ties by doc_id; "
     "fusion itself is pure-integer RRF",
     "ivfpq_adc": "coarse assignment ranks computed distance; ADC emits "
@@ -64,6 +66,8 @@ DOUBLE_SORTED: dict[str, str] = {
     "ivfpq_residual_adc": "same coarse ranking; ties by vec_id",
     "limit_offset": "raw o_totalprice sort + limit",
     "percentile_disc": "raw price ordering",
+    "rag_context_pipeline": "composes hybrid_rrf_topk's dense leg; same "
+    "cosine ranking + doc_id tie-break; fusion/snippet integer/string",
     "returned_items_report": "computed revenue sum ordering; ties by key",
     "sql_topk_revenue": "computed revenue sum ordering; ties by key",
     "text_tfidf_topk": "computed tfidf; ties (score DESC, term ASC)",
