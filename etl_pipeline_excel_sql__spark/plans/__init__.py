@@ -94,6 +94,20 @@ r1–r7; the semantics also runs inside ``diff_cells``), ``order_custom``
 every incomer oracle-green at sf0.001/0.01/0.1 AND sf1 locally first;
 ``cdc_dedup_stats``/``cdc_incremental``/``cms_heavy_hitters`` stay
 local-only (family-covered by the in-window CDC and sketch rows).
+Round 9's rotation gave four zero-history round-9 families their first
+gate runs — ``phrase_search_topk`` (positional-postings exact-phrase
+IR), ``rag_context_pipeline`` (the retrieval capstone: BM25 + dense +
+integer RRF + snippet join in one DAG), ``hard_negatives_topk``
+(contrastive training-pair mining), and ``skipgram_top_pairs``
+(word2vec-style co-occurrence) — displacing ``asof_join`` (r2–r8
+history; temporal joins kept by band_join_recent_errors +
+scd2_pointintime, as-of variants locally green), ``text_passage_dedup``
+(r4–r8), ``emb_gram_matrix`` (r4–r8), and ``stream_sliding_counts``
+(r4–r8; five streaming rows stay) — every incomer oracle-green at
+sf0.001/0.01/0.1 AND sf1 locally first. ``bm25_serve_topk``/
+``bm25_incremental_topk``/``perceptron_confusion``/``stream_cms_users``
+stay local-only (family-covered by the in-window BM25, classifier, and
+streaming-sketch rows).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -253,7 +267,12 @@ DRIVER_PRIORITY = [
     # band_join_recent_errors + asof_join) for the hybrid sparse+dense
     # RRF fusion row (locally green at all four SFs before rotating in)
     "hybrid_rrf_topk",
-    "asof_join",
+    # asof_join rotated out round 9 (r2-r8 history; the as-of family
+    # keeps asof_join_nearest/forward locally green and temporal joins
+    # stay in-window via band_join_recent_errors + scd2_pointintime)
+    # for exact-phrase search over positional postings — a new IR
+    # family with zero history (locally green at all four SFs first)
+    "phrase_search_topk",
     # window_agg_events rotated out round 4 (r1-r4 history; window family
     # kept by window_zscore + window_range_frame) for the time-weighted
     # LOCF aggregate; events_twap rotated out round 8b (r4-r7 history,
@@ -267,12 +286,24 @@ DRIVER_PRIORITY = [
     # stream_sessionize keeps sessions in-window), and tpch_q2 (r2-r4
     # history; q9+q21 keep TPC-H in-window)
     "band_join_recent_errors",
-    "text_passage_dedup",
-    "emb_gram_matrix",
+    # text_passage_dedup rotated out round 9 (r4-r8 history; the text +
+    # dedup families keep six other in-window rows) for the RAG
+    # context-serving capstone — BM25 + dense + RRF + snippet join in
+    # one DAG (locally green at all four SFs first)
+    "rag_context_pipeline",
+    # emb_gram_matrix rotated out round 9 (r4-r8 history; the embedding
+    # family keeps neardup_cosine + ivfpq + cluster_balanced_sample
+    # in-window) for contrastive hard-negative mining, a new
+    # training-pair family (locally green at all four SFs first)
+    "hard_negatives_topk",
     # merge_upsert rotated out round 4 (driver history in r2+r3;
     # merge_scd2 keeps the MERGE family in-window) for the round-4
     # streaming sliding-window row
-    "stream_sliding_counts",
+    # stream_sliding_counts rotated out round 9 (r4-r8 history; five
+    # streaming rows stay in-window) for the word2vec-style skip-gram
+    # co-occurrence family's first driver row (locally green at all
+    # four SFs first)
+    "skipgram_top_pairs",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
     # tpch_q9_profit rotated out round 4 (r2-r4 history; q21 keeps TPC-H
