@@ -101,6 +101,13 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     "exact_price_quantiles",
     "ccnet_ppl_buckets",
+    # round-9 additions (appended; earlier ordering preserved)
+    "bm25_serve_topk",
+    "bm25_incremental_topk",
+    "phrase_search_topk",
+    "skipgram_top_pairs",
+    "hard_negatives_topk",
+    "rag_context_pipeline",
 ]
 
 
