@@ -312,7 +312,10 @@ COMMENTARY = {
         "broadcasts and prunes the corpus term table BEFORE the "
         "per-(query, doc) aggregate, so only matching terms ever reach "
         "the scoring join; top-k is a window over query_id (as many "
-        "groups as queries). The corpus never force-broadcasts."
+        "groups as queries). The corpus never force-broadcasts. Since "
+        "round 9 the per-term score is ONE decimal(38,0) integer "
+        "division (cleared-denominator rational idf x saturation) — no "
+        "double anywhere in the hash."
     ),
     "hybrid_rrf_topk": (
         "Rank fusion: both inputs are already top-k-bounded (queries x "
@@ -323,12 +326,14 @@ COMMENTARY = {
         "integer DIV — no cross-engine float risk in the fused score."
     ),
     "perceptron_quality": (
-        "Supervised training as per-ROUND aggregates: the bounded "
-        "weight table (n_buckets rows) broadcasts against the (doc, "
-        "bucket) feature table; margins partial-combine per doc, "
-        "updates per bucket. Per-round driver state is the weight "
-        "vector only — no corpus collect, no per-sample SGD ordering. "
-        "The feature table is built once and persisted across rounds."
+        "Supervised training, one pass per ROUND since round 9: the "
+        "bounded weight table (n_buckets rows) broadcasts against the "
+        "persisted doc_id-partitioned feature table, a window sum over "
+        "doc_id gives every feature row its doc's margin with no "
+        "join-back (and no exchange — the cache carries the "
+        "partitioning), and the only per-round shuffle is the bounded "
+        "bucket-keyed update. Per-round driver state is the weight "
+        "vector only — no corpus collect, no per-sample SGD ordering."
     ),
     "zorder_key": (
         "Pure narrow map — 2x21 shift/mask terms in one WholeStageCodegen "
@@ -371,6 +376,41 @@ COMMENTARY = {
         "fan-out are windows over the bigram-TYPE table (model-sized); "
         "the single broadcast is the type-count scalar. Shuffle rows "
         "carry word pairs and counts, never text."
+    ),
+    "phrase_search_topk": (
+        "Exact-phrase IR: positional postings are one narrow posexplode; "
+        "the broadcast phrase batch prunes to matching terms BEFORE the "
+        "anchor aggregate, so shuffled rows are proportional to matching "
+        "postings, never the corpus; occurrence detection is two hash "
+        "aggregates keyed on (phrase, doc[, anchor]) — no postings "
+        "self-join anywhere in the plan."
+    ),
+    "skipgram_top_pairs": (
+        "Co-occurrence pair generation via lead windows: ONE exchange "
+        "(doc_id, for the window sort), then map-side-combined counts "
+        "over the bigram-vocabulary-scale pair table and a "
+        "TakeOrderedAndProject top-k — the plan contains no join at all "
+        "(pinned by test_cooccur)."
+    ),
+    "hard_negatives_topk": (
+        "Contrastive mining is the ann_brute_topk shape: the bounded "
+        "probe batch broadcasts, the corpus scans once, and the label "
+        "inequality filters BEFORE the dot product so same-label pairs "
+        "never pay vector arithmetic; ranking ties break on neighbor_id."
+    ),
+    "rag_context_pipeline": (
+        "The serving capstone composes three k-bounded tables (BM25 "
+        "top-k, dense top-k, fused top-3); corpus-scale work is only "
+        "the two rankers' scans, and the final snippet join probes the "
+        "corpus with a (queries x 3)-row build side — broadcast at any "
+        "corpus size."
+    ),
+    "bm25_incremental_topk": (
+        "Incremental ingest: the existing index's tf/dl/df tables union "
+        "with the new batch's (vocabulary-scale re-aggregation, never a "
+        "corpus re-tokenization); the overlap guard is a per-row "
+        "conditional raise_error in the merged dl projection — zero "
+        "extra passes. Serving is then the standard BM25 plan."
     ),
     "cluster_balanced_sample": (
         "Training reuses kmeans_train_assign (per round: one corpus scan "
