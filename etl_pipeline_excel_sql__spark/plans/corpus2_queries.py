@@ -77,7 +77,10 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, CHUNK_W)
     return out.select(
         "doc_id",
-        (F.col("__start") / CHUNK_S).cast("bigint").alias("chunk_idx"),
+        # integer DIV: __start is an exact multiple of the stride, and an
+        # integer quotient keeps this query out of the float-doctrine
+        # QUANTIZED_COMPUTED class (the oracle already uses //)
+        F.expr(f"__start DIV {CHUNK_S}").cast("bigint").alias("chunk_idx"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
@@ -240,7 +243,7 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = seg.select(
         "doc_id",
-        (F.col("__start") / PASSAGE_W).cast("bigint").alias("pos"),
+        F.expr(f"__start DIV {PASSAGE_W}").cast("bigint").alias("pos"),
         passage.alias("p"),
         F.md5(passage).alias("h"),
     )

@@ -89,7 +89,6 @@ QUANTIZED_COMPUTED: dict[str, str] = {
     "agg_pricing_summary": "(a) decimal cast of one-op charge exprs",
     "agg_skew_salted": "(c) salt bucket from one multiply",
     "ccnet_ppl_buckets": "(b) KN score micro-units feeding tercile split",
-    "doc_chunk_windows": "(c) chunk index from one divide",
     "download_pipeline": "(a) pct render via BRound half-even, doc'd T2",
     "emb_centroid_distances": "(b) micro-unit distance, reviewed",
     "emb_label_centroids": "(b) THE micro-unit pattern, reviewed",
@@ -108,8 +107,6 @@ QUANTIZED_COMPUTED: dict[str, str] = {
     "pq_adc": "(b) int64 ADC micro-units",
     "returned_items_report": "(a) decimal cast of 1-l_discount",
     "sql_topk_revenue": "(a) decimal cast of 1-l_discount",
-    "text_passage_dedup": "(c) passage bucket floor(start/10), exact for "
-    "integer starts",
     "tpch_q10_returned_items": "(a) decimal cast of 1-l_discount",
     "tpch_q14_promo_share": "(a) decimal cast of 1-l_discount",
     "tpch_q15_top_supplier": "(a) decimal cast of 1-l_discount",
