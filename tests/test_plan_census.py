@@ -38,6 +38,10 @@ BNLJ_WHITELIST = {
     #               (kmeans_train_assign's bounded quantizer, as ann_ivf_topk)
     "hybrid_rrf_topk",  # composes brute_force_topk; inherits its bounded
     #               query-vector broadcast BNLJ (3-row probe set)
+    "rag_context_pipeline",  # composes hybrid_rrf_topk; same bounded
+    #               3-row dense probe BNLJ
+    "hard_negatives_topk",  # 8-row probe set broadcast against the
+    #               corpus scan (the ann_brute_topk pattern)
     "ivfpq_adc",  # broadcast ncells-row coarse-centroid tables (seed +
     #               trained) cross-joined for assignment/probing — the
     #               same bounded singleton pattern as ann_ivf_topk
@@ -227,6 +231,11 @@ CORPUS_BROADCAST_WHITELIST = {
     "hybrid_rrf_topk": "composes brute_force_topk; dense query set is "
     "vec_id < 3 — constant-range predicate (the BM25 query side is a "
     "literal serving batch, not corpus-derived)",
+    "rag_context_pipeline": "composes hybrid_rrf_topk; inherits the same "
+    "vec_id < 3 constant-range dense probe set (the snippet join's build "
+    "side is the fused top-3 — k-bounded)",
+    "hard_negatives_topk": "probe set is vec_id < 8 — constant-range "
+    "predicate, the ann_brute_topk argument",
     "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
     "exact_price_quantiles": "bucket table keyed on floor(value/width) — "
     "bounded by value range / bucket width (~1.6k rows), independent of "
