@@ -127,8 +127,11 @@ def q_window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
+        # (n+1) >> 1 == (n+1) DIV 2 for the non-negative frame size:
+        # integer arithmetic keeps the midpoint index out of the
+        # float-doctrine QUANTIZED_COMPUTED class (oracle uses //)
         F.element_at(
-            frame, ((F.size(frame) + 1) / 2).cast("int")
+            frame, F.shiftright(F.size(frame) + F.lit(1), 1).cast("int")
         ).alias("median5"),
         F.size(frame).cast("int").alias("frame_n"),
     )

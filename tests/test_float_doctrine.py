@@ -117,7 +117,6 @@ QUANTIZED_COMPUTED: dict[str, str] = {
     "tpch_q8_market_share": "(a) decimal cast of 1-l_discount",
     "tpch_q9_profit": "(a) decimal cast of 1-l_discount",
     "vec_quantize_int8": "(c) int8 grid floor, quantum ≫ ulp",
-    "window_moving_median": "(c) frame midpoint index from one divide",
 }
 
 
