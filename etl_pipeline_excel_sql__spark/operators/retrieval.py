@@ -132,6 +132,81 @@ def bm25_build_index(
     return Bm25Index(tf, dl, dfreq, docs.count(), toks.count())
 
 
+def bm25_matched_terms(idx: Bm25Index, query_terms: DataFrame) -> DataFrame:
+    """The matched per-(query, doc, term) statistics table every BM25
+    stage scores from: broadcast the bounded query batch into the corpus
+    term table (pruning it BEFORE any aggregate — module doctrine), then
+    attach dl and df. Exposed separately so the driver gate can check the
+    statistics tier (``bm25_stats``) independently of the scoring
+    arithmetic (``bm25_contrib``) and the final aggregate (``bm25_topk``)
+    — the round-10 bisection rows."""
+    return (
+        idx.tf.join(F.broadcast(query_terms), on="term")
+        .join(idx.dl, on="doc_id")
+        .join(idx.dfreq, on="term")
+    )
+
+
+def bm25_term_contribs(
+    idx: Bm25Index,
+    query_terms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-term integer micro-unit contributions PRE-aggregation:
+    ``(query_id, doc_id, term, tf, df, dl, contrib_u)`` where
+    ``contrib_u`` is the single cleared-denominator integer division of
+    the module doctrine — the exact-arithmetic stage in isolation."""
+    c1, c2, c3, c4 = _rational_coeffs(k1, b, BM25_SCALE)
+    n_docs, total_toks = idx.n_docs, idx.total_toks
+    _check_bm25_headroom(n_docs, total_toks, c1)
+    dec = "decimal(38,0)"
+    num = (
+        (F.lit(2) * (F.lit(n_docs) - F.col("df")) + F.lit(1)).cast(dec)
+        * F.lit(c1).cast(dec)
+        * F.lit(total_toks).cast(dec)
+        * F.col("tf").cast(dec)
+    )
+    den = (F.lit(2) * F.col("df") + F.lit(1)).cast(dec) * (
+        F.lit(c2).cast(dec) * F.lit(total_toks).cast(dec) * F.col("tf").cast(dec)
+        + F.lit(c3).cast(dec) * F.lit(total_toks).cast(dec)
+        + F.lit(c4).cast(dec) * F.col("dl").cast(dec) * F.lit(n_docs).cast(dec)
+    )
+    return (
+        bm25_matched_terms(idx, query_terms)
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn("contrib_u", F.expr("CAST(__num DIV __den AS BIGINT)"))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("dl").cast("bigint").alias("dl"),
+            "contrib_u",
+        )
+    )
+
+
+def _check_bm25_headroom(n_docs: int, total_toks: int, c1: int) -> None:
+    """ADVICE guard: the decimal(38,0) chain relies on documented
+    headroom, but non-ANSI Spark turns a decimal overflow into NULL and
+    ``F.sum`` silently drops it — a quietly-low score instead of an
+    error. Assert the worst-case numerator bound (the largest
+    intermediate: ``(2N+1)·C1·T·tf`` with tf ≤ T) from the scalars the
+    index already holds, so a corpus/constants combination that could
+    overflow fails LOUDLY at plan-build time."""
+    worst = (2 * n_docs + 1) * c1 * total_toks * total_toks
+    if worst >= 10**38:
+        raise ValueError(
+            "bm25: worst-case decimal(38,0) intermediate "
+            f"{worst:.3e} >= 1e38 (n_docs={n_docs}, total_toks="
+            f"{total_toks}, c1={c1}); reduce BM25_SCALE or pre-reduce "
+            "the coefficients before scoring this corpus"
+        )
+
+
 def bm25_scores_from_index(
     idx: Bm25Index,
     query_terms: DataFrame,
@@ -143,13 +218,8 @@ def bm25_scores_from_index(
     identical arithmetic to ``bm25_scores``, which is this function over
     a freshly-built index."""
     n_docs, total_toks = idx.n_docs, idx.total_toks
-    tf, dl, dfreq = idx.tf, idx.dl, idx.dfreq
-    matched = (
-        tf.join(F.broadcast(query_terms), on="term")
-        .join(dl, on="doc_id")
-        .join(dfreq, on="term")
-    )
     if log_idf:
+        matched = bm25_matched_terms(idx, query_terms)
         # production ``ln`` idf: libm, no cross-engine hash guarantee
         # (module doctrine) — the plan shape is identical to the exact
         # path, only the per-term expression differs.
@@ -171,26 +241,12 @@ def bm25_scores_from_index(
             F.sum(contrib_u).alias("score_u"),
         )
     # float-free registered path: one decimal(38,0) integer division per
-    # term (module doctrine; constants from _rational_coeffs).
-    c1, c2, c3, c4 = _rational_coeffs(k1, b, BM25_SCALE)
-    dec = "decimal(38,0)"
-    num = (
-        (F.lit(2) * (F.lit(n_docs) - F.col("df")) + F.lit(1)).cast(dec)
-        * F.lit(c1).cast(dec)
-        * F.lit(total_toks).cast(dec)
-        * F.col("tf").cast(dec)
-    )
-    den = (F.lit(2) * F.col("df") + F.lit(1)).cast(dec) * (
-        F.lit(c2).cast(dec) * F.lit(total_toks).cast(dec) * F.col("tf").cast(dec)
-        + F.lit(c3).cast(dec) * F.lit(total_toks).cast(dec)
-        + F.lit(c4).cast(dec) * F.col("dl").cast(dec) * F.lit(n_docs).cast(dec)
-    )
-    per_term = matched.withColumn("__num", num).withColumn(
-        "__den", den
-    ).withColumn("__contrib_u", F.expr("CAST(__num DIV __den AS BIGINT)"))
+    # term (module doctrine; constants from _rational_coeffs), factored
+    # through bm25_term_contribs so the gate can check it pre-aggregation.
+    per_term = bm25_term_contribs(idx, query_terms, k1=k1, b=b)
     return per_term.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_hit"),
-        F.sum("__contrib_u").alias("score_u"),
+        F.sum("contrib_u").alias("score_u"),
     )
 
 
@@ -207,8 +263,8 @@ def bm25_index_upsert(
     unions. Incremental ingest is strictly cross-set (the
     ``spans_incremental``/``cdc_incremental`` contract); a doc_id
     present on both sides would corrupt the statistics silently, so the
-    merged dl carries a per-row ``raise_error`` guard (the packed-span
-    keeper-key pattern) that fails the JOB on overlap instead.
+    merge fails FAST on overlap — an eager bounded intersection probe
+    before any merged table exists (see inline comment).
     """
     new_toks = new_docs.select(
         F.col(id_col).alias("doc_id"),
@@ -219,26 +275,22 @@ def bm25_index_upsert(
     )
     new_df = new_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     new_dl = new_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dl = (
-        idx.dl.unionByName(new_dl)
-        .groupBy("doc_id")
-        .agg(F.sum("dl").alias("dl"), F.count(F.lit(1)).alias("__srcs"))
-        .select(
-            "doc_id",
-            F.when(
-                F.col("__srcs") > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit("bm25_index_upsert: doc_id present in both "
-                              "index and new batch: "),
-                        F.col("doc_id").cast("string"),
-                    )
-                ).cast("bigint"),
-            )
-            .otherwise(F.col("dl"))
-            .alias("dl"),
+    # Fail FAST on doc_id overlap — one bounded intersection count
+    # against idx.dl before any merged statistic is built (this function
+    # already pays eager counts for n_docs/total_toks, so no new eager
+    # boundary). The previous lazy per-row guard lived only on dl: any
+    # consumer that evaluated tf/dfreq without touching dl — including
+    # save_bm25_index, which writes tf BEFORE dl — could materialize
+    # double-counted statistics before the guard ever fired.
+    overlap = idx.dl.join(new_dl, on="doc_id").select("doc_id")
+    bad = [r[0] for r in overlap.limit(5).collect()]
+    if bad:
+        raise ValueError(
+            "bm25_index_upsert: doc_id present in both index and new "
+            f"batch (e.g. {bad}); incremental ingest is strictly "
+            "cross-set"
         )
-    )
+    dl = idx.dl.unionByName(new_dl)
     dfreq = (
         idx.dfreq.unionByName(new_df)
         .groupBy("term")

@@ -124,7 +124,16 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.sum("n").cast("bigint").alias("n_orders"),
-            F.sum("s").cast("decimal(38,2)").alias("total_price"),
+            # decimal -> string -> double matches the oracle's cast chain
+            # exactly (both engines parse the identical scale-2 string with
+            # correctly-rounded strtod); a raw decimal(38,2) here lands as
+            # object(Decimal) in toPandas() vs float64 from DuckDB .df() —
+            # the pandas-pathway mismatch class behind the bm25_topk red.
+            F.sum("s")
+            .cast("decimal(38,2)")
+            .cast("string")
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -200,8 +209,8 @@ ORACLE: dict[str, str] = {
     "incremental_agg_merge": """
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                 AS total_price
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
         FROM orders GROUP BY o_orderstatus""",
     "window_distinct_types": """
         SELECT event_id, user_id,
@@ -228,7 +237,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT user_id,
                COUNT(*) AS n_sessions,
-               SUM(n_events) AS total_events,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
                MAX(n_events) AS max_session_events
         FROM per_session GROUP BY user_id""",
 }
@@ -331,7 +340,7 @@ ORACLE["corpus_length_profile"] = f"""
     )
     SELECT lang,
            MAX(n) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END)
              AS p50_tokens,
            MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END)

@@ -190,8 +190,9 @@ ORACLE: dict[str, str] = {
         WITH cent AS ({_CENTROID_CTE})
         SELECT a.label AS label_a, b.label AS label_b,
                COUNT(*) AS n_dims,
-               SUM((a.mean_micro - b.mean_micro)
-                   * (a.mean_micro - b.mean_micro)) AS dist_sq_micro2
+               CAST(SUM((a.mean_micro - b.mean_micro)
+                   * (a.mean_micro - b.mean_micro)) AS BIGINT)
+                 AS dist_sq_micro2
         FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2""",
     "lang_confusion": f"""
@@ -219,7 +220,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT lang, pred_lang, n_docs,
                CAST(n_class AS BIGINT) AS n_class,
-               n_docs * 1000000 // n_class AS rate_ppm
+               CAST(n_docs * 1000000 // n_class AS BIGINT) AS rate_ppm
         FROM cells JOIN totals USING (lang)""",
     "orders_backlog": """
         WITH opened AS (

@@ -145,7 +145,8 @@ cells AS (
   SELECT y, pred, CAST(COUNT(*) AS BIGINT) AS n
   FROM scored GROUP BY y, pred
 )
-SELECT y, pred, n, n * 1000000 // SUM(n) OVER () AS share_ppm
+SELECT y, pred, n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm
 FROM cells
 """
 QUERIES["perceptron_confusion"] = q_perceptron_confusion

@@ -1070,9 +1070,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["pack_sequences"] = f"""
 SELECT doc_id, n_tokens,
-       COALESCE(SUM(n_tokens) OVER (
+       CAST(COALESCE(SUM(n_tokens) OVER (
          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         0) AS start_offset,
+         0) AS BIGINT) AS start_offset,
        CAST(COALESCE(SUM(n_tokens) OVER (
          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          0) // {PACK_BUDGET} AS BIGINT) AS bin_id

@@ -101,7 +101,13 @@ stats AS (
 bm25 AS MATERIALIZED (
   SELECT qt.query_id, tf.doc_id,
          CAST(COUNT(*) AS INT) AS n_hit,
-         SUM(CAST(
+         -- OUTER cast: DuckDB widens SUM(BIGINT) to HUGEINT, which the
+         -- pandas pathway (.df()) converts to float64 while Spark's
+         -- bigint sum stays int64 — the rounds-8/9 driver hash red (the
+         -- ONLY gate-window oracle that emitted HUGEINT; reproduced and
+         -- fixed by check_oracle --pandas-canon). Every emitted integer
+         -- column must leave the final projection as BIGINT or narrower.
+         CAST(SUM(CAST(
            (CAST(2 * (s.n_docs - f.df) + 1 AS HUGEINT)
               * {_C1} * s.total_toks * tf.tf)
            //
@@ -109,7 +115,7 @@ bm25 AS MATERIALIZED (
               * ({_C2} * CAST(s.total_toks AS HUGEINT) * tf.tf
                  + {_C3} * CAST(s.total_toks AS HUGEINT)
                  + {_C4} * CAST(d.dl AS HUGEINT) * s.n_docs))
-           AS BIGINT)) AS score_u
+           AS BIGINT)) AS BIGINT) AS score_u
   FROM tf
   JOIN qt ON qt.term = tf.term
   JOIN dfreq f ON f.term = tf.term
@@ -130,21 +136,114 @@ SELECT query_id, doc_id, n_hit, score_u, rank FROM bm25_topk
 QUERIES["bm25_topk"] = q_bm25_topk
 
 
+def q_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 bisection row 1 (round-9 verdict #1): the per-matched-
+    (query, doc) STATISTICS tier — tokenization, tf/df/dl aggregates,
+    the broadcast query join, and the two corpus scalars as columns —
+    with zero scoring arithmetic. Pure longs end to end, so a driver red
+    here indicts the statistics/join tier; green here plus a red
+    ``bm25_contrib`` indicts the integer-division arithmetic alone."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_matched_terms,
+    )
+
+    idx = bm25_build_index(load_table(spark, "documents", sf_dir))
+    matched = bm25_matched_terms(idx, _query_terms_df(spark))
+    return matched.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.min("df").cast("bigint").alias("min_df"),
+        F.min("dl").cast("bigint").alias("dl"),
+        F.lit(idx.n_docs).cast("bigint").alias("n_docs"),
+        F.lit(idx.total_toks).cast("bigint").alias("total_toks"),
+    )
+
+
+ORACLE["bm25_stats"] = f"""
+WITH {_BM25_CTES}
+SELECT qt.query_id, tf.doc_id,
+       CAST(COUNT(*) AS INT) AS n_hit,
+       CAST(SUM(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(MIN(f.df) AS BIGINT) AS min_df,
+       CAST(MIN(d.dl) AS BIGINT) AS dl,
+       CAST(MIN(s.n_docs) AS BIGINT) AS n_docs,
+       CAST(MIN(s.total_toks) AS BIGINT) AS total_toks
+FROM tf
+JOIN qt ON qt.term = tf.term
+JOIN dfreq f ON f.term = tf.term
+JOIN dl d ON d.doc_id = tf.doc_id, stats s
+GROUP BY qt.query_id, tf.doc_id
+"""
+QUERIES["bm25_stats"] = q_bm25_stats
+
+
+def q_bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 bisection row 2: the per-term integer contributions PRE-
+    aggregation — ``(query_id, doc_id, term, tf, df, dl, contrib_u)``
+    where ``contrib_u`` is the cleared-denominator decimal(38,0) ``DIV``
+    (HUGEINT ``//`` in the oracle) in isolation. A red here with
+    ``bm25_stats`` green localizes the cross-engine divergence to the
+    division arithmetic; both green with ``bm25_topk`` red indicts the
+    final sum/window tier."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_term_contribs,
+    )
+
+    idx = bm25_build_index(load_table(spark, "documents", sf_dir))
+    return bm25_term_contribs(idx, _query_terms_df(spark))
+
+
+ORACLE["bm25_contrib"] = f"""
+WITH {_BM25_CTES}
+SELECT qt.query_id, tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(f.df AS BIGINT) AS df,
+       CAST(d.dl AS BIGINT) AS dl,
+       CAST(
+         (CAST(2 * (s.n_docs - f.df) + 1 AS HUGEINT)
+            * {_C1} * s.total_toks * tf.tf)
+         //
+         (CAST(2 * f.df + 1 AS HUGEINT)
+            * ({_C2} * CAST(s.total_toks AS HUGEINT) * tf.tf
+               + {_C3} * CAST(s.total_toks AS HUGEINT)
+               + {_C4} * CAST(d.dl AS HUGEINT) * s.n_docs))
+         AS BIGINT) AS contrib_u
+FROM tf
+JOIN qt ON qt.term = tf.term
+JOIN dfreq f ON f.term = tf.term
+JOIN dl d ON d.doc_id = tf.doc_id, stats s
+"""
+QUERIES["bm25_contrib"] = q_bm25_contrib
+
+
+_SERVE_IDX_DIR: str | None = None
+
+
+def _serve_idx_dir() -> str:
+    global _SERVE_IDX_DIR
+    if _SERVE_IDX_DIR is None:
+        import tempfile
+
+        _SERVE_IDX_DIR = tempfile.mkdtemp(prefix="bm25_serve_idx_")
+    return _SERVE_IDX_DIR
+
+
 def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-once/serve-many seam as a gated row: build the index,
     PERSIST it (``save_bm25_index`` — tf/dl/df parquet + stats
     artifact), LOAD it back with schemas enforced, and score the query
     batch from the LOADED tables. Same oracle as ``bm25_topk`` — the
     round-trip must be score-invisible."""
-    import tempfile
-
     from etl_pipeline_excel_sql__spark.sinks.models import (
         load_bm25_index,
         save_bm25_index,
     )
 
     idx = bm25_build_index(load_table(spark, "documents", sf_dir))
-    path = tempfile.mkdtemp(prefix="bm25_serve_idx_")
+    # ONE per-process dir, reused across invocations (save overwrites):
+    # bench/gate loops run this query repeatedly, and a fresh mkdtemp per
+    # call leaked an index-sized /tmp directory per iteration.
+    path = _serve_idx_dir()
     save_bm25_index(idx, path)
     scored = bm25_scores_from_index(
         load_bm25_index(spark, path), _query_terms_df(spark)

@@ -184,7 +184,7 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same exact binary fractions the Spark code computes in Python).
 _MIX_RATES_SQL = f"""
     WITH totals AS (
-      SELECT lang AS domain, SUM(n_chars) AS domain_size
+      SELECT lang AS domain, CAST(SUM(n_chars) AS BIGINT) AS domain_size
       FROM documents GROUP BY 1
     ), rates AS (
       SELECT domain, domain_size,

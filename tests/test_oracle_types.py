@@ -1,0 +1,63 @@
+"""Oracle final-projection type doctrine.
+
+The driver's correctness hash compares the Spark result and the DuckDB
+oracle through the PANDAS pathway, which is dtype-sensitive: DuckDB
+widens ``SUM(BIGINT)`` to HUGEINT and ``.df()`` converts HUGEINT (and
+wide decimals) to float64, while Spark's bigint sum stays int64 — so an
+oracle that lets a widened type reach its final projection hash-mismatches
+on values that are integer-identical. That was the rounds-8/9 ``bm25_topk``
+driver red (rows/schema green, hash red, two rounds running, locally
+undetectable because ``fetchall()`` returns Python ints for HUGEINT).
+
+Rule: every oracle's FINAL projection must be free of HUGEINT/UHUGEINT
+and of DECIMAL(38,*) — explicitly ``CAST(... AS BIGINT)`` around integer
+sums/products, and the repo's decimal→VARCHAR→DOUBLE chain for exact
+decimal aggregates. DuckDB plans this check with LIMIT 0, so the whole
+registry scans in seconds with no Spark session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+FORBIDDEN = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_no_pandas_lossy_types_in_any_oracle(con):
+    oracles = entrymod.oracle_sql()
+    assert oracles, "registry is empty?"
+    bad: dict[str, dict[str, str]] = {}
+    for name, sql in sorted(oracles.items()):
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        weird = {
+            c: t
+            for c, t in types.items()
+            if t in FORBIDDEN or t.startswith("DECIMAL(38")
+        }
+        if weird:
+            bad[name] = weird
+    assert not bad, (
+        "oracle final projections emit pandas-lossy types (HUGEINT -> "
+        f"float64 in .df(); the bm25_topk driver-red class): {bad}"
+    )

