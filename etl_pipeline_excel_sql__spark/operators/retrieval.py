@@ -20,11 +20,17 @@ Cross-engine exactness doctrine (the repo's float rules):
   with integer constants C1..C4 folding k1, b AND the micro-unit scale,
   so ``FLOOR(contrib · SCALE)`` is ONE integer division — decimal(38,0)
   ``DIV`` in Spark, HUGEINT ``//`` in DuckDB — with no double anywhere.
-  (Round 8 ran this as a double chain with the same association; the
-  driver's DuckDB build landed one contribution on the other side of a
-  FLOOR boundary — the exact failure class this module's r8 doctrine
-  predicted for ``log_idf`` and wrongly accepted for the rational form.
-  Exact integers cannot drift.)
+  (Post-mortem of the rounds-8/9 driver hash red, root-caused round 10:
+  the arithmetic was NEVER the divergence — the ORACLE's ``SUM(BIGINT)``
+  widened to HUGEINT, which DuckDB's pandas conversion renders as
+  float64 while Spark's bigint sum stays int64, so the driver hashed
+  ``123.0`` against ``123``. The round-8 "double FLOOR boundary"
+  diagnosis was wrong; the r9 float-free rewrite was correct doctrine
+  but fixed a non-bug. The actual fix is an OUTER ``CAST(... AS
+  BIGINT)`` on the oracle's final projection, plus a registry-wide type
+  guard — see ``tests/test_oracle_types.py`` and ``check_oracle.py
+  --pandas-canon``, which reproduced the driver's exact 49/50 verdict
+  locally.)
 * ``log_idf=True`` switches production scoring to Robertson's textbook
   ``ln`` form — libm, per-engine last-ulp behavior, same plan shape, NO
   cross-engine hash guarantee; documented here rather than hidden.

@@ -108,6 +108,22 @@ sf0.001/0.01/0.1 AND sf1 locally first. ``bm25_serve_topk``/
 ``bm25_incremental_topk``/``perceptron_confusion``/``stream_cms_users``
 stay local-only (family-covered by the in-window BM25, classifier, and
 streaming-sketch rows).
+Round 10's rotation serves the bm25_topk root-cause plan (round-9
+verdict #1/#5): the two BISECTION rows ``bm25_stats`` (statistics tier,
+pure longs) and ``bm25_contrib`` (per-term integer division,
+pre-aggregation) enter alongside the four r9 local-only families —
+``bm25_serve_topk``, ``bm25_incremental_topk`` (safe to gate now that
+the HUGEINT→float64 oracle-projection bug they shared with the red row
+is fixed and pandas-canon-verified), ``perceptron_confusion`` (its own
+HUGEINT final fixed the same round), and ``stream_cms_users`` —
+displacing ``pagerank_nations`` (r3–r9 history; iterative/graph family
+kept by ``dedup_clusters``), ``window_range_frame`` (r4–r9; window
+family kept by ``window_zscore``), ``merge_scd2`` (r4–r9; SCD2 kept by
+``scd2_pointintime``), ``recursive_key_chain`` (r4–r9; iterative kept
+by ``dedup_clusters``), ``sample_stratified`` (r4–r9; sampling kept by
+``cluster_balanced_sample``), and ``stream_sessionize`` (r4–r9; four
+streaming rows stay in-window) — every incomer pandas-canon-green at
+sf0.001 AND sf0.01 locally first.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -252,16 +268,19 @@ DRIVER_PRIORITY = [
     "agg_rollup",
     "join_multitable_revenue",
     "window_zscore",
-    # second round-4 rotation: three round-4-new families get their first
-    # driver run (displacing filter_in / set_union / json_extract — r1-r4
-    # history, families kept in-window or locally green; see docstring)
-    "window_range_frame",
+    # window_range_frame rotated out round 10 (r4-r9 history; window
+    # family kept by window_zscore) for the second BM25 bisection row:
+    # the per-term cleared-denominator integer division PRE-aggregation
+    # (round-9 verdict #1)
+    "bm25_contrib",
     "stream_join_attrib",
     "semantic_dedup_keep",
-    # round-2-new operators rotated in for their first driver-gate run
-    # (displacing agg_orders_by_status / window_running_sum, family-redundant
-    # with agg_pricing_summary+agg_rollup / window_zscore respectively)
-    "pagerank_nations",
+    # pagerank_nations rotated out round 10 (r3-r9 history; the
+    # iterative/graph family stays in-window via dedup_clusters) for the
+    # first BM25 bisection row: the statistics tier in isolation —
+    # tokenization, tf/df/dl, broadcast query join, corpus scalars —
+    # pure longs, zero scoring arithmetic (round-9 verdict #1)
+    "bm25_stats",
     # join_bloom_prefilter rotated out round 8 (r2-r7 history; join
     # family kept by join_multitable_revenue + join_anti_new +
     # band_join_recent_errors + asof_join) for the hybrid sparse+dense
@@ -318,14 +337,19 @@ DRIVER_PRIORITY = [
     # four SFs before rotating in)
     "stream_hll_users",
     "corpus_curate_pipeline",
-    # round-4 rotation: five families with zero driver history get their
-    # first gate run (displacing filter_nonblank / to_str_trim /
-    # join_left_probe / nation_volume / fill_impute, all family-redundant
-    # and locally green — see module docstring)
-    "stream_sessionize",
-    "merge_scd2",
-    "recursive_key_chain",
-    "sample_stratified",
+    # round-10 rotation: stream_sessionize / merge_scd2 /
+    # recursive_key_chain / sample_stratified (all r4-r9 history;
+    # families kept in-window by stream_join_attrib+stream_hll_users+
+    # stream_m4_downsample, scd2_pointintime, dedup_clusters, and
+    # cluster_balanced_sample respectively) give their slots to the four
+    # r9 local-only families (round-9 verdict #5) — the two BM25
+    # round-trip rows are safe to gate now that the shared
+    # HUGEINT→float64 oracle bug is fixed, and perceptron_confusion's
+    # own HUGEINT final was fixed the same round
+    "bm25_serve_topk",
+    "bm25_incremental_topk",
+    "perceptron_confusion",
+    "stream_cms_users",
     # dedup_containment rotated out round 7 (r4-r6 history; six dedup
     # rows stay in-window) for the round-7 curation capstone — the full
     # documents-to-pretraining-batches DAG gets driver-gate history

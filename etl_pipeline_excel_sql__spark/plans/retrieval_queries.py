@@ -10,8 +10,15 @@ is FLOAT-FREE — a single cleared-denominator integer division
 non-negative operands) whose C1..C4 constants both sides take from the
 same ``_rational_coeffs`` call — per-(query, doc) totals sum integer
 micro-units (order-free), and RRF is pure integer division, so every
-emitted column hashes exactly on ANY engine build (round 8's driver
-red row was the old double chain landing on a FLOOR boundary).
+emitted column hashes exactly on ANY engine build.
+
+Type doctrine (the ACTUAL rounds-8/9 driver red, root-caused round 10):
+DuckDB widens ``SUM(BIGINT)`` to HUGEINT, and the driver's pandas
+pathway converts HUGEINT to float64 while Spark's sum stays int64 —
+integer-identical values, different hashes. Every integer aggregate in
+an oracle's FINAL projection therefore carries an OUTER ``CAST(... AS
+BIGINT)``; ``tests/test_oracle_types.py`` pins the rule registry-wide
+and ``check_oracle.py --pandas-canon`` checks the real pathway.
 """
 
 from __future__ import annotations
@@ -216,16 +223,18 @@ JOIN dl d ON d.doc_id = tf.doc_id, stats s
 QUERIES["bm25_contrib"] = q_bm25_contrib
 
 
-_SERVE_IDX_DIR: str | None = None
+#: One reusable index dir per (process, sf_dir) — repeated bench/gate
+#: invocations overwrite instead of leaking a fresh mkdtemp each call,
+#: and two SFs in one session can't serve each other's index.
+_SERVE_IDX_DIRS: dict[str, str] = {}
 
 
-def _serve_idx_dir() -> str:
-    global _SERVE_IDX_DIR
-    if _SERVE_IDX_DIR is None:
+def _serve_idx_dir(sf_dir: str) -> str:
+    if sf_dir not in _SERVE_IDX_DIRS:
         import tempfile
 
-        _SERVE_IDX_DIR = tempfile.mkdtemp(prefix="bm25_serve_idx_")
-    return _SERVE_IDX_DIR
+        _SERVE_IDX_DIRS[sf_dir] = tempfile.mkdtemp(prefix="bm25_serve_idx_")
+    return _SERVE_IDX_DIRS[sf_dir]
 
 
 def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,10 +249,10 @@ def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = bm25_build_index(load_table(spark, "documents", sf_dir))
-    # ONE per-process dir, reused across invocations (save overwrites):
-    # bench/gate loops run this query repeatedly, and a fresh mkdtemp per
-    # call leaked an index-sized /tmp directory per iteration.
-    path = _serve_idx_dir()
+    # ONE per-(process, sf) dir, reused across invocations (save
+    # overwrites): bench/gate loops run this query repeatedly, and a
+    # fresh mkdtemp per call leaked an index-sized /tmp dir per iteration.
+    path = _serve_idx_dir(sf_dir)
     save_bm25_index(idx, path)
     scored = bm25_scores_from_index(
         load_bm25_index(spark, path), _query_terms_df(spark)
@@ -260,6 +269,44 @@ def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["bm25_serve_topk"] = ORACLE["bm25_topk"]
 QUERIES["bm25_serve_topk"] = q_bm25_serve_topk
+
+
+def q_bm25_serve_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving HOT PATH in isolation (round-9 verdict #4): score the
+    query batch from an ALREADY-PERSISTED index — build+save happen only
+    if this process hasn't materialized the index for this sf_dir yet
+    (in the bench, that's the untimed warmup pass), so timed samples
+    measure load+score alone, the number a serving deployment actually
+    sees. ``bm25_serve_topk`` stays the gated build+save+load+score
+    round-trip. Same oracle as ``bm25_topk`` — persistence must be
+    score-invisible."""
+    import os
+
+    from etl_pipeline_excel_sql__spark.sinks.models import (
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = _serve_idx_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "stats")):
+        save_bm25_index(
+            bm25_build_index(load_table(spark, "documents", sf_dir)), path
+        )
+    scored = bm25_scores_from_index(
+        load_bm25_index(spark, path), _query_terms_df(spark)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "n_hit", "score_u", "rank")
+    )
+
+
+ORACLE["bm25_serve_score_topk"] = ORACLE["bm25_topk"]
+QUERIES["bm25_serve_score_topk"] = q_bm25_serve_score_topk
 
 
 def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,6 +132,13 @@ def _is_bare(e) -> bool:
 
 
 def _walk_exprs(e, out):
+    # Only the py4j leaf-accessor probes (dataType()/child()/plan() on
+    # expression classes that may lack them) are allowed to fail — and
+    # each failure is RECORDED, not swallowed: a blanket except here made
+    # the whitelist test fail OPEN (a broken walk silently classified a
+    # query as clean — ADVICE round 9).
+    from py4j.protocol import Py4JError
+
     cls = e.getClass().getSimpleName()
     try:
         if cls == "SortOrder" and e.child().dataType().typeName() in FP:
@@ -148,8 +155,8 @@ def _walk_exprs(e, out):
                 out["quant"] = True
         if cls == "ScalarSubquery":
             _walk_plan(e.plan(), out)
-    except Exception:  # noqa: BLE001 — leaf expr without these accessors
-        pass
+    except Py4JError as exc:
+        out.setdefault("walk_errors", []).append(f"{cls}: {exc}"[:200])
     ch = e.children()
     for i in range(ch.length()):
         _walk_exprs(ch.apply(i), out)
@@ -168,6 +175,7 @@ def test_double_boundary_classes_match_reviewed_whitelists(spark):
     from etl_pipeline_excel_sql__spark.plans import QUERIES
 
     got_sorted, got_quant = set(), set()
+    walk_errors: dict[str, list[str]] = {}
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_"):
             continue
@@ -177,6 +185,12 @@ def test_double_boundary_classes_match_reviewed_whitelists(spark):
             got_sorted.add(name)
         if out.get("quant"):
             got_quant.add(name)
+        if out.get("walk_errors"):
+            walk_errors[name] = out["walk_errors"][:3]
+    # the census must fail LOUDLY if the walk itself broke anywhere —
+    # otherwise an accessor error silently drops a query from the
+    # whitelists and the doctrine test passes on nothing
+    assert not walk_errors, f"plan-walk errors (fail-open risk): {walk_errors}"
 
     new_sorted = got_sorted - set(DOUBLE_SORTED)
     stale_sorted = set(DOUBLE_SORTED) - got_sorted
