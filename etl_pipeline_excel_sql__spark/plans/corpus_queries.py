@@ -286,7 +286,7 @@ ORACLE: dict[str, str] = {
         ), stats AS (
           SELECT dim, MAX(abs(x)) AS maxabs FROM ex GROUP BY dim
         )
-        SELECT vec_id, dim,
+        SELECT vec_id, CAST(dim AS INT) AS dim,
                CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) AS code,
                abs(CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) * maxabs
                    / 127.0 - x) AS abs_err

@@ -136,7 +136,7 @@ ORACLE: dict[str, str] = {
         FROM rows_h
         GROUP BY l_returnflag""",
     "sample_fixed_per_group": f"""
-        SELECT doc_id, lang, n_chars, rank_in_lang
+        SELECT doc_id, lang, n_chars, CAST(rank_in_lang AS INT) AS rank_in_lang
         FROM (
           SELECT doc_id, lang, n_chars,
                  row_number() OVER (PARTITION BY lang ORDER BY

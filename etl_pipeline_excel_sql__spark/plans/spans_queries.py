@@ -84,8 +84,10 @@ flagged AS MATERIALIZED (
                         ) AS isl
   FROM flagged
 )
-SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_K} AS span_end,
-       MAX(pos) + {SPAN_K} - MIN(pos) AS span_len
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {SPAN_K} AS INT) AS span_end,
+       CAST(MAX(pos) + {SPAN_K} - MIN(pos) AS INT) AS span_len
 FROM isl GROUP BY doc_id, isl"""
 
 # The keeper is MIN over (doc_id, pos) lexicographically. The Spark side
@@ -151,7 +153,7 @@ covered AS MATERIALIZED (
 )"""
 
 ORACLE["dedup_span_trim"] = f"""WITH {_TRIM_CTES}
-SELECT b.doc_id, len(b.t) AS n_tokens,
+SELECT b.doc_id, CAST(len(b.t) AS INT) AS n_tokens,
        CAST(len(b.t) - COALESCE(n_kept, 0) AS BIGINT) AS n_cut,
        COALESCE(txt, '') AS text_clean
 FROM base b LEFT JOIN kept USING (doc_id)"""

@@ -43,6 +43,56 @@ def con():
     return c
 
 
+#: duckdb type -> Spark typeName the pandas pathway renders identically.
+DUCK_TO_SPARK = {
+    "BIGINT": "long",
+    "INTEGER": "integer",
+    "SMALLINT": "short",
+    "TINYINT": "byte",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "BLOB": "binary",
+}
+
+
+def test_spark_and_oracle_column_types_align(con, spark):
+    """Exact width/type parity between each Spark result schema and its
+    oracle's final projection. The driver observably tolerates integer
+    WIDTH differences (dedup_spans was gate-green with int32-vs-BIGINT),
+    but int-vs-float killed bm25_topk for two rounds — exact parity
+    keeps the whole axis closed instead of relying on which leniencies
+    the driver's hash happens to have."""
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    mismatches: dict[str, dict] = {}
+    for name in sorted(oracles):
+        if name.startswith("stream_"):
+            continue  # streaming queries execute eagerly; covered by sweeps
+        sdf = queries[name](spark, SF)
+        stypes = {f.name: f.dataType.typeName() for f in sdf.schema.fields}
+        rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+        dtypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        diffs = {}
+        for c, st in stypes.items():
+            dt = dtypes.get(c)
+            if dt is None:
+                continue  # column-name parity is the sweeps' job
+            exp = DUCK_TO_SPARK.get(dt)
+            if exp is None:
+                if dt.startswith("DECIMAL") and st.startswith("decimal"):
+                    continue
+                if dt.startswith("TIMESTAMP") and st.startswith("timestamp"):
+                    continue
+                diffs[c] = (st, dt)
+            elif exp != st:
+                diffs[c] = (st, dt)
+        if diffs:
+            mismatches[name] = diffs
+    assert not mismatches, f"spark-vs-oracle type drift: {mismatches}"
+
+
 def test_no_pandas_lossy_types_in_any_oracle(con):
     oracles = entrymod.oracle_sql()
     assert oracles, "registry is empty?"
