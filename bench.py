@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     # the serving hot path in isolation — build+save happen once in the
     # untimed warmup, timed samples are load+score only (verdict #4)
     "bm25_serve_score_topk",
+    # round-10 new families: behavior analytics + record linkage
+    "funnel_conversion",
+    "cohort_retention",
+    "linkage_best_match",
 ]
 
 

@@ -123,11 +123,16 @@ family kept by ``window_zscore``), ``merge_scd2`` (r4–r9; SCD2 kept by
 by ``dedup_clusters``), ``sample_stratified`` (r4–r9; sampling kept by
 ``cluster_balanced_sample``), and ``stream_sessionize`` (r4–r9; four
 streaming rows stay in-window) — every incomer pandas-canon-green at
-sf0.001 AND sf0.01 locally first.
+sf0.001 AND sf0.01 locally first. The three round-10-NEW families —
+``funnel_conversion``, ``cohort_retention`` (behavior analytics),
+``linkage_best_match`` (blocked fuzzy entity resolution) — stay
+local-only this round per the discipline (new families sweep locally
+for a round before taking gate slots).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
+    behavior_queries,
     classifier_queries,
     analytics3_queries,
     analytics4_queries,
@@ -186,6 +191,7 @@ _ALL_QUERIES = {
     **mining_queries.QUERIES,
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
+    **behavior_queries.QUERIES,
     **cdc_queries.QUERIES,
     **clusterbal_queries.QUERIES,
     **sketch_queries.QUERIES,
@@ -219,6 +225,7 @@ _ALL_ORACLE = {
     **mining_queries.ORACLE,
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
+    **behavior_queries.ORACLE,
     **cdc_queries.ORACLE,
     **clusterbal_queries.ORACLE,
     **sketch_queries.ORACLE,
