@@ -123,10 +123,14 @@ BENCH_QUERIES = [
     # the serving hot path in isolation — build+save happen once in the
     # untimed warmup, timed samples are load+score only (verdict #4)
     "bm25_serve_score_topk",
-    # round-10 new families: behavior analytics + record linkage
+    # round-10 new families: behavior analytics + record linkage +
+    # join-view IVM + classifier calibration + PRF second-stage retrieval
     "funnel_conversion",
     "cohort_retention",
     "linkage_best_match",
+    "incremental_join_merge",
+    "perceptron_calibration",
+    "bm25_prf_topk",
 ]
 
 

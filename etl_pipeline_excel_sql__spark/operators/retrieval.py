@@ -361,6 +361,84 @@ def bm25_topk(
     )
 
 
+def bm25_prf_expand(
+    idx: Bm25Index,
+    query_terms: DataFrame,
+    fb_docs: int,
+    fb_terms: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's integer
+    core): run the first BM25 pass, take each query's top ``fb_docs``
+    documents, rank their terms by total feedback frequency (ties: term
+    ASC), and append the top ``fb_terms`` NEW terms to the query batch.
+    Returns the expanded ``(query_id, term)`` table — still bounded
+    (queries × (original + fb_terms)), so it broadcasts exactly like the
+    original batch.
+
+    Scale shape: the feedback top-k is k-bounded per query, so the
+    term-harvest join probes the corpus tf table with a tiny build side;
+    term selection is one (query, term) aggregate over those bounded
+    postings."""
+    scored = bm25_scores_from_index(idx, query_terms, k1=k1, b=b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+    harvested = (
+        idx.tf.join(F.broadcast(fb), on="doc_id")
+        .join(
+            F.broadcast(query_terms.withColumn("__orig", F.lit(1))),
+            on=["query_id", "term"],
+            how="left",
+        )
+        .filter(F.col("__orig").isNull())
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("__fbtf"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("__fbtf").desc(), F.col("term").asc()
+    )
+    expansion = (
+        harvested.withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= fb_terms)
+        .select("query_id", "term")
+    )
+    return query_terms.select("query_id", "term").unionByName(expansion)
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    fb_docs: int,
+    fb_terms: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance feedback: expand each query
+    with the ``fb_terms`` most frequent new terms of its ``fb_docs``
+    top documents, rescore, return top-``k`` — the classic second-stage
+    retrieval DAG, float-free end to end. ONE index build feeds both
+    passes."""
+    idx = bm25_build_index(docs, text_col, id_col)
+    expanded = bm25_prf_expand(idx, query_terms, fb_docs, fb_terms)
+    scored = bm25_scores_from_index(idx, expanded)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_hit", "score_u", "rank")
+    )
+
+
 def positional_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -138,6 +138,55 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (round 10): the revenue-per-
+    priority view ``orders ⋈ lineitem`` maintained under independent
+    deltas on BOTH base tables via the standard IVM algebra::
+
+        Δ(O ⋈ L) = ΔO ⋈ L₀  ∪  O₀ ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    (O₀/L₀ the base slices, ΔO/ΔL the new batches — independent mod
+    splits so all three delta terms are non-empty). The maintained view
+    (base-join + the three delta joins, unioned, then aggregated) must
+    equal the direct full join-aggregate — which is exactly what the
+    oracle computes, so hash equality IS the algebra proof, cross-engine
+    (the join twin of ``incremental_agg_merge``).
+
+    100 TB shape: the delta batches are small by construction — ΔO ⋈ L₀
+    and O₀ ⋈ ΔL are broadcast-delta joins against the big side, ΔO ⋈ ΔL
+    is tiny; the base-view join result is the thing a deployment keeps
+    materialized, so only delta-sized work recurs. Measures are integer
+    quantity sums and counts (exact, order-free)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    o_base, o_delta = o.filter(F.col("o_orderkey") % 7 != 0), o.filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    li_base, li_delta = li.filter(F.col("l_linenumber") % 3 != 0), li.filter(
+        F.col("l_linenumber") % 3 == 0
+    )
+
+    def j(odf: DataFrame, ldf: DataFrame) -> DataFrame:
+        return odf.join(
+            ldf, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select("o_orderpriority", "qty")
+
+    view = (
+        j(o_base, li_base)
+        .unionByName(j(o_delta, li_base))
+        .unionByName(j(o_base, li_delta))
+        .unionByName(j(o_delta, li_delta))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )
+
+
 def q_window_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct event types in each user's trailing 10 events — windowed
     distinct-count (no built-in COUNT(DISTINCT) over frames; the ≤10-row
@@ -212,6 +261,12 @@ ORACLE: dict[str, str] = {
                CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                  AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
         FROM orders GROUP BY o_orderstatus""",
+    "incremental_join_merge": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority""",
     "window_distinct_types": """
         SELECT event_id, user_id,
                CAST(len(list_distinct(list(event_type) OVER (
@@ -248,6 +303,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "text_bpe_token_est": q_text_bpe_token_est,
     "incremental_agg_merge": q_incremental_agg_merge,
+    "incremental_join_merge": q_incremental_join_merge,
     "window_distinct_types": q_window_distinct_types,
     "session_stats": q_session_stats,
 }

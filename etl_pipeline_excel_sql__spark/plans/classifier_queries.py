@@ -137,6 +137,61 @@ def q_perceptron_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed margin-band width for the calibration report — scale-free
+#: (no global sort/NTILE), deterministic, and floor(int/256.0) is
+#: engine-exact for |margin| < 2^53 (the emb_label_centroids argument).
+CALIBRATION_BAND = 256
+
+
+def q_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability report for the trained classifier
+    (round 10): margin bands × empirical positive rate — does a bigger
+    margin actually mean more-likely-positive? ``(margin_band, n,
+    n_pos, pos_ppm)``, one bounded aggregate over the scored table.
+    Fixed-width integer bands instead of NTILE deciles: no global sort
+    at any scale, and FLOOR division (not DIV) so negative margins band
+    identically in both engines."""
+    scored = q_perceptron_quality(spark, sf_dir)
+    return (
+        scored.select(
+            F.floor(F.col("margin") / F.lit(float(CALIBRATION_BAND)))
+            .cast("bigint")
+            .alias("margin_band"),
+            "y",
+        )
+        .groupBy("margin_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .select(
+            "margin_band",
+            "n",
+            "n_pos",
+            F.expr(f"CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
+                "pos_ppm"
+            ),
+        )
+    )
+
+
+ORACLE["perceptron_calibration"] = f"""
+WITH scored AS MATERIALIZED (
+{ORACLE["perceptron_quality"]}
+)
+SELECT CAST(FLOOR(margin / {float(CALIBRATION_BAND)}) AS BIGINT)
+         AS margin_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS pos_ppm
+FROM scored GROUP BY 1
+"""
+QUERIES["perceptron_calibration"] = q_perceptron_calibration
+
+
 ORACLE["perceptron_confusion"] = f"""
 WITH scored AS MATERIALIZED (
 {ORACLE["perceptron_quality"]}

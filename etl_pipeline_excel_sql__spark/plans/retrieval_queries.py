@@ -237,6 +237,85 @@ def _serve_idx_dir(sf_dir: str) -> str:
     return _SERVE_IDX_DIRS[sf_dir]
 
 
+def _bm25_score_cte(qt: str, out: str) -> str:
+    """The scoring aggregate as a reusable CTE fragment, parameterized
+    by the query-table name — the PRF oracle rescoring pass must be the
+    IDENTICAL arithmetic over a different term batch."""
+    return f"""{out} AS MATERIALIZED (
+  SELECT {qt}.query_id, tf.doc_id,
+         CAST(COUNT(*) AS INT) AS n_hit,
+         CAST(SUM(CAST(
+           (CAST(2 * (s.n_docs - f.df) + 1 AS HUGEINT)
+              * {_C1} * s.total_toks * tf.tf)
+           //
+           (CAST(2 * f.df + 1 AS HUGEINT)
+              * ({_C2} * CAST(s.total_toks AS HUGEINT) * tf.tf
+                 + {_C3} * CAST(s.total_toks AS HUGEINT)
+                 + {_C4} * CAST(d.dl AS HUGEINT) * s.n_docs))
+           AS BIGINT)) AS BIGINT) AS score_u
+  FROM tf
+  JOIN {qt} ON {qt}.term = tf.term
+  JOIN dfreq f ON f.term = tf.term
+  JOIN dl d ON d.doc_id = tf.doc_id, stats s
+  GROUP BY {qt}.query_id, tf.doc_id
+)"""
+
+
+#: PRF: feedback depth and expansion width (classic small Rocchio).
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 2
+
+
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass retrieval (round 10): BM25, expand each query with the
+    2 most frequent new terms of its top-5 documents (pseudo-relevance
+    feedback), rescore, top-10 — the second-stage retrieval DAG over ONE
+    index build. Float-free end to end; the expanded batch is still
+    queries × 5 rows, so it broadcasts like the original."""
+    from etl_pipeline_excel_sql__spark.operators.retrieval import (
+        bm25_prf_topk,
+    )
+
+    return bm25_prf_topk(
+        load_table(spark, "documents", sf_dir),
+        _query_terms_df(spark),
+        k=BM25_TOPK,
+        fb_docs=PRF_FB_DOCS,
+        fb_terms=PRF_FB_TERMS,
+    )
+
+
+ORACLE["bm25_prf_topk"] = f"""
+WITH {_BM25_CTES},
+fb AS (SELECT query_id, doc_id FROM bm25_topk WHERE rank <= {PRF_FB_DOCS}),
+harv AS (
+  SELECT fb.query_id, tf.term, SUM(tf.tf) AS fbtf
+  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM qt
+                    WHERE qt.query_id = fb.query_id AND qt.term = tf.term)
+  GROUP BY fb.query_id, tf.term
+),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY fbtf DESC, term ASC) AS rn
+    FROM harv
+  ) WHERE rn <= {PRF_FB_TERMS}
+),
+qt2 AS MATERIALIZED (
+  SELECT query_id, term FROM qt
+  UNION ALL SELECT query_id, term FROM expn
+),
+{_bm25_score_cte('qt2', 'bm25b')}
+SELECT query_id, doc_id, n_hit, score_u,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_u DESC, doc_id ASC) AS INT) AS rank
+FROM bm25b QUALIFY rank <= {BM25_TOPK}
+"""
+QUERIES["bm25_prf_topk"] = q_bm25_prf_topk
+
+
 def q_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-once/serve-many seam as a gated row: build the index,
     PERSIST it (``save_bm25_index`` — tf/dl/df parquet + stats
