@@ -408,9 +408,53 @@ COMMENTARY = {
     "bm25_incremental_topk": (
         "Incremental ingest: the existing index's tf/dl/df tables union "
         "with the new batch's (vocabulary-scale re-aggregation, never a "
-        "corpus re-tokenization); the overlap guard is a per-row "
-        "conditional raise_error in the merged dl projection — zero "
-        "extra passes. Serving is then the standard BM25 plan."
+        "corpus re-tokenization); doc_id overlap fails FAST via one "
+        "bounded intersection probe before any merged table is built "
+        "(round 10 — the prior lazy dl-only guard let tf/dfreq "
+        "double-count for consumers that never evaluate dl). Serving is "
+        "then the standard BM25 plan."
+    ),
+    "bm25_prf_topk": (
+        "Two-pass retrieval over ONE index build: pass-1 top-5 is "
+        "k-bounded per query, so the feedback term harvest probes the "
+        "corpus tf table with a broadcast build side; expansion keeps "
+        "the batch at queries x 5 rows, and the rescore is the standard "
+        "BM25 plan over the expanded broadcast batch."
+    ),
+    "bm25_serve_score_topk": (
+        "The serving hot path isolated: timed work is load (partitioned "
+        "parquet index tables, schema-enforced) + the broadcast-batch "
+        "score join + per-query window — the index build/save runs once "
+        "per process per SF (the bench's untimed warmup), mirroring a "
+        "deployment that trains nightly and serves continuously."
+    ),
+    "funnel_conversion": (
+        "Each funnel step scans ONLY its own event type (EqualTo pushed "
+        "to the parquet scan) and reduces to min-timestamp per user "
+        "before joining the previous step's anchors — every shuffle "
+        "keys on user_id, so AQE reuses one partitioning across steps "
+        "and inter-step traffic is at most one row per surviving user."
+    ),
+    "cohort_retention": (
+        "Two user-keyed hash aggregates (first-active day, distinct "
+        "active days) joined on user_id; the final (cohort x offset) "
+        "aggregate is calendar-bounded, independent of event volume. "
+        "All measures integer counts / ppm."
+    ),
+    "linkage_best_match": (
+        "Entity resolution with the LSH-band candidate doctrine: the "
+        "probe batch broadcasts into the catalog scan (BroadcastHashJoin "
+        "on the blocking key, no cartesian), and best-match-per-probe "
+        "is a packed-integer MIN aggregate — partial aggregation "
+        "reduces each block map-side; the plan contains no Window "
+        "(pinned by test_behavior)."
+    ),
+    "incremental_join_merge": (
+        "Join-view IVM: the three delta terms join small-side batches "
+        "against the base slices (broadcastable at deployment delta "
+        "sizes), union, and one partial-combined aggregate; hash "
+        "equality with the oracle's direct full join-aggregate is the "
+        "algebra proof."
     ),
     "cluster_balanced_sample": (
         "Training reuses kmeans_train_assign (per round: one corpus scan "
