@@ -138,9 +138,17 @@ def q_perceptron_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: fixed margin-band width for the calibration report — scale-free
-#: (no global sort/NTILE), deterministic, and floor(int/256.0) is
-#: engine-exact for |margin| < 2^53 (the emb_label_centroids argument).
+#: (no global sort/NTILE) and deterministic.
 CALIBRATION_BAND = 256
+
+#: FLOOR division as PURE INTEGERS (the doctrine census rejects floor of
+#: a computed double, and Spark's DIV truncates toward zero — wrong for
+#: negative margins): subtract the positive mod, then the division is
+#: exact and truncation == floor. `%` takes the dividend's sign in BOTH
+#: engines, so ((m % B) + B) % B agrees cross-engine.
+_BAND_SQL = (
+    "CAST((margin - ((margin % {b}) + {b}) % {b}) DIV {b} AS BIGINT)"
+)
 
 
 def q_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,15 +156,14 @@ def q_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 10): margin bands × empirical positive rate — does a bigger
     margin actually mean more-likely-positive? ``(margin_band, n,
     n_pos, pos_ppm)``, one bounded aggregate over the scored table.
-    Fixed-width integer bands instead of NTILE deciles: no global sort
-    at any scale, and FLOOR division (not DIV) so negative margins band
-    identically in both engines."""
+    Fixed-width integer bands instead of NTILE deciles (no global sort
+    at any scale), banded by float-free positive-mod floor division."""
     scored = q_perceptron_quality(spark, sf_dir)
     return (
         scored.select(
-            F.floor(F.col("margin") / F.lit(float(CALIBRATION_BAND)))
-            .cast("bigint")
-            .alias("margin_band"),
+            F.expr(_BAND_SQL.format(b=CALIBRATION_BAND)).alias(
+                "margin_band"
+            ),
             "y",
         )
         .groupBy("margin_band")
@@ -181,7 +188,8 @@ ORACLE["perceptron_calibration"] = f"""
 WITH scored AS MATERIALIZED (
 {ORACLE["perceptron_quality"]}
 )
-SELECT CAST(FLOOR(margin / {float(CALIBRATION_BAND)}) AS BIGINT)
+SELECT CAST((margin - ((margin % {CALIBRATION_BAND}) + {CALIBRATION_BAND})
+              % {CALIBRATION_BAND}) // {CALIBRATION_BAND} AS BIGINT)
          AS margin_band,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,

@@ -49,23 +49,30 @@ def test_prf_tie_breaks_term_asc(spark):
 
 
 def test_calibration_bands_floor_negative_margins(spark):
-    """FLOOR division must band negative margins toward -inf in BOTH
-    engines (Spark DIV truncates toward zero — the operator must not use
-    it here)."""
+    """The banding must FLOOR negative margins toward -inf (Spark's DIV
+    truncates toward zero), via the float-free positive-mod expression
+    the query actually uses — checked against Python's true floordiv."""
+    import duckdb
+
     from etl_pipeline_excel_sql__spark.plans.classifier_queries import (
-        CALIBRATION_BAND,
+        CALIBRATION_BAND as B,
+        _BAND_SQL,
     )
 
-    df = spark.createDataFrame(
-        [(-1,), (-CALIBRATION_BAND,), (0,), (CALIBRATION_BAND - 1,)],
-        "margin BIGINT",
-    )
+    margins = [-2 * B, -B - 1, -B, -1, 0, 1, B - 1, B, 2 * B + 5]
+    df = spark.createDataFrame([(m,) for m in margins], "margin BIGINT")
     got = [
         r[0]
-        for r in df.select(
-            F.floor(F.col("margin") / F.lit(float(CALIBRATION_BAND))).cast(
-                "bigint"
-            )
-        ).collect()
+        for r in df.select(F.expr(_BAND_SQL.format(b=B)))
+        .toPandas()
+        .itertuples(index=False)
     ]
-    assert got == [-1, -1, 0, 0]
+    assert got == [m // B for m in margins]
+    # and the DuckDB spelling agrees cell-for-cell
+    duck = [
+        duckdb.sql(
+            f"SELECT (({m}) - ((({m}) % {B}) + {B}) % {B}) // {B}"
+        ).fetchone()[0]
+        for m in margins
+    ]
+    assert duck == [m // B for m in margins]
