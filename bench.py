@@ -123,8 +123,9 @@ BENCH_QUERIES = [
     # the serving hot path in isolation — build+save happen once in the
     # untimed warmup, timed samples are load+score only (verdict #4)
     "bm25_serve_score_topk",
-    # round-10 new families: behavior analytics + record linkage +
-    # join-view IVM + classifier calibration + PRF second-stage retrieval
+    # round-10 new families (record linkage + join-view IVM + classifier
+    # calibration + PRF second-stage retrieval), plus first bench rows
+    # for the existing behavior-analytics pair
     "funnel_conversion",
     "cohort_retention",
     "linkage_best_match",

@@ -123,11 +123,14 @@ family kept by ``window_zscore``), ``merge_scd2`` (r4–r9; SCD2 kept by
 by ``dedup_clusters``), ``sample_stratified`` (r4–r9; sampling kept by
 ``cluster_balanced_sample``), and ``stream_sessionize`` (r4–r9; four
 streaming rows stay in-window) — every incomer pandas-canon-green at
-sf0.001 AND sf0.01 locally first. The three round-10-NEW families —
-``funnel_conversion``, ``cohort_retention`` (behavior analytics),
-``linkage_best_match`` (blocked fuzzy entity resolution) — stay
-local-only this round per the discipline (new families sweep locally
-for a round before taking gate slots).
+sf0.001 AND sf0.01 locally first. The round-10-NEW families —
+``linkage_best_match`` (blocked fuzzy entity resolution),
+``incremental_join_merge`` (join-view IVM), ``perceptron_calibration``
+(margin-band reliability), ``bm25_prf_topk`` (PRF second-stage
+retrieval), and the bisection rows — stay local-only this round per
+the discipline (new families sweep locally for a round before taking
+gate slots), except the bisection rows which exist precisely to run on
+the driver.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (

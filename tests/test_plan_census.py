@@ -236,6 +236,11 @@ CORPUS_BROADCAST_WHITELIST = {
     "side is the fused top-3 — k-bounded)",
     "hard_negatives_topk": "probe set is vec_id < 8 — constant-range "
     "predicate, the ann_brute_topk argument",
+    "bm25_prf_topk": "both forced broadcasts are k-bounded by "
+    "construction: the feedback doc set is pass-1 top-5 per query "
+    "(queries x 5 rows) and the expanded term batch is the literal "
+    "query batch + top-2 harvested terms per query (queries x 5 rows) — "
+    "the serving-batch argument, independent of corpus size",
     "basket_lift": "per-brand counts — TPC-H brand domain is 25 values",
     "exact_price_quantiles": "bucket table keyed on floor(value/width) — "
     "bounded by value range / bucket width (~1.6k rows), independent of "
