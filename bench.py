@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "incremental_join_merge",
     "perceptron_calibration",
     "bm25_prf_topk",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -501,6 +501,103 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT-RECALL n-gram Jaccard pairs via prefix filtering
+    (Chaudhuri/Ganti/Kaushik ICDE'06; the PPJoin candidate rule) — the
+    completeness-guaranteed sibling of :func:`ngram_jaccard_pairs`:
+
+    * Order every document's shingle hashes by ONE global total order
+      (document frequency ASC, hash ASC — rarest first).
+    * A document with ``s`` shingles keeps a PREFIX of
+      ``s - ceil(t*s) + 1`` entries. The prefix-filtering lemma: two sets
+      with ``J >= t`` MUST share a prefix entry under the same order —
+      unlike bottom-k sketch blocking (recall 1-(1-J)^k), no qualifying
+      pair can be missed.
+    * Frequency-ascending ordering puts the RAREST shingles in the
+      prefix, so prefix-key join blocks are the smallest available —
+      candidate volume tracks true-duplicate density, never corpus².
+    * Verification is exact and ALL-INTEGER: the intersection count is a
+      (pair, shingle) co-occurrence aggregate gated to candidates, and
+      ``J >= p/q  <=>  i*(p+q) >= p*(|a|+|b|)`` — no float anywhere, so
+      the emitted ppm hash-matches any engine.
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, jaccard_ppm)`` for all
+    pairs with ``J >= threshold_num/threshold_den``.
+    """
+    p, q = threshold_num, threshold_den
+    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    hrows = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .select("__id", md5_hash60(F.col("__sh")).alias("__h"))
+        .distinct()
+    )
+    sizes = hrows.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__sz")
+    )
+    freq = hrows.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__df").asc(), F.col("__h").asc()
+    )
+    ranked = (
+        hrows.join(freq, on="__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, on="__id")
+    )
+    # prefix_len = s - ceil(t*s) + 1; ceil(p*s/q) = (p*s + q - 1) DIV q
+    # (positive integers, so truncation == ceiling arithmetic exactly)
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.expr(f"(({p} * __sz) + {q} - 1) DIV {q}") + 1
+    ).select("__id", "__h")
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "__h")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__h"), on="__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(hrows.select(F.col("__id").alias("id_a"), "__h"), on="id_a")
+        .join(
+            hrows.select(F.col("__id").alias("id_b"), "__h"),
+            on=["id_b", "__h"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("size_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("size_b")),
+            on="id_b",
+        )
+        .filter(
+            F.col("inter") * F.lit(p + q)
+            >= F.lit(p) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.expr(
+                "CAST(inter * 1000000 DIV (size_a + size_b - inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,

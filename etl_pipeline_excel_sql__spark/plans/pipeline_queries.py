@@ -27,6 +27,7 @@ from etl_pipeline_excel_sql__spark.operators.dedup import (
     MINHASH_PRIME,
     affine_consts,
     exact_dedup,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -169,6 +170,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         threshold=NGRAM_THRESHOLD,
         bottom_k=NGRAM_BOTTOM_K,
+    )
+
+
+#: exact-recall Jaccard threshold p/q (0.5 — the clone band: 25 true
+#: pairs at sf0.01, max observed J 0.989).
+PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN = 1, 2
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RECALL near-dup pairs via prefix filtering (round 10): the
+    completeness-guaranteed sibling of ``dedup_ngram_jaccard`` — under
+    one global (df ASC, hash ASC) shingle order, any pair with J ≥ 1/2
+    MUST share a prefix entry (the ICDE'06 prefix-filtering lemma), so
+    unlike bottom-k sketch blocking no qualifying pair can be missed.
+    All-integer verification; see ``operators/dedup.jaccard_prefix_pairs``.
+    """
+    return jaccard_prefix_pairs(
+        load_table(spark, "documents", sf_dir),
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold_num=PREFIX_JACCARD_NUM,
+        threshold_den=PREFIX_JACCARD_DEN,
     )
 
 
@@ -391,6 +415,50 @@ WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
     / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE >= {NGRAM_THRESHOLD}
 """
 
+_P, _Q = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+
+_JACCARD_PREFIX_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), hr AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(sh, s -> {_HASH60.format(e='s')})) AS h
+    FROM base
+  )
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hr GROUP BY doc_id
+), freq AS (
+  SELECT h, COUNT(*) AS df FROM hr GROUP BY h
+), ranked AS (
+  SELECT hr.doc_id, hr.h, sz,
+         row_number() OVER (PARTITION BY hr.doc_id
+                            ORDER BY df ASC, hr.h ASC) AS rn
+  FROM hr JOIN freq USING (h) JOIN sizes USING (doc_id)
+), pref AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rn <= sz - (({_P} * sz + {_Q} - 1) // {_Q}) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand
+  JOIN hr x ON x.doc_id = id_a
+  JOIN hr y ON y.doc_id = id_b AND y.h = x.h
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(inter * 1000000 // (sa.sz + sb.sz - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * {_P + _Q} >= {_P} * (sa.sz + sb.sz)
+"""
+
 _CONTAINMENT_SQL = f"""
 WITH base AS (
   SELECT doc_id, {_shingle_sql(3)} AS sh
@@ -606,6 +674,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_jaccard_prefix": _JACCARD_PREFIX_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "neardup_cosine": _NEARDUP_COS_SQL,
     "ann_filtered_topk": f"""
@@ -659,6 +728,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_containment": q_dedup_containment,
     "neardup_cosine": q_neardup_cosine,
     "ann_brute_topk": q_ann_brute_topk,

@@ -441,6 +441,14 @@ COMMENTARY = {
         "aggregate is calendar-bounded, independent of event volume. "
         "All measures integer counts / ppm."
     ),
+    "dedup_jaccard_prefix": (
+        "Exact-recall prefix-filter join: shingle df aggregate + one "
+        "per-doc window rank the global rarest-first order, the prefix "
+        "self-join carries (id, hash) only, and exact verification is a "
+        "(pair, shingle) co-occurrence aggregate gated to candidates — "
+        "all-integer, no cartesian, no missed pair at the threshold "
+        "(the completeness lemma bottom-k blocking cannot offer)."
+    ),
     "linkage_best_match": (
         "Entity resolution with the LSH-band candidate doctrine: the "
         "probe batch broadcasts into the catalog scan (BroadcastHashJoin "
