@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "perceptron_calibration",
     "bm25_prf_topk",
     "dedup_jaccard_prefix",
+    # round-10 second batch (appended; earlier ordering preserved):
+    # quantized-serving ANN, margin mining, LPA communities, DSIR
+    # selection, and the LSH recall audit
+    "ann_sq8_rerank",
+    "margin_mining_topk",
+    "label_propagation",
+    "dsir_select",
+    "lsh_recall_audit",
 ]
 
 

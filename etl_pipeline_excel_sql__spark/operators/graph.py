@@ -388,3 +388,108 @@ def kcore_membership(
         "(peeling depth exceeds the budget — raise max_iters for "
         "deep/chain-shaped graphs)"
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan/Albert/Kumara,
+    Phys. Rev. E 2007) over an undirected pair graph — the community
+    detector that sits between connected components (too coarse: one
+    bridge edge merges two template families) and k-core (membership
+    only, no grouping): densely-linked near-dup families converge to one
+    label while bridge-joined families keep their own.
+
+    Deterministic variant, exactly ``rounds`` SYNCHRONOUS sweeps: every
+    node starts as its own label; each sweep every node simultaneously
+    adopts the most frequent label among its NEIGHBORS (no self-vote),
+    ties broken by smallest label. Fixed round count + min-tie-break
+    removes both nondeterminism sources of classic async LPA (visit
+    order, random tie choice), so the result is an engine-checkable
+    function of the graph. Isolated self-loop-only nodes drop out with
+    the canonicalization, as in :func:`kcore_membership`.
+
+    Scale shape per round: one join of the directed-both-ways edge list
+    against the current (node, label) frame — shuffle keyed on the
+    edge's source — then a (node, label) count aggregate (map-side
+    combined) and a per-node argmax window. Labels frame is truncated
+    every round (the components-loop practice) so the plan stays flat.
+    Returns ``(node, label)``.
+    """
+    spark = pairs.sparkSession
+    trunc = LineageTruncator(spark, checkpoint_dir)
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        adj.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        msgs = adj.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = trunc.truncate(labels)
+    return labels
+
+
+def label_propagation_unrolled_sql(edges_cte: str, rounds: int) -> str:
+    """DuckDB oracle twin of :func:`label_propagation`: the synchronous
+    sweeps unrolled as chained MATERIALIZED CTEs (the
+    :func:`kcore_unrolled_sql` convention — e0 replays the Spark side's
+    canonicalization so reversed/duplicated/self pairs cannot desync the
+    twins). Returns a complete query; ``rounds`` must equal the Spark
+    side's fixed round count — both sides run the same sweep count by
+    construction, unlike a fixpoint loop there is no depth to guess."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({edges_cte}) WHERE id_a <> id_b
+), adj AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM adj
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT adj.b AS node, l.label, COUNT(*) AS c
+  FROM adj JOIN l{p} l ON adj.a = l.node
+  GROUP BY adj.b, l.label
+), l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label ASC) AS rn
+    FROM m{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )

@@ -25,7 +25,7 @@ Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.functions.vectors import cosine, dot, l2_norm_sq
@@ -679,4 +679,220 @@ def gram_matrix(
     )
     return parts.groupBy("i", "j").agg(
         F.sum("partial").cast("bigint").alias("gram")
+    )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Two-stage serving ANN: int8 scalar-quantized candidate generation
+    followed by exact-cosine rerank — the production pattern between
+    brute force (exact but full-width floats everywhere) and PQ/ADC
+    (8-32x compression but a trained codebook): 4x compression with NO
+    training, and the first pass runs entirely in integer arithmetic.
+
+    * **Quantize** — per-dimension symmetric int8 codes
+      ``floor(x * 127 / maxabs_d + 0.5)`` (the ``vec_quantize_int8``
+      contract; deterministic half-up via floor, zero-max dimensions
+      code to 0). ``maxabs`` is ONE corpus-aggregate row broadcast back
+      over both sides — the corpus never shuffles.
+    * **Candidate pass** — integer dot product of code arrays (unrolled
+      64-term bigint chain, order-independent so engine-exact), bounded
+      query batch broadcasts, per-query top-``candidates`` via a rank
+      window over skinny ``(query_id, neighbor_id, qdot)`` rows: codes
+      and vectors are DROPPED before the only shuffle.
+    * **Rerank** — exact cosine on the ≤ |Q|·candidates survivors only;
+      the candidate set broadcasts back against the corpus scan to
+      re-fetch full vectors, so full-precision floats are touched for a
+      bounded row count regardless of corpus size.
+
+    Output: ``query_id, neighbor_id, qdot, cosine_sim, rank``.
+    """
+    ma = F.col("__ma")
+    maxabs = corpus.agg(
+        F.array(
+            *[
+                F.max(
+                    F.abs(
+                        F.element_at(F.col(vec_col), i + 1).cast("double")
+                    )
+                )
+                for i in range(dims)
+            ]
+        ).alias("__ma")
+    )
+
+    def _codes(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.element_at(ma, i + 1) == F.lit(0.0),
+                    F.lit(0).cast("bigint"),
+                ).otherwise(
+                    F.floor(
+                        F.element_at(vec, i + 1).cast("double")
+                        * F.lit(127.0)
+                        / F.element_at(ma, i + 1)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                for i in range(dims)
+            ]
+        )
+
+    q_codes = queries.crossJoin(F.broadcast(maxabs)).select(
+        F.col(id_col).alias("query_id"),
+        _codes(F.col(vec_col)).alias("__qc"),
+    )
+    c_codes = corpus.crossJoin(F.broadcast(maxabs)).select(
+        F.col(id_col).alias("neighbor_id"),
+        _codes(F.col(vec_col)).alias("__cc"),
+    )
+    terms = [
+        F.element_at(F.col("__qc"), i + 1)
+        * F.element_at(F.col("__cc"), i + 1)
+        for i in range(dims)
+    ]
+    qdot = terms[0]
+    for t in terms[1:]:
+        qdot = qdot + t
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        c_codes.join(F.broadcast(q_codes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+        .withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= candidates)
+        .drop("__crank")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__qnorm"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__cnorm"),
+    )
+    rer = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qvec"), F.col("__cvec"), dims)
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "cosine_sim", "rank")
+    )
+
+
+def margin_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_nn: int = 4,
+    candidates: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Margin-scored mining pairs (the bitext-mining criterion of
+    Artetxe & Schwenk, TACL 2019, *distance* variant): a neighbor is a
+    confident match not when its raw cosine is high, but when it beats
+    BOTH sides' local similarity landscape —
+
+        margin(x, y) = 2k·cos(x, y) − Σ fwd-kNN(x) − Σ bwd-kNN(y)
+
+    (the paper's ``cos − fwd_avg/2 − bwd_avg/2``, cleared of the /2k
+    divisions so it stays in integers). Cosines are floor-quantized to
+    ppm BEFORE any sum — integer sums are order-independent, so the
+    forward/backward aggregates hash-match any engine; a double sum
+    here would drift with partition order. The distance variant (not
+    the ratio) keeps the arithmetic division-free, so negative cosines
+    never hit engine-divergent integer-division semantics.
+
+    Plan shape: the bounded probe batch broadcasts; the scored pair
+    frame is skinny (ids + cos_ppm, vectors dropped at the scan); the
+    forward stats, backward stats, and candidate cut are rank/sum
+    windows over that frame — two shuffles total (one per partitioning
+    key), both carrying 3-column rows. Output: ``query_id, neighbor_id,
+    cos_ppm, margin_scaled, rank`` for each probe's top-``k`` margins
+    among its top-``candidates`` forward neighbors.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(l2_norm_sq(F.col(vec_col), dims)).alias("__cnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(
+                dot(F.col("__qvec"), F.col("__cvec"), dims)
+                / (F.col("__qnorm") * F.col("__cnorm"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    wb = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("query_id").asc()
+    )
+    ranked = scored.withColumn("__fr", F.row_number().over(wf)).withColumn(
+        "__br", F.row_number().over(wb)
+    )
+    fsum = ranked.filter(F.col("__fr") <= k_nn).groupBy("query_id").agg(
+        F.sum("cos_ppm").cast("bigint").alias("__fsum")
+    )
+    bsum = ranked.filter(F.col("__br") <= k_nn).groupBy("neighbor_id").agg(
+        F.sum("cos_ppm").cast("bigint").alias("__bsum")
+    )
+    cand = ranked.filter(F.col("__fr") <= candidates).select(
+        "query_id", "neighbor_id", "cos_ppm"
+    )
+    margin = (
+        F.lit(2 * k_nn) * F.col("cos_ppm")
+        - F.col("__fsum")
+        - F.col("__bsum")
+    ).cast("bigint")
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(fsum), "query_id")
+        .join(bsum, "neighbor_id")
+        .withColumn("margin_scaled", margin)
+        .withColumn("rank", F.row_number().over(wm).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_ppm", "margin_scaled", "rank"
+        )
     )

@@ -130,7 +130,13 @@ sf0.001 AND sf0.01 locally first. The round-10-NEW families —
 retrieval), and the bisection rows — stay local-only this round per
 the discipline (new families sweep locally for a round before taking
 gate slots), except the bisection rows which exist precisely to run on
-the driver.
+the driver. The round-10 SECOND batch — ``ann_sq8_rerank`` (int8
+scalar-quantized candidates + exact rerank), ``margin_mining_topk``
+(Artetxe-Schwenk margin criterion over ppm-quantized cosines),
+``label_propagation`` (deterministic synchronous LPA communities),
+``dsir_select`` (hashed-bigram importance selection), and
+``lsh_recall_audit`` (measured band-join recall vs the prefix-join
+exact truth set) — likewise stays local-only until round 11.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (

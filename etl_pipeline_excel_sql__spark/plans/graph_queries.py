@@ -296,3 +296,38 @@ def _kcore_sql() -> str:
 
 ORACLE["dedup_kcore"] = _kcore_sql()
 QUERIES["dedup_kcore"] = q_dedup_kcore
+
+
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the MinHash near-dup graph: 3 synchronous
+    label-propagation sweeps (deterministic min-tie-break variant) —
+    groups template families tighter than connected components without
+    k-core's membership-only output. See
+    :func:`operators.graph.label_propagation`."""
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        label_propagation,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+    )
+
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    return label_propagation(pairs, rounds=LPA_ROUNDS)
+
+
+def _lpa_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        label_propagation_unrolled_sql,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _MINHASH_SQL,
+    )
+
+    return label_propagation_unrolled_sql(_MINHASH_SQL, rounds=LPA_ROUNDS)
+
+
+ORACLE["label_propagation"] = _lpa_sql()
+QUERIES["label_propagation"] = q_label_propagation

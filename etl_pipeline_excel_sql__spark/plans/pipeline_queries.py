@@ -1350,3 +1350,66 @@ JOIN splits sb ON sb.doc_id = p.id_b
 WHERE sa.split <> sb.split
 """
 QUERIES["split_leakage_audit"] = q_split_leakage_audit
+
+
+# --- LSH recall audit (round 10) -------------------------------------------
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash-LSH banding against EXACT ground truth,
+    per similarity band — the audit that turns the LSH S-curve from a
+    formula (recall = 1-(1-J^r)^b) into a number measured on THIS corpus
+    with THIS banding: ``dedup_jaccard_prefix`` (prefix filtering,
+    completeness-guaranteed at J >= 0.5) is the truth set;
+    ``dedup_minhash``'s band-join survivors are the candidate set; the
+    output is per-decile-band (J in [0.5,0.6) ... [1.0]) truth count,
+    hit count, and recall in ppm.
+
+    This is the number a 100 TB dedup run quotes for "how much did the
+    sketch blocking miss": both sides are already scale-shaped (band
+    bucket join / prefix-key join — never all-pairs), and the audit
+    itself adds one key-key join of two pair lists plus a 6-group
+    aggregate. All-integer output.
+    """
+    truth = q_dedup_jaccard_prefix(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard_ppm"
+    )
+    cand = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    per = truth.join(cand, ["id_a", "id_b"], "left").select(
+        F.expr("jaccard_ppm div 100000").cast("bigint").alias("band"),
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("hit"),
+    )
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("(n_hit * 1000000) div n_true").cast("bigint"),
+        )
+    )
+
+
+ORACLE["lsh_recall_audit"] = f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard_ppm FROM ({_JACCARD_PREFIX_SQL})
+), cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_MINHASH_SQL})
+), j AS (
+  SELECT t.jaccard_ppm // 100000 AS band,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t LEFT JOIN cand c USING (id_a, id_b)
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY band
+"""
+QUERIES["lsh_recall_audit"] = q_lsh_recall_audit

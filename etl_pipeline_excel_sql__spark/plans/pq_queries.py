@@ -139,3 +139,81 @@ def _ivfpq_residual_oracle() -> str:
 
 QUERIES["ivfpq_residual_adc"] = q_ivfpq_residual_adc
 ORACLE["ivfpq_residual_adc"] = _ivfpq_residual_oracle()
+
+
+# --- SQ8 + exact rerank (round 10) --------------------------------------
+
+SQ8_QUERY_MAX_ID = 5
+SQ8_CANDIDATES = 30
+SQ8_K = 10
+
+
+def q_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-free quantized serving: int8 scalar-quantized integer-dot
+    candidate pass (top-30 per query), exact-cosine rerank to top-10 —
+    the middle rung of the ANN ladder between ``ann_brute_topk`` (exact,
+    full floats) and ``pq_adc``/``ivfpq_adc`` (trained codebooks). See
+    :func:`operators.similarity.sq8_rerank_topk` for the plan shape
+    (vectors dropped before the candidate shuffle; full-precision floats
+    touched only for the bounded candidate set)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_excel_sql__spark.operators.similarity import (
+        sq8_rerank_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sq8_rerank_topk(
+        emb,
+        emb.filter(F.col("vec_id") < SQ8_QUERY_MAX_ID),
+        k=SQ8_K,
+        candidates=SQ8_CANDIDATES,
+        dims=EMB_DIMS,
+    )
+
+
+def _sq8_oracle() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _cos_sql,
+    )
+
+    return f"""
+WITH ex AS (
+  SELECT vec_id, r.range AS dim,
+         CAST(embedding[r.range + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(0, {EMB_DIMS}) r
+), stats AS (
+  SELECT dim, MAX(abs(x)) AS maxabs FROM ex GROUP BY dim
+), codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+         END AS code
+  FROM ex JOIN stats USING (dim)
+), qd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.code * c.code) AS BIGINT) AS qdot
+  FROM codes q JOIN codes c USING (dim)
+  WHERE q.vec_id < {SQ8_QUERY_MAX_ID} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS crank
+  FROM qd QUALIFY crank <= {SQ8_CANDIDATES}
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.qdot,
+         {_cos_sql('q.embedding', 'c.embedding', EMB_DIMS)} AS cosine_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, qdot, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM rer QUALIFY rank <= {SQ8_K}
+"""
+
+
+ORACLE["ann_sq8_rerank"] = _sq8_oracle()
+QUERIES["ann_sq8_rerank"] = q_ann_sq8_rerank

@@ -324,3 +324,128 @@ QUERIES = {
     "curriculum_buckets": q_curriculum_buckets,
     "join_bloom_prefilter": q_join_bloom_prefilter,
 }
+
+
+# --- DSIR-shaped importance selection (round 10) --------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TOP_N = 50
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram importance selection (the DSIR recipe — Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023): score every out-of-target document by how much its
+    hashed-bigram profile resembles the target domain's, and keep the
+    top-N. The target here is the ``lang='en'`` slice; the pool is
+    everything else.
+
+    Integer surrogate for the paper's log-likelihood-ratio: per-bucket
+    weight ``w(b) = (target_count+1)·1e6 DIV (raw_count+1)`` (add-one
+    smoothed target share of each of the 256 hashed-bigram buckets —
+    the constant normalizer ``raw_total/target_total`` is dropped since
+    it rescales every document identically), and a document scores the
+    MEAN weight over its bigram occurrences (multiplicity kept, as
+    DSIR's feature counts do). Target ⊆ raw makes every ``w ≤ 1e6``, so
+    sums stay far inside int64 and the whole chain is engine-exact.
+
+    Scale shape: bigram explode → two bucket-count aggregates (256
+    groups, map-side combined) → the 256-row weight table BROADCASTS
+    back over the pool explode → per-doc sum → one global top-N window
+    on the ~|pool| skinny score rows. The corpus text never shuffles.
+    """
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", ws_tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bgr"),
+    ).select(
+        "doc_id",
+        "lang",
+        (md5_hash60(F.col("bgr")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    rc = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = (
+        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    w = rc.join(tc, "bucket", "left").select(
+        "bucket",
+        F.expr("((coalesce(tc, 0) + 1) * 1000000) div (rc + 1)")
+        .cast("bigint")
+        .alias("w"),
+    )
+    sc = (
+        bg.filter(F.col("lang") != DSIR_TARGET_LANG)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("w").cast("bigint").alias("__raw"),
+        )
+    )
+    wnd = Window.orderBy(
+        F.expr("__raw div n_bigrams").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn(
+            "score_ppm", F.expr("__raw div n_bigrams").cast("bigint")
+        )
+        .withColumn("rank", F.row_number().over(wnd).cast("int"))
+        .filter(F.col("rank") <= DSIR_TOP_N)
+        .select("doc_id", "n_bigrams", "score_ppm", "rank")
+    )
+
+
+def _dsir_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import _TOKS
+
+    h = H60_SQL.format(x="bgr")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, lang, {h} % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bgr
+    FROM base WHERE len(toks) >= 2
+  )
+), rc AS (
+  SELECT bucket, COUNT(*) AS rc FROM bg GROUP BY bucket
+), tc AS (
+  SELECT bucket, COUNT(*) AS tc FROM bg
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), w AS (
+  SELECT bucket,
+         CAST((COALESCE(tc, 0) + 1) * 1000000 // (rc + 1) AS BIGINT) AS w
+  FROM rc LEFT JOIN tc USING (bucket)
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(w) AS BIGINT) AS raw
+  FROM bg JOIN w USING (bucket)
+  WHERE lang <> '{DSIR_TARGET_LANG}'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, CAST(raw // n_bigrams AS BIGINT) AS score_ppm,
+       CAST(row_number() OVER (ORDER BY raw // n_bigrams DESC,
+            doc_id ASC) AS INT) AS rank
+FROM sc QUALIFY rank <= {DSIR_TOP_N}
+"""
+
+
+ORACLE["dsir_select"] = _dsir_sql()
+QUERIES["dsir_select"] = q_dsir_select

@@ -51,6 +51,9 @@ DOUBLE_SORTED: dict[str, str] = {
     "ann_filtered_topk": "computed cosine; ties (score DESC, neighbor_id ASC)",
     "ann_ivf_topk": "computed cosine; ties (score DESC, neighbor_id ASC)",
     "ann_recall": "composes brute+ivf rankings; same integer tie-breaks",
+    "ann_sq8_rerank": "computed cosine rerank (ANN review class); the "
+    "candidate pass ranks pure-integer code dots; ties "
+    "(score DESC, neighbor_id ASC)",
     "asof_join": "raw event ts ordering for the as-of alignment",
     "asof_join_forward": "raw event ts ordering",
     "asof_join_nearest": "computed |ts delta| on integer-derived ts; doc'd",
@@ -96,8 +99,12 @@ QUANTIZED_COMPUTED: dict[str, str] = {
     "events_interp_linear": "(c) interpolation grid from integer ts",
     "exact_price_quantiles": "(c) rank index from one multiply",
     "histogram_totalprice": "(c) fixed-width bucket floor",
+    "ann_sq8_rerank": "(b) int8 codes floor(x*127/maxabs + 0.5) — the "
+    "vec_quantize_int8 contract; one multiply+divide per element",
     "ivfpq_adc": "(b) int64 ADC micro-units",
     "ivfpq_residual_adc": "(b) int64 residual ADC micro-units",
+    "margin_mining_topk": "(b) cosine floor-quantized to ppm BEFORE the "
+    "forward/backward kNN sums; margin itself is pure-integer",
     "join_multitable_revenue": "(a) decimal cast of 1-l_discount",
     "join_skew_salted": "(c) salt bucket",
     "mix_domains": "(c) integer rate_bp quota floor",

@@ -33,7 +33,12 @@ BNLJ_WHITELIST = {
     "ann_ivf_topk",  # broadcast centroids / probe lists
     "ann_recall",  # composes ann_brute_topk + ann_ivf_topk; inherits their
     #               broadcast-singleton BNLJs (query-set broadcast, bounded)
+    "ann_sq8_rerank",  # broadcast singleton per-dim maxabs row (the
+    #               vec_quantize_int8 pattern) + bounded 5-row query-code
+    #               batch against the corpus scan
     "ann_srp_buckets",  # broadcast SRP hyperplanes
+    "margin_mining_topk",  # 8-row probe set broadcast against the corpus
+    #               scan (the ann_brute_topk pattern)
     "cluster_balanced_sample",  # broadcast ncells-row trained centroids
     #               (kmeans_train_assign's bounded quantizer, as ann_ivf_topk)
     "hybrid_rrf_topk",  # composes brute_force_topk; inherits its bounded
@@ -258,6 +263,17 @@ CORPUS_BROADCAST_WHITELIST = {
     "ivfpq_adc": "codebooks + coarse centroids: (M x 256) + ncells rows",
     "ivfpq_residual_adc": "same bounded codebook/centroid tables",
     "vec_quantize_int8": "per-dim max — EMB_DIMS groups",
+    "ann_sq8_rerank": "query code batch + rerank vector re-fetch: the "
+    "probe set is vec_id < 5 (constant-range predicate) and the "
+    "candidate frame is row_number-cut to queries x candidates rows "
+    "before its broadcast — both serving-batch-bounded, independent of "
+    "corpus size; the maxabs row is a keys=[] aggregate",
+    "margin_mining_topk": "probe set is vec_id < 8 (constant-range "
+    "predicate); the forward-kNN sum table groups BY that probe set's "
+    "query_id so it is <= 8 rows (the backward sums group by corpus "
+    "neighbor_id and are deliberately NOT broadcast)",
+    "dsir_select": "hashed-bigram weight table — bucket domain is "
+    "DSIR_BUCKETS=256 rows by construction, independent of corpus size",
 }
 
 
