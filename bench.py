@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "label_propagation",
     "dsir_select",
     "lsh_recall_audit",
+    "winnow_fingerprint",
+    "quality_domain_rank",
 ]
 
 

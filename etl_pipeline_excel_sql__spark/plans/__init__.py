@@ -136,7 +136,10 @@ scalar-quantized candidates + exact rerank), ``margin_mining_topk``
 ``label_propagation`` (deterministic synchronous LPA communities),
 ``dsir_select`` (hashed-bigram importance selection), and
 ``lsh_recall_audit`` (measured band-join recall vs the prefix-join
-exact truth set) — likewise stays local-only until round 11.
+exact truth set), ``winnow_fingerprint`` (SIGMOD'03 winnowing / MOSS
+position-level fingerprints), and ``quality_domain_rank`` (per-language
+permille quality calibration) — likewise stays local-only until
+round 11.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (

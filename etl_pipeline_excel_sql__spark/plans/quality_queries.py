@@ -131,3 +131,131 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """
 QUERIES["text_simpson_diversity"] = q_text_simpson_diversity
+
+
+# --- winnowing fingerprints (round 10b) ------------------------------------
+
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03 / MOSS) fingerprint summary per document:
+    k-gram count, selected-fingerprint count, and selection density in
+    ppm — the position-level fingerprint family with the local
+    guarantee (any shared substring of length >= w+k-1 shares a
+    fingerprint). See :mod:`operators/winnow` for the packed-key
+    single-window formulation."""
+    from etl_pipeline_excel_sql__spark.operators.winnow import (
+        winnow_fingerprint_stats,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    return winnow_fingerprint_stats(
+        load_table(spark, "documents", sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def _winnow_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.winnow import (
+        winnow_stats_sql,
+    )
+
+    return winnow_stats_sql(k=WINNOW_K, w=WINNOW_W)
+
+
+ORACLE["winnow_fingerprint"] = _winnow_sql()
+QUERIES["winnow_fingerprint"] = q_winnow_fingerprint
+
+
+# --- cross-domain quality rank normalization (round 10b) --------------------
+
+
+def q_quality_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rank normalization of a raw quality signal — the
+    calibration step before a single global quality threshold can be
+    applied across domains whose raw score scales differ (stopword hit
+    rates are incomparable between languages; percentile ranks are
+    comparable by construction).
+
+    Signal: own-language stopword hits per token in ppm (integer counts
+    only; languages without a stopword list — 'zh' here — score 0 and
+    rank by the doc_id tie-break). Normalization: permille rank
+    ``(rank-1)·1000 DIV (n-1)`` within each language. One window shuffle
+    keyed on lang; the text never shuffles (score is computed at the
+    scan, the window sees skinny score rows)."""
+    from etl_pipeline_excel_sql__spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        ws_tokens,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    hits = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        hits = F.when(F.col("lang") == lg, stopword_hits(toks, lg)).otherwise(
+            hits
+        )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("__hits"),
+        F.size(toks).alias("__ntok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("(__hits * 1000000) div greatest(__ntok, 1)")
+        .cast("bigint")
+        .alias("score_ppm"),
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("__r", F.row_number().over(wl))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "score_ppm",
+            F.expr("((__r - 1) * 1000) div greatest(__n - 1, 1)")
+            .cast("bigint")
+            .alias("permille"),
+        )
+    )
+
+
+def _quality_domain_rank_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _STOP,
+        _TOKS,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks,"
+        f" t -> list_contains({_STOP[lg]}, t)))"
+        for lg in sorted(_STOP)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST((CASE {cases} ELSE 0 END) * 1000000
+              // greatest(len(toks), 1) AS BIGINT) AS score_ppm
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+)
+SELECT doc_id, lang, score_ppm,
+       CAST(((row_number() OVER (PARTITION BY lang
+             ORDER BY score_ppm DESC, doc_id ASC)) - 1) * 1000
+            // greatest((COUNT(*) OVER (PARTITION BY lang)) - 1, 1)
+            AS BIGINT) AS permille
+FROM scored
+"""
+
+
+ORACLE["quality_domain_rank"] = _quality_domain_rank_sql()
+QUERIES["quality_domain_rank"] = q_quality_domain_rank

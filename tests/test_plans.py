@@ -455,3 +455,51 @@ def test_m4_downsample_is_aggregate_not_window(spark):
     plan = _plan(spark, "events_m4_downsample")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sq8_candidate_shuffle_carries_no_vectors(spark):
+    """The SQ8 candidate pass must drop code arrays and embeddings
+    before its rank-window shuffle: every Exchange in the plan carries
+    only id/qdot/cos-typed columns, never an array column."""
+    import re
+
+    plan = _plan(spark, "ann_sq8_rerank")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "array" not in m.group(1), m.group(0)
+
+
+def test_margin_mining_probe_broadcasts_and_frame_is_skinny(spark):
+    """The probe side broadcasts (BNLJ against the corpus scan) and the
+    two stat windows both partition on an id key."""
+    plan = _plan(spark, "margin_mining_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_table_broadcasts_corpus_never_joins_wide(spark):
+    """The 256-row weight table must reach the pool explode as a
+    BroadcastHashJoin; no sort-merge join anywhere (nothing in this
+    query is corpus x corpus)."""
+    plan = _plan(spark, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_single_doc_shuffle_and_no_text_in_exchange(spark):
+    """Winnowing shuffles once, keyed on doc_id, and the exchange rows
+    are (doc_id, pos, key) — the normalized text never shuffles."""
+    import re
+
+    plan = _plan(spark, "winnow_fingerprint")
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected a doc_id window shuffle"
+    for p in parts:
+        assert "__t" not in p and "text" not in p, p
+
+
+def test_label_propagation_rounds_are_flat_plans(spark):
+    """After LineageTruncator cuts, the registered query's final plan
+    must not contain the minhash pair generator (it was materialized
+    rounds ago) — the loop stays O(round) not O(round^2)."""
+    plan = _plan(spark, "label_propagation")
+    assert "md5" not in plan.lower()

@@ -214,3 +214,90 @@ def test_lsh_recall_audit_invariants(spark):
         assert 5 <= r.band <= 10
         assert 0 <= r.n_hit <= r.n_true
         assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
+
+
+# --- winnow_fingerprint -----------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> tuple[int, int]:
+    """Reference robust winnowing (SIGMOD'03): returns (n_kgrams, n_fp)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text).strip().lower()
+    if len(t) < k + w - 1:
+        return 0, 0
+    hs = []
+    for i in range(len(t) - k + 1):
+        h60 = int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        hs.append(h60 % (1 << 40))
+    picks = set()
+    for j in range(len(hs) - w + 1):
+        window = hs[j : j + w]
+        m = min(window)
+        # rightmost minimal position in the window
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        picks.add((pos, hs[pos]))
+    return len(hs), len(picks)
+
+
+def test_winnow_matches_python_reference(spark):
+    """Exact agreement with a direct Python transcription of robust
+    winnowing on real corpus documents (first 30 docs at sf0.001)."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_excel_sql__spark.operators.winnow import (
+        winnow_fingerprint_stats,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF).filter(F.col("doc_id") < 30)
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_fp)
+        for r in winnow_fingerprint_stats(docs, k=8, w=4).collect()
+    }
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        if doc_id >= 30:
+            continue
+        n, fp = _py_winnow(text, 8, 4)
+        if n == 0:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == (n, fp), (doc_id, got.get(doc_id), (n, fp))
+
+
+def test_winnow_density_obeys_paper_bounds(spark):
+    """Selections: at least one per window and at most one per k-gram —
+    density in (0, 1e6]; and >= 1e6/w since each pick covers <= w
+    windows."""
+    from etl_pipeline_excel_sql__spark.plans.quality_queries import QUERIES
+
+    rows = QUERIES["winnow_fingerprint"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        n_windows = r.n_kgrams - 3
+        assert 1 <= r.n_fp <= n_windows or n_windows < 1
+        assert r.density_ppm >= 1_000_000 // 4 - 1
+
+
+# --- quality_domain_rank ------------------------------------------------------
+
+
+def test_quality_domain_rank_permille_is_calibrated(spark):
+    """Within every language the permille spans [0, 1000] with 0 for the
+    best-scoring doc; scores are ppm-bounded."""
+    from collections import defaultdict
+
+    from etl_pipeline_excel_sql__spark.plans.quality_queries import QUERIES
+
+    rows = QUERIES["quality_domain_rank"](spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.score_ppm <= 1_000_000
+        assert 0 <= r.permille <= 1000
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        assert min(r.permille for r in rs) == 0
+        if len(rs) > 1:
+            assert max(r.permille for r in rs) == 1000
