@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "lsh_recall_audit",
     "winnow_fingerprint",
     "quality_domain_rank",
+    "postings_compression",
 ]
 
 

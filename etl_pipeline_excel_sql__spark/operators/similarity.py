@@ -728,22 +728,22 @@ def sq8_rerank_topk(
         ).alias("__ma")
     )
 
+    # zip_with (interpreted HOF), NOT a 64-term unrolled array: the
+    # quantize runs once per row, and an unrolled constructor here fused
+    # with the 64-product dot chain below blows janino's 64 KB method
+    # limit — whole-stage codegen falls back to interpreted for the WHOLE
+    # candidate stage, which is far worse than one interpreted lambda.
+    # (Caught by a "Code grows beyond 64 KB" in the round-10 bench.)
     def _codes(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.when(
-                    F.element_at(ma, i + 1) == F.lit(0.0),
-                    F.lit(0).cast("bigint"),
-                ).otherwise(
-                    F.floor(
-                        F.element_at(vec, i + 1).cast("double")
-                        * F.lit(127.0)
-                        / F.element_at(ma, i + 1)
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                )
-                for i in range(dims)
-            ]
+        return F.zip_with(
+            vec,
+            ma,
+            lambda x, s: F.when(s == F.lit(0.0), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    x.cast("double") * F.lit(127.0) / s + F.lit(0.5)
+                ).cast("bigint")
+            ),
         )
 
     q_codes = queries.crossJoin(F.broadcast(maxabs)).select(

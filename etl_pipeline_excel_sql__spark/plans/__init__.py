@@ -137,8 +137,9 @@ scalar-quantized candidates + exact rerank), ``margin_mining_topk``
 ``dsir_select`` (hashed-bigram importance selection), and
 ``lsh_recall_audit`` (measured band-join recall vs the prefix-join
 exact truth set), ``winnow_fingerprint`` (SIGMOD'03 winnowing / MOSS
-position-level fingerprints), and ``quality_domain_rank`` (per-language
-permille quality calibration) — likewise stays local-only until
+position-level fingerprints), ``quality_domain_rank`` (per-language
+permille quality calibration), and ``postings_compression`` (varint
+delta-gap index-size audit) — likewise stays local-only until
 round 11.
 """
 

@@ -580,3 +580,99 @@ FROM hybrid h JOIN documents d ON d.doc_id = h.doc_id
 WHERE h.fused_rank <= {RAG_CONTEXTS_PER_QUERY}
 """
 QUERIES["rag_context_pipeline"] = q_rag_context_pipeline
+
+
+# --- postings compression audit (round 10b) ---------------------------------
+
+POSTINGS_TOP_N = 20
+
+
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-size audit: per-term varint(delta-gap) byte cost of the
+    inverted index's posting lists versus fixed-width64 storage — the
+    standard IR compression estimate (sorted doc_id gaps, LEB128-style
+    byte lengths). High-df terms compress hardest (small gaps), which is
+    exactly what decides whether a 100 TB index's hot posting lists fit
+    the page cache; this query emits that answer per term for the
+    ``POSTINGS_TOP_N`` highest-df terms.
+
+    Gap convention: the first posting stores ``doc_id + 1`` (so doc_id 0
+    still costs >= 1 byte); every later posting stores the delta to its
+    predecessor. Byte cost is the 7-bit varint ladder (< 2^7 -> 1, <
+    2^14 -> 2, ...), a pure integer CASE — engine-exact. Plan shape: one
+    (term, doc_id) distinct + one lag window per term + a per-term
+    aggregate — all keyed on term, one shuffle family, map-side combine
+    on the final sums.
+    """
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    postings = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    wl = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "__gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wl),
+            F.col("doc_id") + 1,
+        ),
+    )
+    vbytes = (
+        F.when(F.col("__gap") < 1 << 7, 1)
+        .when(F.col("__gap") < 1 << 14, 2)
+        .when(F.col("__gap") < 1 << 21, 3)
+        .when(F.col("__gap") < 1 << 28, 4)
+        .otherwise(5)
+    )
+    per_term = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(vbytes).cast("bigint").alias("varint_bytes"),
+    )
+    wr = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        per_term.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= POSTINGS_TOP_N)
+        .select(
+            "term",
+            "df",
+            "varint_bytes",
+            (F.col("df") * 8).cast("bigint").alias("fixed64_bytes"),
+            F.expr("(varint_bytes * 1000000) div (df * 8)")
+            .cast("bigint")
+            .alias("size_ratio_ppm"),
+            "rank",
+        )
+    )
+
+
+ORACLE["postings_compression"] = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents)
+), gaps AS (
+  SELECT term,
+         COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY term
+                  ORDER BY doc_id), doc_id + 1) AS gap
+  FROM postings
+), per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(CASE WHEN gap < 128 THEN 1
+                       WHEN gap < 16384 THEN 2
+                       WHEN gap < 2097152 THEN 3
+                       WHEN gap < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS varint_bytes
+  FROM gaps GROUP BY term
+)
+SELECT term, df, varint_bytes,
+       CAST(df * 8 AS BIGINT) AS fixed64_bytes,
+       CAST(varint_bytes * 1000000 // (df * 8) AS BIGINT)
+         AS size_ratio_ppm,
+       CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+FROM per_term
+QUALIFY rank <= {POSTINGS_TOP_N}
+"""
+QUERIES["postings_compression"] = q_postings_compression

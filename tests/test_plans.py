@@ -76,7 +76,13 @@ def test_no_codegen_compile_failures_on_ann_paths(spark):
 
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
-        for name in ("ann_ivf_topk", "neardup_cosine", "ann_brute_topk"):
+        for name in (
+            "ann_ivf_topk",
+            "neardup_cosine",
+            "ann_brute_topk",
+            "ann_sq8_rerank",
+            "margin_mining_topk",
+        ):
             df = QUERIES[name](spark, SF)
             df.write.format("noop").mode("overwrite").save()
     finally:

@@ -301,3 +301,39 @@ def test_quality_domain_rank_permille_is_calibrated(spark):
         assert min(r.permille for r in rs) == 0
         if len(rs) > 1:
             assert max(r.permille for r in rs) == 1000
+
+
+# --- postings_compression -----------------------------------------------------
+
+
+def test_postings_varint_matches_python_reference(spark):
+    """Gap/varint accounting agrees with a direct Python transcription
+    over the corpus' inverted index."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_excel_sql__spark.plans.retrieval_queries import (
+        QUERIES,
+    )
+
+    got = {
+        r.term: (r.df, r.varint_bytes)
+        for r in QUERIES["postings_compression"](spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    plists = defaultdict(set)
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        for t in text.split():
+            plists[t].add(doc_id)
+
+    def vb(g):
+        return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2 ** 21 else 4
+
+    for term, (df, varint_bytes) in got.items():
+        ids = sorted(plists[term])
+        assert df == len(ids)
+        gaps = [ids[0] + 1] + [
+            b - a for a, b in zip(ids, ids[1:])
+        ]
+        assert varint_bytes == sum(vb(g) for g in gaps), term

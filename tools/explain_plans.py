@@ -472,6 +472,58 @@ COMMENTARY = {
         "in the same exchange — selection adds a single shuffle to the "
         "trained assignment."
     ),
+    "ann_sq8_rerank": (
+        "Training-free quantized serving: the per-dim maxabs row (keys=[] "
+        "aggregate) broadcasts back over both sides; the candidate pass "
+        "joins code arrays against the broadcast 5-row query batch and "
+        "projects to (query, neighbor, qdot) BEFORE the rank-window "
+        "exchange (plan-tested: no array column in any hashpartitioning); "
+        "exact cosine runs only on the broadcast-sized candidate set."
+    ),
+    "margin_mining_topk": (
+        "Probe batch broadcasts against the corpus scan; the scored frame "
+        "is 3 columns (ids + ppm-quantized cosine); forward stats, "
+        "backward stats and the candidate cut are windows over that frame "
+        "— two skinny shuffles, one per partitioning key. Integer sums "
+        "make the kNN aggregates partition-order-independent."
+    ),
+    "label_propagation": (
+        "Each synchronous sweep: edge-list join against the current "
+        "(node,label) frame, map-side-combined (node,label) counts, "
+        "per-node argmax window — the connected-components shuffle shape "
+        "x a FIXED round count; labels localCheckpoint every round so "
+        "the final plan contains no trace of the pair generator "
+        "(plan-tested: no md5 in the registered query's physical plan)."
+    ),
+    "dsir_select": (
+        "Both bucket-count aggregates collapse to 256 groups map-side; "
+        "the weight table reaches the pool explode as a BroadcastHashJoin "
+        "(plan-tested, no SortMergeJoin anywhere); the only wide step is "
+        "the global top-N window over per-doc 3-integer score rows."
+    ),
+    "lsh_recall_audit": (
+        "Composes two scale-shaped pair generators (band join, prefix "
+        "join) and adds one key-key join of skinny pair lists plus a "
+        "6-group aggregate — the truth side is completeness-guaranteed "
+        "by the prefix-filtering lemma, so the emitted recall is exact."
+    ),
+    "winnow_fingerprint": (
+        "k-gram generation is a narrow array transform fused into the "
+        "scan; the min-window and per-doc summary key on doc_id — one "
+        "shuffle of (doc_id,pos,key) integer triples, never text "
+        "(plan-tested). The rightmost-min selection is one MIN window "
+        "over the packed key h40*2^20+(2^20-1-pos)."
+    ),
+    "quality_domain_rank": (
+        "Score computed at the scan (integer stopword density), then one "
+        "window shuffle keyed on lang carrying 3-column rows; permille "
+        "normalization is rank arithmetic inside the same exchange."
+    ),
+    "postings_compression": (
+        "One (term, doc_id) distinct + lag window + per-term aggregate, "
+        "all keyed on term — one shuffle family with map-side-combined "
+        "sums; the varint ladder is a codegen'd integer CASE."
+    ),
 }
 
 
