@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     cache: SignatureCache | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -245,14 +246,22 @@ def minhash_lsh_pairs(
     slot may unpersist each other's still-running cache. Interleaved or
     multi-threaded callers pass their own :class:`SignatureCache` so
     each call sequence owns its lifetime.
+
+    ``exploded``: prebuilt ``(__id, __sh)`` shingle-occurrence frame
+    (post empty-document filter, same ``shingle_n``); callers that feed
+    several operators from one corpus scan (e.g. the LSH recall audit,
+    which shares it with :func:`jaccard_prefix_pairs`) build and persist
+    it once and pass it here — ``df``/``text_col``/``shingle_n`` are
+    then ignored for shingling.
     """
     assert num_hashes % band_rows == 0
 
-    # Empty/whitespace-only documents have no shingles: they vanish from
-    # the exploded side naturally, and the oracle twin filters them the
-    # same way — the invariant must not depend on corpus content.
-    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
-    exploded = shingle_rows(df, text_col, id_col, shingle_n)
+    if exploded is None:
+        # Empty/whitespace-only documents have no shingles: they vanish
+        # from the exploded side naturally, and the oracle twin filters
+        # them the same way — the invariant must not depend on content.
+        df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+        exploded = shingle_rows(df, text_col, id_col, shingle_n)
     # The signature table is tiny (one row per doc, k ints) but its subtree
     # (explode + window + md5) is expensive, and the band self-join would
     # recompute it once per side — persist the result, not the heavy rows.
@@ -508,6 +517,7 @@ def jaccard_prefix_pairs(
     shingle_n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-RECALL n-gram Jaccard pairs via prefix filtering
     (Chaudhuri/Ganti/Kaushik ICDE'06; the PPJoin candidate rule) — the
@@ -530,11 +540,25 @@ def jaccard_prefix_pairs(
 
     Returns ``(id_a, id_b, inter, size_a, size_b, jaccard_ppm)`` for all
     pairs with ``J >= threshold_num/threshold_den``.
+
+    ``exploded``: prebuilt ``(__id, __sh)`` shingle-occurrence frame
+    shared with other operators over the same corpus (see
+    :func:`minhash_lsh_pairs`); when given, ``df``/``text_col``/
+    ``shingle_n`` are ignored for shingling.
+
+    The distinct ``(__id, __h)`` shingle-hash frame is referenced FOUR
+    times (frequency aggregate, prefix ranking, both sides of the
+    intersection join) but deliberately NOT persisted: its four uses
+    share identical exchange subtrees, and AQE's runtime exchange reuse
+    already deduplicates them — an A/B at sf0.1 measured a persist slot
+    at 5.42 s vs 5.33 s plain, i.e. pure memory cost for no win.
     """
     p, q = threshold_num, threshold_den
-    df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    if exploded is None:
+        df = df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+        exploded = shingle_rows(df, text_col, id_col, shingle_n)
     hrows = (
-        shingle_rows(df, text_col, id_col, shingle_n)
+        exploded
         .select("__id", md5_hash60(F.col("__sh")).alias("__h"))
         .distinct()
     )

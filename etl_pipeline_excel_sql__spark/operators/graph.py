@@ -421,6 +421,12 @@ def label_propagation(
     Returns ``(node, label)``.
     """
     spark = pairs.sparkSession
+    # Two truncators (the pagerank_integer convention, graph.py:78): adj
+    # is read every sweep and must never be retired by the labels loop's
+    # cleanup; without its own cut the whole upstream DAG (e.g. the full
+    # MinHash-LSH pipeline feeding `pairs`) re-evaluates once for the
+    # initial label frame and once per sweep — rounds+1 corpus passes.
+    adj_trunc = LineageTruncator(spark, checkpoint_dir)
     trunc = LineageTruncator(spark, checkpoint_dir)
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -428,7 +434,9 @@ def label_propagation(
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
-    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = adj_trunc.truncate(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
     labels = (
         adj.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))

@@ -886,9 +886,17 @@ def margin_topk(
     wm = Window.partitionBy("query_id").orderBy(
         F.col("margin_scaled").desc(), F.col("neighbor_id").asc()
     )
+    # bsum is corpus-keyed (one row per neighbor over the scored frame)
+    # while cand is bounded at |Q|*candidates rows — broadcast the small
+    # candidate side so the corpus-sized aggregate never shuffles against
+    # a few hundred rows (same explicit-broadcast discipline as the probe
+    # join above; AQE would usually rescue this, but the hint makes the
+    # shape a contract rather than a runtime save).
     return (
-        cand.join(F.broadcast(fsum), "query_id")
-        .join(bsum, "neighbor_id")
+        bsum.join(
+            F.broadcast(cand.join(F.broadcast(fsum), "query_id")),
+            "neighbor_id",
+        )
         .withColumn("margin_scaled", margin)
         .withColumn("rank", F.row_number().over(wm).cast("int"))
         .filter(F.col("rank") <= k)

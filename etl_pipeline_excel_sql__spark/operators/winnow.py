@@ -22,8 +22,11 @@ bits and positions bounded to 20 bits,
 
 orders first by hash ascending then by position DESCENDING, so
 ``MIN(key) OVER (doc, pos ROWS CURRENT..w-1 FOLLOWING)`` at each window
-start IS the paper's robust-winnowing pick, decodable by div/mod. All
-integers, hash from the engine-standard md5 contract — oracle-exact.
+start IS the paper's standard winnowing pick (Fig. 5: rightmost
+minimum per window — NOT the "robust" variant, which prefers
+re-selecting the previous window's fingerprint on duplicate minima),
+decodable by div/mod. All integers, hash from the engine-standard md5
+contract — oracle-exact.
 
 Scale shape: k-gram generation is a narrow per-row array transform (the
 text never shuffles); the min-window and the distinct both key on
@@ -50,11 +53,19 @@ HASH40 = 1 << 40
 POS_CAP = 1 << 20
 
 
+#: Explicit whitespace class shared by both engine twins. Java's ``\s``
+#: matches vertical tab U+000B while DuckDB/RE2's does not, so a VT in a
+#: document would desync the k-gram positions and the oracle — pinning
+#: the class (the ASCII whitespace set, VT included) removes the
+#: engine-dependence instead of documenting VT-free input as a contract.
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def _normalized(text_col: str) -> F.Column:
     """lower(trim(collapse-whitespace)) — the winnowing preprocessor.
-    DuckDB twin: ``lower(trim(regexp_replace(x, '\\s+', ' ', 'g')))``
+    DuckDB twin: ``lower(trim(regexp_replace(x, WS_CLASS, ' ', 'g')))``
     (DuckDB needs the explicit 'g'; Spark replaces all by default)."""
-    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), WS_CLASS, " ")))
 
 
 def winnow_fingerprint_stats(
@@ -126,7 +137,7 @@ def winnow_stats_sql(k: int = 8, w: int = 4) -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         lower(trim(regexp_replace(text, '{WS_CLASS}', ' ', 'g'))) AS t
   FROM documents
 ), docs AS (
   SELECT doc_id, t FROM base

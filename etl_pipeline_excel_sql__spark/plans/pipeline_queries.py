@@ -25,12 +25,14 @@ from etl_pipeline_excel_sql__spark.functions.text import (
 )
 from etl_pipeline_excel_sql__spark.operators.dedup import (
     MINHASH_PRIME,
+    SignatureCache,
     affine_consts,
     exact_dedup,
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    shingle_rows,
     simhash_signatures,
 )
 from etl_pipeline_excel_sql__spark.operators.multimodal import (
@@ -1354,6 +1356,10 @@ QUERIES["split_leakage_audit"] = q_split_leakage_audit
 
 # --- LSH recall audit (round 10) -------------------------------------------
 
+#: Bounded persist slot for the audit's shared shingle frame (the
+#: minhash_lsh_pairs cache doctrine: at most one lingering table).
+_AUDIT_SHINGLE_CACHE = SignatureCache()
+
 
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of MinHash-LSH banding against EXACT ground truth,
@@ -1370,12 +1376,39 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join / prefix-key join — never all-pairs), and the audit
     itself adds one key-key join of two pair lists plus a 6-group
     aggregate. All-integer output.
+
+    Both sides start from the same shingle-occurrence sub-DAG
+    (``shingle_rows`` over the non-blank corpus), so the audit builds it
+    ONCE, persists it through a bounded :class:`SignatureCache` slot, and
+    feeds it to both operators via their ``exploded`` hook — one corpus
+    scan + shingle explode instead of two (round-10 verdict item 2).
     """
-    truth = q_dedup_jaccard_prefix(spark, sf_dir).select(
-        "id_a", "id_b", "jaccard_ppm"
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.size(ws_tokens(F.col("text"))) > 0
     )
+    exploded = _AUDIT_SHINGLE_CACHE.swap(
+        shingle_rows(docs, "text", "doc_id", MINHASH_SHINGLE_N)
+    )
+    truth = jaccard_prefix_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold_num=PREFIX_JACCARD_NUM,
+        threshold_den=PREFIX_JACCARD_DEN,
+        exploded=exploded,
+    ).select("id_a", "id_b", "jaccard_ppm")
     cand = (
-        q_dedup_minhash(spark, sf_dir)
+        minhash_lsh_pairs(
+            docs,
+            "text",
+            "doc_id",
+            num_hashes=MINHASH_K,
+            band_rows=MINHASH_BAND_ROWS,
+            shingle_n=MINHASH_SHINGLE_N,
+            threshold=MINHASH_THRESHOLD,
+            exploded=exploded,
+        )
         .select("id_a", "id_b")
         .withColumn("__hit", F.lit(1))
     )

@@ -173,3 +173,38 @@ def test_kcore_chain_cliff_is_a_hard_error(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore_membership(df, k=2, max_iters=5)
     assert kcore_membership(df, k=2, max_iters=30).count() == 0
+
+
+def test_label_propagation_evaluates_upstream_dag_once(spark):
+    """The round-10 scale bug: without an adjacency-frame lineage cut,
+    the pair-generating DAG (in production the whole MinHash-LSH
+    pipeline) re-evaluated once for the initial labels plus once per
+    sweep — rounds+1 corpus passes. The accumulator counts upstream
+    evaluations: the single truncation pass reads each edge row once
+    per union branch (adj = e ∪ e-reversed → 2n bumps); any re-read of
+    the upstream frame by the sweeps would exceed that."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_excel_sql__spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "bigint")
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).withColumn(
+        "id_a", bump_udf("id_a")
+    )
+    labels = {
+        r.node: r.label for r in label_propagation(pairs, rounds=3).collect()
+    }
+    assert len(labels) == 6
+    assert acc.value <= 2 * len(edges), (
+        f"upstream DAG evaluated more than once: {acc.value} bumps "
+        f"for {len(edges)} edges (expected <= {2 * len(edges)})"
+    )

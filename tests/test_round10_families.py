@@ -220,11 +220,13 @@ def test_lsh_recall_audit_invariants(spark):
 
 
 def _py_winnow(text: str, k: int, w: int) -> tuple[int, int]:
-    """Reference robust winnowing (SIGMOD'03): returns (n_kgrams, n_fp)."""
+    """Reference standard winnowing (SIGMOD'03 Fig. 5, rightmost-min
+    tie-break): returns (n_kgrams, n_fp). Whitespace class pinned to the
+    operator's WS_CLASS (Python's \\s is Unicode-wide and would desync)."""
     import hashlib
     import re
 
-    t = re.sub(r"\s+", " ", text).strip().lower()
+    t = re.sub(r"[ \t\n\x0B\f\r]+", " ", text).strip(" ").lower()
     if len(t) < k + w - 1:
         return 0, 0
     hs = []
@@ -242,7 +244,7 @@ def _py_winnow(text: str, k: int, w: int) -> tuple[int, int]:
 
 
 def test_winnow_matches_python_reference(spark):
-    """Exact agreement with a direct Python transcription of robust
+    """Exact agreement with a direct Python transcription of standard
     winnowing on real corpus documents (first 30 docs at sf0.001)."""
     import pyarrow.parquet as pq
 
@@ -328,7 +330,15 @@ def test_postings_varint_matches_python_reference(spark):
             plists[t].add(doc_id)
 
     def vb(g):
-        return 1 if g < 128 else 2 if g < 16384 else 3 if g < 2 ** 21 else 4
+        # full rung ladder incl. the 5-byte step (gaps >= 2^28) so the
+        # reference cannot mask an operator mismatch on larger corpora
+        return (
+            1 if g < 128
+            else 2 if g < 16384
+            else 3 if g < 2 ** 21
+            else 4 if g < 2 ** 28
+            else 5
+        )
 
     for term, (df, varint_bytes) in got.items():
         ids = sorted(plists[term])
