@@ -141,6 +141,35 @@ position-level fingerprints), ``quality_domain_rank`` (per-language
 permille quality calibration), and ``postings_compression`` (varint
 delta-gap index-size audit) — likewise stays local-only until
 round 11.
+Round 11's rotation (the largest, per the round-10 verdict item 3)
+gives all twelve round-10 local-only families their first gate runs —
+``linkage_best_match``, ``incremental_join_merge``,
+``perceptron_calibration``, ``bm25_prf_topk``, ``ann_sq8_rerank``,
+``margin_mining_topk``, ``label_propagation``, ``dsir_select``,
+``lsh_recall_audit``, ``winnow_fingerprint``, ``quality_domain_rank``,
+``postings_compression`` (every incomer re-verified oracle-green at
+sf0.001 AND sf0.01 locally this round, after the LPA truncation and
+audit shingle-sharing changes). Displaced: the two BISECTION rows
+``bm25_stats``/``bm25_contrib`` (diagnostics for the fixed HUGEINT
+projection bug; retired after a final sf1 driver-canon sweep, green —
+verdict item 5), plus ten rows with >= 3 rounds of driver history whose
+families stay represented — ``agg_rollup`` (r1-r10; aggregates kept by
+``agg_pricing_summary`` + ``agg_trimmed_mean``), ``ngram_lm_score``
+(r4-r10; LM kept by ``kn_lm_score``), ``bpe_vocab`` (r7-r10; BPE kept
+by ``curate_pack_pipeline``), ``bm25_topk`` (r8-r10; BM25 kept by
+``bm25_serve_topk``/``bm25_incremental_topk`` + incoming
+``bm25_prf_topk``), ``perceptron_quality`` (r8-r10; classifier kept by
+``perceptron_confusion`` + incoming ``perceptron_calibration``),
+``dedup_clusters`` (r3-r10; graph/iterative kept by incoming
+``label_propagation``; dedup keeps three other in-window rows),
+``neardup_cosine`` (r1-r10; embedding kept by ``ann_ivf_topk`` +
+``ivfpq_residual_adc`` + incoming ``ann_sq8_rerank``/
+``margin_mining_topk``), ``table_fingerprint`` (r4-r10; fingerprints
+kept by incoming ``winnow_fingerprint``), ``join_multitable_revenue``
+(r1-r10; joins kept by ``join_anti_new`` + ``band_join_recent_errors``
++ ``scd2_pointintime`` + incoming ``incremental_join_merge``), and
+``stream_join_attrib`` (r4-r10; three streaming rows stay in-window).
+All displaced rows remain verified by the local replica at every SF.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -273,8 +302,10 @@ DRIVER_PRIORITY = [
     "join_anti_new",
     "diff_cells",
     # word_diff rotated out round 4 (D3, r1-r4 history; D-family kept by
-    # diff_cells) for the replica-verification fingerprint family
-    "table_fingerprint",
+    # diff_cells) for the replica-verification fingerprint family;
+    # table_fingerprint rotated out round 11 (r4-r10 history) for the
+    # position-level winnowing fingerprints (SIGMOD'03 / MOSS)
+    "winnow_fingerprint",
     "download_pipeline",
     # agg_rowcount rotated out round 8b (A1, r1-r7 history, trivially
     # typed; the aggregate family keeps agg_pricing_summary +
@@ -285,22 +316,27 @@ DRIVER_PRIORITY = [
     "array_funcs",
     # numerically risky aggregates / windows (the round-1 hash failures)
     "agg_pricing_summary",
-    "agg_rollup",
-    "join_multitable_revenue",
+    # agg_rollup rotated out round 11 (r1-r10 history; aggregates kept
+    # by agg_pricing_summary + agg_trimmed_mean) for blocked fuzzy
+    # entity resolution (record linkage), a new family
+    "linkage_best_match",
+    # join_multitable_revenue rotated out round 11 (r1-r10 history;
+    # joins kept by join_anti_new + band_join_recent_errors +
+    # scd2_pointintime) for join-view incremental view maintenance
+    "incremental_join_merge",
     "window_zscore",
-    # window_range_frame rotated out round 10 (r4-r9 history; window
-    # family kept by window_zscore) for the second BM25 bisection row:
-    # the per-term cleared-denominator integer division PRE-aggregation
-    # (round-9 verdict #1)
-    "bm25_contrib",
-    "stream_join_attrib",
+    # bm25_contrib (bisection diagnostic) retired round 11 after a
+    # final green sf1 driver-canon sweep (round-10 verdict item 5) for
+    # margin-band classifier reliability calibration
+    "perceptron_calibration",
+    # stream_join_attrib rotated out round 11 (r4-r10 history; three
+    # streaming rows stay in-window) for PRF second-stage retrieval
+    "bm25_prf_topk",
     "semantic_dedup_keep",
-    # pagerank_nations rotated out round 10 (r3-r9 history; the
-    # iterative/graph family stays in-window via dedup_clusters) for the
-    # first BM25 bisection row: the statistics tier in isolation —
-    # tokenization, tf/df/dl, broadcast query join, corpus scalars —
-    # pure longs, zero scoring arithmetic (round-9 verdict #1)
-    "bm25_stats",
+    # bm25_stats (bisection diagnostic) retired round 11 after a final
+    # green sf1 driver-canon sweep (round-10 verdict item 5) for the
+    # int8 scalar-quantized-candidates + exact-rerank ANN serving shape
+    "ann_sq8_rerank",
     # join_bloom_prefilter rotated out round 8 (r2-r7 history; join
     # family kept by join_multitable_revenue + join_anti_new +
     # band_join_recent_errors + asof_join) for the hybrid sparse+dense
@@ -374,37 +410,40 @@ DRIVER_PRIORITY = [
     # rows stay in-window) for the round-7 curation capstone — the full
     # documents-to-pretraining-batches DAG gets driver-gate history
     "curate_pack_pipeline",
-    # LLM-training-data pipeline operators (text_token_count rotated out
-    # round 4 — subsumed by text_quality's token stats — for the
-    # corpus-trained bigram LM scorer, a new family with zero history)
-    "ngram_lm_score",
+    # ngram_lm_score rotated out round 11 (r4-r10 history; LM family
+    # kept by kn_lm_score) for DSIR hashed-bigram importance selection
+    "dsir_select",
     "text_quality",
-    # text_tfidf_topk rotated out round 7 (r2-r6 history; text family
-    # kept by text_quality + ngram_lm_score) for the BPE train+apply
-    # family's first driver row — now running the batched trainer path
-    "bpe_vocab",
-    # dedup_exact rotated out round 8 (r1-r7 history; dedup family keeps
-    # incremental/clusters/spans + neardup_cosine in-window) for the BM25
-    # keyword-retrieval family's first driver row (locally green at
-    # sf0.001/0.01/0.1/sf1 before rotating in)
-    "bm25_topk",
+    # bpe_vocab rotated out round 11 (r7-r10 history; BPE family kept
+    # by curate_pack_pipeline) for per-language permille quality-rank
+    # calibration
+    "quality_domain_rank",
+    # bm25_topk rotated out round 11 (r8-r10 history; BM25 family kept
+    # by bm25_serve_topk + bm25_incremental_topk + bm25_prf_topk) for
+    # the varint delta-gap postings index-size audit
+    "postings_compression",
     # dedup_minhash rotated out round 7 (r1-r6 history; dedup family
     # keeps exact/incremental/containment/clusters + neardup_cosine
     # in-window) for the span-level exact-substring dedup family
     "dedup_spans",
-    # dedup_simhash rotated out round 4 (r1-r4 history; five dedup rows
-    # stay in-window) for association-rule mining's first driver row;
-    # basket_lift rotated out round 8 (r4-r7 history, locally green) for
-    # the supervised classifier-training family's first driver row
-    # (locally green at sf0.001/0.01/0.1/sf1 before rotating in)
-    "perceptron_quality",
+    # perceptron_quality rotated out round 11 (r8-r10 history;
+    # classifier family kept by perceptron_confusion +
+    # perceptron_calibration) for Artetxe-Schwenk margin-criterion
+    # contrastive pair mining
+    "margin_mining_topk",
     # dedup_ngram_jaccard rotated out round 4 (r1-r4 history) for the
     # streaming M4 row — the ninth streaming surface gets gate history
     "stream_m4_downsample",
-    # dedup_keep_best rotated out round 3 (thin variant of dedup_exact +
-    # dedup_clusters, both still in-window; locally green)
-    "dedup_clusters",
-    "neardup_cosine",
+    # dedup_clusters rotated out round 11 (r3-r10 history; the
+    # iterative/graph family's slot goes to deterministic synchronous
+    # label-propagation communities, which exercises the same LSH-pair
+    # upstream plus the sweep loop)
+    "label_propagation",
+    # neardup_cosine rotated out round 11 (r1-r10 history; embedding
+    # family kept by ann_ivf_topk + ivfpq_residual_adc + ann_sq8_rerank
+    # + margin_mining_topk) for the measured band-join recall audit
+    # against the prefix-join exact truth set
+    "lsh_recall_audit",
     # ann_brute_topk rotated out round 7 (r1-r6 history; ANN family kept
     # by ann_ivf_topk) for the canonical two-stage PQ serving shape —
     # the round-6 PQ family's first driver row
