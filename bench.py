@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "winnow_fingerprint",
     "quality_domain_rank",
     "postings_compression",
+    # round-11 additions (appended; earlier ordering preserved): the
+    # composed entity-resolution capstone (exact collapse -> blocked
+    # fuzzy pairs -> connected components -> entity rollup)
+    "entity_resolution_pipeline",
 ]
 
 

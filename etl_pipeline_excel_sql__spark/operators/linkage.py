@@ -82,3 +82,45 @@ def blocked_best_match(
         (F.col("__best") % F.lit(_PACK_BASE)).alias("match_key"),
         F.expr(f"CAST(__best DIV {_PACK_BASE} AS BIGINT)").alias("dist"),
     )
+
+
+def blocked_match_pairs(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """All within-block record pairs with Levenshtein distance
+    ``<= max_dist``: ``(id_a, id_b, dist)`` with ``id_a < id_b`` — the
+    edge-list producer for cluster-level entity resolution (pairs →
+    connected components → entities), where :func:`blocked_best_match`
+    is the probe-batch/serving variant.
+
+    Intended to run on exact-collapsed REPRESENTATIVES, not raw
+    records: collapse identical names first (one groupBy) so an
+    n-record duplicate family contributes one node instead of an
+    O(n²) clique of distance-0 edges. Comparisons are then
+    ``Σ |block_reps|²`` over DISTINCT names per block — bounded by the
+    name vocabulary, which grows far slower than the record count.
+    """
+    r = records.select(
+        F.col(key_col).alias("__k"),
+        F.col(name_col).alias("__n"),
+        F.col(block_col).alias("__b"),
+    )
+    a = r.select(
+        F.col("__k").alias("id_a"), F.col("__n").alias("__na"), "__b"
+    )
+    b = r.select(
+        F.col("__k").alias("id_b"), F.col("__n").alias("__nb"), "__b"
+    )
+    return (
+        a.join(b, on="__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("__na"), F.col("__nb")).cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -169,6 +169,12 @@ kept by incoming ``winnow_fingerprint``), ``join_multitable_revenue``
 (r1-r10; joins kept by ``join_anti_new`` + ``band_join_recent_errors``
 + ``scd2_pointintime`` + incoming ``incremental_join_merge``), and
 ``stream_join_attrib`` (r4-r10; three streaming rows stay in-window).
+A thirteenth swap gates the round-11 composed capstone
+``entity_resolution_pipeline`` (exact collapse → blocked fuzzy pairs →
+connected components → entity rollup; round-10 verdict item 7,
+oracle-green at sf0.001/0.01/0.1 first) in place of
+``stream_m4_downsample`` (r4-r10; streaming kept by
+``stream_hll_users`` + ``stream_cms_users``).
 All displaced rows remain verified by the local replica at every SF.
 """
 
@@ -431,9 +437,12 @@ DRIVER_PRIORITY = [
     # perceptron_calibration) for Artetxe-Schwenk margin-criterion
     # contrastive pair mining
     "margin_mining_topk",
-    # dedup_ngram_jaccard rotated out round 4 (r1-r4 history) for the
-    # streaming M4 row — the ninth streaming surface gets gate history
-    "stream_m4_downsample",
+    # stream_m4_downsample rotated out round 11 (r4-r10 history;
+    # streaming kept by stream_hll_users + stream_cms_users) for the
+    # round-11 composed capstone: exact-collapse -> blocked fuzzy pairs
+    # -> connected components -> entity rollup in one DAG (round-10
+    # verdict item 7)
+    "entity_resolution_pipeline",
     # dedup_clusters rotated out round 11 (r3-r10 history; the
     # iterative/graph family's slot goes to deterministic synchronous
     # label-propagation communities, which exercises the same LSH-pair

@@ -74,3 +74,119 @@ SELECT key AS p_partkey, name AS p_name, block,
 FROM pairs GROUP BY key, name, block
 """
 QUERIES["linkage_best_match"] = q_linkage_best_match
+
+
+# --- composed entity-resolution capstone (round 11) -------------------------
+
+#: fuzzy-merge distance budget for representative names (<= 2 edits
+#: collapses the typo'd variants the generator plants without bridging
+#: distinct products; keep the oracle constant in sync).
+ER_MAX_DIST = 2
+
+
+def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity-resolution capstone — the dirty-catalog shape a
+    real user runs end-to-end, wiring the round-10 linkage family into
+    the cluster-resolution machinery (the ``curate_pack_pipeline``
+    composition doctrine applied to record linkage):
+
+    1. **Exact collapse**: identical names become one REPRESENTATIVE
+       (``rep_key`` = min record key, record count carried) — one
+       hash-groupBy shuffle, and the reason step 2 is bounded: an
+       n-record duplicate family is one node, never an O(n²)
+       distance-0 clique.
+    2. **Blocked fuzzy pairs** (``operators/linkage.blocked_match_pairs``):
+       within-block representative pairs at Levenshtein <=
+       ``ER_MAX_DIST``. Comparisons are Σ|block-vocabulary|² — vocab
+       grows far slower than records, the blocked-linkage contract.
+    3. **Cluster resolution** (``operators/clusters.connected_components``):
+       transitive closure of the match pairs — large-star/small-star,
+       the same iterative engine the dedup family gates.
+    4. **Entity rollup**: every representative maps to
+       ``entity_id = coalesce(component, own key)`` (singletons stay
+       their own entity); per entity: variant-name count, total record
+       count, and the canonical name (the min-key representative's).
+
+    At 100 TB: step 1 is the only record-scale shuffle; steps 2-4 run
+    on the collapsed vocabulary. Output is integers + strings — exact
+    on any engine.
+    """
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+    from etl_pipeline_excel_sql__spark.operators.linkage import (
+        blocked_match_pairs,
+    )
+
+    cat = load_table(spark, "part", sf_dir)
+    reps = (
+        cat.groupBy("p_name")
+        .agg(
+            F.min("p_partkey").cast("bigint").alias("rep_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        )
+        .withColumn(
+            "block", F.element_at(F.split(F.col("p_name"), " "), 2)
+        )
+    )
+    edges = blocked_match_pairs(
+        reps,
+        key_col="rep_key",
+        name_col="p_name",
+        block_col="block",
+        max_dist=ER_MAX_DIST,
+    ).select("id_a", "id_b")
+    comp = connected_components(edges).select(
+        F.col("member_id").alias("rep_key"), "cluster_id"
+    )
+    ent = reps.join(comp, "rep_key", "left").select(
+        "p_name",
+        "n_records",
+        F.coalesce(F.col("cluster_id"), F.col("rep_key"))
+        .cast("bigint")
+        .alias("entity_id"),
+    )
+    summary = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_names"),
+        F.sum("n_records").cast("bigint").alias("n_records"),
+    )
+    canon = reps.select(
+        F.col("rep_key").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return summary.join(canon, "entity_id").select(
+        "entity_id", "canonical_name", "n_names", "n_records"
+    )
+
+
+ORACLE["entity_resolution_pipeline"] = f"""
+WITH RECURSIVE reps0 AS MATERIALIZED (
+  SELECT p_name AS n, CAST(MIN(p_partkey) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_records
+  FROM part GROUP BY p_name
+), reps AS MATERIALIZED (
+  SELECT n, split_part(n, ' ', 2) AS b, k, n_records FROM reps0
+), pairs AS MATERIALIZED (
+  SELECT a.k AS ka, b.k AS kb
+  FROM reps a JOIN reps b USING (b)
+  WHERE a.k < b.k AND levenshtein(a.n, b.n) <= {ER_MAX_DIST}
+), sym AS MATERIALIZED (
+  SELECT ka AS u, kb AS v FROM pairs UNION SELECT kb, ka FROM pairs
+), reach AS (
+  SELECT u AS node, u AS lbl FROM sym
+  UNION
+  SELECT s.v AS node, reach.lbl FROM reach JOIN sym s ON s.u = reach.node
+), comp AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), ent AS (
+  SELECT r.n, r.n_records, COALESCE(c.cluster_id, r.k) AS entity_id
+  FROM reps r LEFT JOIN comp c ON c.node = r.k
+), summary AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_names,
+         CAST(SUM(n_records) AS BIGINT) AS n_records
+  FROM ent GROUP BY entity_id
+)
+SELECT s.entity_id, r.n AS canonical_name, s.n_names, s.n_records
+FROM summary s JOIN reps r ON r.k = s.entity_id
+"""
+QUERIES["entity_resolution_pipeline"] = q_entity_resolution_pipeline
