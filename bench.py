@@ -148,6 +148,12 @@ BENCH_QUERIES = [
     # composed entity-resolution capstone (exact collapse -> blocked
     # fuzzy pairs -> connected components -> entity rollup)
     "entity_resolution_pipeline",
+    # round-11 second batch: session-view IVM with boundary stitching,
+    # token-budget curation selection (two-phase prefix sum in quality
+    # order), cluster-keyed leakage-free split assignment
+    "incremental_session_merge",
+    "curation_budget_select",
+    "cluster_safe_splits",
 ]
 
 

@@ -723,3 +723,162 @@ def _pack_token_ids_sql() -> str:
 
 ORACLE["pack_token_ids"] = _pack_token_ids_sql()
 QUERIES["pack_token_ids"] = q_pack_token_ids
+
+
+# --- incremental SESSION-view maintenance (round 11) ------------------------
+
+#: 12-hour inactivity gap for the IVM view, microseconds. Deliberately
+#: wider than q_sessionize's 30 min: this corpus's sessions are sparse
+#: (~1.05 events/session at 30 min), so a 30-min view would straddle
+#: the batch cutoff for ZERO users at sf0.001/0.01 and the fuse branch
+#: of the stitch would never execute at the gate SF. At 12 h the
+#: boundary fuses for 8/15 users at sf0.001 and 48/150 at sf0.01 —
+#: both branches of the merge algebra are exercised everywhere.
+SESSION_GAP_US = 12 * 3600 * 1_000_000
+#: append-only cutoff at min_ts + 4/5 of the observed span — the last
+#: fifth of the timeline plays the newly-arrived batch.
+SESSION_CUT_NUM, SESSION_CUT_DEN = 4, 5
+
+
+def _session_rows_us(ev: DataFrame) -> DataFrame:
+    """Per-(user, session) summaries over integer-microsecond rows:
+    ``user_id, session_idx, n_events, start_us, end_us`` — the
+    ``q_sessionize`` lag + running-sum shape on a pre-projected frame."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return (
+        flagged.withColumn("session_idx", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+
+
+def q_incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SESSION-view maintenance (round 11; the round-10
+    verdict's "IVM on the session_stats derivation"): ``session_stats``
+    maintained under an APPEND-ONLY event delta — the one view class
+    where delta merge is not purely algebraic, because a session can
+    straddle the batch boundary.
+
+    Split: base = events before the deterministic cutoff (min_ts +
+    4/5·span, integer microseconds), delta = the rest — the production
+    shape where new data is strictly later than the maintained view.
+    Merge algebra: sessionize each side independently; the ONLY
+    cross-boundary interaction is, per user, the LAST base session vs
+    the FIRST delta session — they fuse iff the boundary gap is within
+    ``SESSION_GAP_US`` (every other base lag and delta lag is already
+    correct, since all delta timestamps follow all base timestamps).
+    The merged session multiset then aggregates to per-user stats.
+
+    The oracle computes ``session_stats`` DIRECTLY over all events, so
+    hash equality proves the stitching algebra — the session twin of
+    ``incremental_agg_merge`` / ``incremental_join_merge``.
+
+    100 TB shape: the base session summaries are what a deployment
+    keeps materialized (bounded per-user rows, no raw events); only
+    each user's single boundary row joins the delta, so recurring work
+    is delta-sized plus one skinny per-user probe. The cutoff scalar
+    rides a broadcast join (no driver collect).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    cut = ev.agg(
+        (
+            F.min("ts_us")
+            + F.expr(
+                f"CAST((max(ts_us) - min(ts_us)) * {SESSION_CUT_NUM} "
+                f"DIV {SESSION_CUT_DEN} AS BIGINT)"
+            )
+        ).alias("__cut")
+    )
+    ev = ev.join(F.broadcast(cut))
+    base_s = _session_rows_us(ev.filter(F.col("ts_us") < F.col("__cut")))
+    delta_s = _session_rows_us(ev.filter(F.col("ts_us") >= F.col("__cut")))
+
+    w_last = Window.partitionBy("user_id").orderBy(F.col("session_idx").desc())
+    w_first = Window.partitionBy("user_id").orderBy(F.col("session_idx").asc())
+    base_t = base_s.withColumn("__rl", F.row_number().over(w_last))
+    delta_t = delta_s.withColumn("__rf", F.row_number().over(w_first))
+
+    merged = (
+        base_t.filter(F.col("__rl") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").alias("__nb"),
+            F.col("end_us").alias("__eb"),
+        )
+        .join(
+            delta_t.filter(F.col("__rf") == 1).select(
+                "user_id",
+                F.col("n_events").alias("__nd"),
+                F.col("start_us").alias("__sd"),
+            ),
+            "user_id",
+        )
+        .filter(F.col("__sd") - F.col("__eb") <= SESSION_GAP_US)
+    )
+    # COALESCE the merge flag: after the left join __m is NULL for
+    # non-merged users, and ~(NULL AND true) is NULL — which a filter
+    # DROPS, silently deleting every non-merged user's boundary session
+    # (three-valued logic, the classic left-join-flag trap).
+    m_users = merged.select("user_id", F.lit(1).alias("__m0"))
+    _flag = F.coalesce(F.col("__m0"), F.lit(0))
+    keep_base = (
+        base_t.join(m_users, "user_id", "left")
+        .filter(~((_flag == 1) & (F.col("__rl") == 1)))
+        .select("user_id", "n_events")
+    )
+    keep_delta = (
+        delta_t.join(m_users, "user_id", "left")
+        .filter(~((_flag == 1) & (F.col("__rf") == 1)))
+        .select("user_id", "n_events")
+    )
+    fused = merged.select(
+        "user_id", (F.col("__nb") + F.col("__nd")).alias("n_events")
+    )
+    sessions = keep_base.unionByName(keep_delta).unionByName(fused)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+#: the direct session_stats computation at the IVM view's 12-h gap —
+#: hash equality against the stitched merge proves the algebra.
+ORACLE["incremental_session_merge"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+QUERIES["incremental_session_merge"] = q_incremental_session_merge

@@ -1446,3 +1446,157 @@ SELECT CAST(band AS BIGINT) AS band,
 FROM j GROUP BY band
 """
 QUERIES["lsh_recall_audit"] = q_lsh_recall_audit
+
+
+# --- cluster-safe split assignment (round 11) -------------------------------
+
+
+def q_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test assignment — the fix for what
+    ``split_leakage_audit`` measures: hash-splitting per DOCUMENT lets a
+    near-duplicate pair straddle train/val (memorization scored as
+    generalization), so the split key must be the near-dup CLUSTER, not
+    the document. Composes the MinHash pair generator, connected
+    components, and the hash-bucket assignment (all three gated alone):
+    every document is keyed by ``group_id = coalesce(component,
+    own id)`` and the 80/10/10 bucket is ``md5(salt || group_id) % 100``
+    — all members of a cluster land in the SAME split by construction.
+
+    Output is the audit a data plan quotes: per split, document count,
+    group count, and the number of near-dup pairs straddling that split
+    and any other — PROVABLY zero, and the oracle recomputes the proof
+    from scratch (recursive-CTE components + the same hash) rather than
+    trusting the construction.
+
+    Scale shape: the heavy work is the audited ``dedup_minhash`` +
+    components DAG; assignment is a narrow map over (doc, group) and
+    the leak probe joins the skinny pair list against the assignment.
+    """
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("member_id").alias("doc_id"), "cluster_id"
+    )
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPLIT_SALT), F.col("group_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.explode(F.array(F.col("split_a"), F.col("split_b"))).alias(
+                "split"
+            )
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("group_id").cast("bigint").alias("n_groups"),
+    )
+    return per_split.join(leaks, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_groups",
+        F.coalesce(F.col("leak_pairs"), F.lit(0)).cast("bigint").alias(
+            "leak_pairs"
+        ),
+    )
+
+
+ORACLE["cluster_safe_splits"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_MINHASH_SQL}),
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS lbl FROM sym
+  UNION
+  SELECT s.v AS node, reach.lbl FROM reach JOIN sym s ON s.u = reach.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+assigned AS (
+  SELECT doc_id, group_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, group_id,
+           {_HASH60.format(e=f"concat('{SPLIT_SALT}', CAST(group_id AS VARCHAR))")}
+             % 100 AS b
+    FROM grouped
+  )
+),
+leak_rows AS (
+  SELECT sa.split FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.id_a
+  JOIN assigned sb ON sb.doc_id = p.id_b
+  WHERE sa.split <> sb.split
+  UNION ALL
+  SELECT sb.split FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.id_a
+  JOIN assigned sb ON sb.doc_id = p.id_b
+  WHERE sa.split <> sb.split
+),
+leaks AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS leak_pairs
+  FROM leak_rows GROUP BY split
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.group_id) AS BIGINT) AS n_groups,
+       CAST(COALESCE(ANY_VALUE(l.leak_pairs), 0) AS BIGINT) AS leak_pairs
+FROM assigned a LEFT JOIN leaks l ON l.split = a.split
+GROUP BY a.split
+"""
+QUERIES["cluster_safe_splits"] = q_cluster_safe_splits

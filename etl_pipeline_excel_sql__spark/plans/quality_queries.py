@@ -259,3 +259,154 @@ FROM scored
 
 ORACLE["quality_domain_rank"] = _quality_domain_rank_sql()
 QUERIES["quality_domain_rank"] = q_quality_domain_rank
+
+
+# --- token-budget curation selection (round 11) ----------------------------
+
+#: select best-ranked documents until 3/10 of the corpus token mass.
+BUDGET_NUM, BUDGET_DEN = 3, 10
+
+
+def q_curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: the greedy selection every pretraining
+    data plan executes — rank documents by a calibrated quality score,
+    take the best until a token budget is spent. Composes the
+    ``quality_domain_rank`` calibration (per-language permille, so
+    cross-language scores are comparable) with a DISTRIBUTED exclusive
+    prefix sum of token counts in rank order; a document is selected
+    iff the tokens before it fit the budget (3/10 of total corpus
+    tokens — SF-invariant by construction).
+
+    The prefix sum is the ``pack_lm_sequences`` two-phase doctrine, but
+    keyed on the SCORE instead of doc_id: ranges are the (bounded,
+    ≤1001-row) permille buckets in quality order; per-range totals take
+    one map-side-combined aggregate, range offsets a window over that
+    tiny table, and the within-range cumsum partitions by bucket — no
+    global single-partition window anywhere. The budget scalar rides a
+    broadcast join (no driver collect). Output is all-integer.
+    """
+    from etl_pipeline_excel_sql__spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        ws_tokens,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    hits = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        hits = F.when(F.col("lang") == lg, stopword_hits(toks, lg)).otherwise(
+            hits
+        )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("__hits"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(__hits * 1000000) div greatest(n_tokens, 1)")
+        .cast("bigint")
+        .alias("__score"),
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("__score").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = (
+        scored.withColumn("__r", F.row_number().over(wl))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("((__r - 1) * 1000) div greatest(__n - 1, 1)")
+            .cast("bigint")
+            .alias("permille"),
+        )
+        # permille 0 is rank 1 = the BEST document of its language
+        # (score DESC row_number), so the selection order ascends on
+        # permille — the range key IS the permille bucket.
+        .withColumn("__rng", F.col("permille"))
+    )
+    rng_w = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    rng_off = (
+        ranked.groupBy("__rng")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__tot").over(rng_w), F.lit(0).cast("bigint")),
+        )
+        .select("__rng", "__off")
+    )
+    in_w = (
+        Window.partitionBy("__rng")
+        .orderBy("lang", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        ranked.join(rng_off, "__rng")
+        .withColumn(
+            "cum_before",
+            F.col("__off")
+            + F.coalesce(
+                F.sum("n_tokens").over(in_w), F.lit(0).cast("bigint")
+            ),
+        )
+    )
+    total = scored.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        cum.join(F.broadcast(total))
+        .filter(
+            F.col("cum_before") * F.lit(BUDGET_DEN)
+            < F.col("__total") * F.lit(BUDGET_NUM)
+        )
+        .select("doc_id", "lang", "permille", "n_tokens", "cum_before")
+    )
+
+
+def _curation_budget_select_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _STOP,
+        _TOKS,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks,"
+        f" t -> list_contains({_STOP[lg]}, t)))"
+        for lg in sorted(_STOP)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST((CASE {cases} ELSE 0 END) * 1000000
+              // greatest(len(toks), 1) AS BIGINT) AS score
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(((row_number() OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id ASC)) - 1) * 1000
+              // greatest((COUNT(*) OVER (PARTITION BY lang)) - 1, 1)
+              AS BIGINT) AS permille
+  FROM scored
+), cum AS (
+  SELECT doc_id, lang, permille, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY permille ASC, lang ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM ranked
+), total AS (SELECT SUM(n_tokens) AS t FROM scored)
+SELECT doc_id, lang, permille, n_tokens, cum_before
+FROM cum, total
+WHERE cum_before * {BUDGET_DEN} < t * {BUDGET_NUM}
+"""
+
+
+ORACLE["curation_budget_select"] = _curation_budget_select_sql()
+QUERIES["curation_budget_select"] = q_curation_budget_select
