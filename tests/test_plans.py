@@ -509,3 +509,51 @@ def test_label_propagation_rounds_are_flat_plans(spark):
     rounds ago) — the loop stays O(round) not O(round^2)."""
     plan = _plan(spark, "label_propagation")
     assert "md5" not in plan.lower()
+
+
+def test_entity_resolution_blocked_join_no_cartesian(spark):
+    """The capstone's fuzzy stage joins on the BLOCK key (hash join),
+    never a cartesian product; the collapse groupBy is the only
+    record-scale exchange and the final plan carries no text column
+    through an exchange wider than the name vocabulary."""
+    plan = _plan(spark, "entity_resolution_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_select_prefix_windows_are_bucket_partitioned(spark):
+    """The distributed prefix sum: the corpus-scale cumsum window must
+    PARTITION BY the permille bucket (__rng) — the only unpartitioned
+    window allowed is the one over the <= 1001-row range-offset table.
+    A refactor that collapses the cumsum into one global window funnels
+    the corpus through a single partition at 100 TB and fails here."""
+    import re
+
+    plan = _plan(spark, "curation_budget_select")
+    # the within-range cumsum appears as a Window with __rng in its
+    # partition spec; assert at least one such window exists
+    assert re.search(r"Window .*__rng", plan), "bucketed cumsum window missing"
+    # and n_tokens (the corpus-scale payload) never rides an
+    # unpartitioned (global) sort-merge exchange: SinglePartition
+    # exchanges may only carry the tiny range table (__tot/__off cols)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        ctx = m.group(0)
+        assert "__tot" in ctx or "text" not in ctx
+
+
+def test_cluster_safe_splits_assignment_is_narrow(spark):
+    """Split assignment is a hash of the group key — no join against a
+    split dimension, no cartesian; the leak probe joins the skinny pair
+    list by id (hash joins only)."""
+    plan = _plan(spark, "cluster_safe_splits")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_merge_cutoff_is_broadcast_not_collect(spark):
+    """The batch cutoff scalar rides a broadcast join (plan shows a
+    BroadcastExchange feeding the event filter) — no driver collect, so
+    the shape survives a cluster where the driver never sees data."""
+    plan = _plan(spark, "incremental_session_merge")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
