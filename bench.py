@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "incremental_session_merge",
     "curation_budget_select",
     "cluster_safe_splits",
+    # the left-outer stream-stream interval join (state-timeout path)
+    "stream_join_left",
 ]
 
 

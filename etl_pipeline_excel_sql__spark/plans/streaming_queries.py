@@ -25,6 +25,7 @@ from etl_pipeline_excel_sql__spark.streaming.events import (
     dedup_events_stream,
     enrich_stream,
     m4_downsample_stream,
+    left_attribution_stream,
     purchase_attribution_stream,
     read_events_stream,
     run_to_memory_sink,
@@ -165,6 +166,80 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: settle horizon for the left-outer drain comparison: watermark (4 h)
+#: + join horizon (2 h) + 1 h safety for eviction-boundary semantics —
+#: clicks older than max_ts − 7 h are guaranteed evicted (matched or
+#: null-emitted) by the final no-data micro-batch; younger clicks may
+#: be legitimately withheld by the engine and are excluded from BOTH
+#: sides of the comparison.
+LEFT_JOIN_SETTLE_US = 7 * 3600 * 1_000_000  # 7 hours in microseconds
+
+
+def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join by the streaming engine:
+    every click, with its attributed purchase or engine-emitted NULLs
+    once the watermark proves no match can arrive — the state-TIMEOUT
+    path the inner join never takes.
+
+    The drained result is post-filtered (batch side of the memory
+    sink) to clicks older than ``max_ts − LEFT_JOIN_SETTLE_US``: outer
+    rows younger than that are withheld by the engine by design (the
+    watermark cannot advance past the final event), so the settle
+    cutoff — applied identically in the oracle — is what makes the
+    bounded drain comparable to the batch left join. The value hash
+    then covers the eviction/null-emission state machine itself.
+    """
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    drained = run_to_memory_sink(
+        left_attribution_stream(clicks, purchases),
+        _sink_name("stream_join_left"),
+        output_mode="append",
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    # The engine's global watermark is the MIN over both inputs'
+    # per-side watermarks (multipleWatermarkPolicy=min), so the settle
+    # cutoff anchors on the EARLIER of the two sides' max event times —
+    # anchoring on the overall max overshoots whenever one side's
+    # stream ends before the other's (each side only advances its own
+    # watermark).
+    ev = load_table(spark, "events", sf_dir)
+    cut = ev.agg(
+        (
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.unix_micros(F.col("ts")),
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros(F.col("ts")),
+                    )
+                ),
+            )
+            - F.lit(LEFT_JOIN_SETTLE_US)
+        ).alias("__cut")
+    )
+    return (
+        drained.join(F.broadcast(cut))
+        .filter(F.unix_micros(F.col("click_ts")) < F.col("__cut"))
+        .select(
+            "user_id", "click_id", "click_time", "purchase_id",
+            "purchase_value",
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "stream_enrich": """
         SELECT event_id, user_id, c_name, c_mktsegment
@@ -178,6 +253,24 @@ ORACLE: dict[str, str] = {
                     AS BIGINT) AS total_value_micros
         FROM events
         GROUP BY user_id""",
+    "stream_join_left": """
+        WITH cut AS (
+          SELECT LEAST(
+                   MAX(CASE WHEN event_type = 'click' THEN ts END),
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                 ) - INTERVAL 7 HOUR AS c FROM events
+        )
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+               p.event_id AS purchase_id,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN cut ON c.ts < cut.c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 2 HOUR""",
     "stream_join_attrib": """
         SELECT c.user_id,
                c.event_id AS click_id,
@@ -239,6 +332,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_join_attrib": q_stream_join_attrib,
+    "stream_join_left": q_stream_join_left,
     "stream_dedup_ids": q_stream_dedup_ids,
     "stream_user_totals": q_stream_user_totals,
     "stream_enrich": q_stream_enrich,

@@ -573,3 +573,56 @@ def cms_cells_stream(
             "cnt",
         )
     )
+
+
+def left_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click, attributed
+    to a purchase within ``horizon`` when one exists, emitted with NULL
+    purchase columns when none arrives — the state-timeout semantics
+    :func:`purchase_attribution_stream` (inner) does not exercise.
+
+    The engine buffers an unmatched click until the purchase-side
+    watermark proves no future match is possible (``click_ts + horizon``
+    behind the watermark), THEN emits the null row — so outer results
+    near the end of a bounded drain are withheld by construction (the
+    watermark never advances past the final events). Callers comparing
+    against a batch twin must restrict BOTH sides to clicks older than
+    ``max_ts − watermark − horizon`` (plus a safety margin): see
+    ``q_stream_join_left``. State stays bounded exactly as in the inner
+    join; the outer behavior only changes what is emitted at eviction.
+    Emits the raw ``click_ts`` alongside the formatted time so the
+    settle cutoff can filter the drained result.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        "purchase_id",
+        "purchase_value",
+    )

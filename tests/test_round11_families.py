@@ -140,3 +140,32 @@ def test_doc_keyed_split_does_leak_where_cluster_keyed_does_not(spark):
         pytest.skip("corpus produces no doc-keyed leaks at this SF")
     cluster = QUERIES["cluster_safe_splits"](spark, SF).collect()
     assert sum(r.leak_pairs for r in cluster) == 0
+
+
+# --- stream_join_left ------------------------------------------------------
+
+
+def test_stream_left_join_emits_both_outer_and_matched_rows(spark):
+    """The drained+settled left-outer stream join must contain BOTH row
+    classes at the gate SF: engine-emitted null rows (the state-timeout
+    path this family exists for) and matched attributions — and every
+    click below the settle cutoff appears exactly once per match (at
+    least once overall)."""
+    from etl_pipeline_excel_sql__spark.plans.streaming_queries import (
+        QUERIES,
+    )
+
+    got = QUERIES["stream_join_left"](spark, SF).collect()
+    outer = [r for r in got if r.purchase_id is None]
+    matched = [r for r in got if r.purchase_id is not None]
+    assert outer, "no engine-emitted outer rows - timeout path untested"
+    assert matched, "no matched rows - join path untested"
+    # a click appears once (unmatched) or once per matching purchase;
+    # it never appears both matched AND as an outer null
+    from collections import defaultdict
+
+    by_click = defaultdict(list)
+    for r in got:
+        by_click[r.click_id].append(r.purchase_id)
+    for cid, pids in by_click.items():
+        assert (pids == [None]) or all(p is not None for p in pids), cid
