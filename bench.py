@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "cluster_safe_splits",
     # the left-outer stream-stream interval join (state-timeout path)
     "stream_join_left",
+    # round-11 third batch: per-language quality/length skyline,
+    # consistent-hashing rebalance audit, LSH banding tuning table
+    "pareto_quality_length",
+    "shard_rebalance_audit",
+    "minhash_band_tuning",
 ]
 
 

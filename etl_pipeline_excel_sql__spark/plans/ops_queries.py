@@ -197,3 +197,161 @@ ranks AS (
 SELECT pct, rank, value FROM ranks JOIN ordered ON ordered.rn = ranks.rank
 """
 QUERIES["exact_price_quantiles"] = q_exact_price_quantiles
+
+
+# --- consistent-hashing rebalance audit (round 11) --------------------------
+
+#: base shard count, vnodes per shard, and the 52-bit ring space —
+#: 52 hash bits + 8 shard bits keep the packed arg-min inside int64
+#: (the packed-MIN doctrine; 2^52 ring positions are collision-ample
+#: for the assignment audit).
+SHARD_N = 8
+SHARD_VNODES = 16
+RING_BITS = 52
+RING_SPACE = 1 << RING_BITS
+
+
+def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost audit: how much data moves when shard count goes
+    N → N+1, under naive modulo placement vs a consistent-hash ring
+    (Karger et al., the memcached/Dynamo placement) — the number that
+    decides whether a 100 TB corpus can grow its shard fleet online.
+    Modulo reassigns ~N/(N+1) of all keys; the vnode ring reassigns
+    only keys captured by the NEW shard's vnodes (~1/(N+1)), and —
+    the consistency property this audit PROVES on the corpus rather
+    than asserts — every moved key moves TO the new shard, never
+    between old shards.
+
+    Plan shape: the ring is (N+1)·V rows — it broadcasts; ownership is
+    a per-doc arg-min over the broadcast ring via one packed-integer
+    MIN aggregate (map-side combined, no shuffle of doc rows beyond
+    the final global count), exactly the `blocked_best_match` arg-min
+    doctrine. Output: one all-integer row.
+    """
+    from etl_pipeline_excel_sql__spark.functions.hashing import md5_hash60
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        (
+            md5_hash60(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+            % F.lit(RING_SPACE)
+        ).alias("h"),
+    )
+    ring = spark.createDataFrame(
+        [(s, v) for s in range(SHARD_N + 1) for v in range(SHARD_VNODES)],
+        ["shard", "vnode"],
+    ).select(
+        "shard",
+        (
+            md5_hash60(
+                F.concat_ws(":", F.lit("ring"), F.col("shard"), F.col("vnode"))
+            )
+            % F.lit(RING_SPACE)
+        ).alias("point"),
+    )
+
+    def owner(ring_df: DataFrame, col: str) -> DataFrame:
+        packed = (
+            ((F.col("point") - F.col("h") + F.lit(RING_SPACE)) % F.lit(RING_SPACE))
+            * F.lit(256)
+            + F.col("shard")
+        )
+        return (
+            docs.join(F.broadcast(ring_df))
+            .groupBy("doc_id", "h")
+            .agg(F.min(packed).alias("__p"))
+            .select(
+                "doc_id",
+                "h",
+                (F.col("__p") % F.lit(256)).cast("bigint").alias(col),
+            )
+        )
+
+    own_n = owner(ring.filter(F.col("shard") < SHARD_N), "ring_owner_n")
+    own_n1 = owner(ring, "ring_owner_n1")
+    joined = own_n.join(own_n1.drop("h"), "doc_id").select(
+        "doc_id",
+        "ring_owner_n",
+        "ring_owner_n1",
+        (F.col("h") % F.lit(SHARD_N)).alias("mod_n"),
+        (F.col("h") % F.lit(SHARD_N + 1)).alias("mod_n1"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    moved_mod = F.sum(
+        F.when(F.col("mod_n") != F.col("mod_n1"), 1).otherwise(0)
+    ).cast("bigint")
+    moved_ring = F.sum(
+        F.when(F.col("ring_owner_n") != F.col("ring_owner_n1"), 1).otherwise(0)
+    ).cast("bigint")
+    moved_ring_to_new = F.sum(
+        F.when(
+            (F.col("ring_owner_n") != F.col("ring_owner_n1"))
+            & (F.col("ring_owner_n1") == SHARD_N),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    return joined.agg(
+        n.alias("n_docs"),
+        moved_mod.alias("moved_mod"),
+        moved_ring.alias("moved_ring"),
+        moved_ring_to_new.alias("moved_ring_to_new"),
+        F.expr(
+            "CAST(sum(CASE WHEN mod_n <> mod_n1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("moved_mod_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN ring_owner_n <> ring_owner_n1 THEN 1 ELSE 0"
+            " END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("moved_ring_ppm"),
+    )
+
+
+def _shard_rebalance_sql() -> str:
+    from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
+
+    h = H60_SQL.format(x="concat('doc:', CAST(doc_id AS VARCHAR))")
+    pt = H60_SQL.format(
+        x="concat('ring', ':', CAST(s AS VARCHAR), ':', CAST(v AS VARCHAR))"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, ({h}) % {RING_SPACE} AS h FROM documents
+), ring AS (
+  SELECT s AS shard, ({pt}) % {RING_SPACE} AS point
+  FROM range(0, {SHARD_N + 1}) t1(s), range(0, {SHARD_VNODES}) t2(v)
+), own_n AS (
+  SELECT doc_id, h,
+         CAST(MIN(((point - h + {RING_SPACE}) % {RING_SPACE}) * 256 + shard)
+              % 256 AS BIGINT) AS ring_owner_n
+  FROM docs JOIN ring ON ring.shard < {SHARD_N}
+  GROUP BY doc_id, h
+), own_n1 AS (
+  SELECT doc_id,
+         CAST(MIN(((point - h + {RING_SPACE}) % {RING_SPACE}) * 256 + shard)
+              % 256 AS BIGINT) AS ring_owner_n1
+  FROM docs JOIN ring ON TRUE
+  GROUP BY doc_id, h
+), j AS (
+  SELECT o.doc_id, o.ring_owner_n, p.ring_owner_n1,
+         o.h % {SHARD_N} AS mod_n, o.h % {SHARD_N + 1} AS mod_n1
+  FROM own_n o JOIN own_n1 p USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mod_n <> mod_n1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_mod,
+       CAST(SUM(CASE WHEN ring_owner_n <> ring_owner_n1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS moved_ring,
+       CAST(SUM(CASE WHEN ring_owner_n <> ring_owner_n1
+                      AND ring_owner_n1 = {SHARD_N} THEN 1 ELSE 0 END)
+         AS BIGINT) AS moved_ring_to_new,
+       CAST(SUM(CASE WHEN mod_n <> mod_n1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS moved_mod_ppm,
+       CAST(SUM(CASE WHEN ring_owner_n <> ring_owner_n1 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS moved_ring_ppm
+FROM j
+"""
+
+
+ORACLE["shard_rebalance_audit"] = _shard_rebalance_sql()
+QUERIES["shard_rebalance_audit"] = q_shard_rebalance_audit

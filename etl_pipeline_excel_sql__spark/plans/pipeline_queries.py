@@ -1600,3 +1600,151 @@ FROM assigned a LEFT JOIN leaks l ON l.split = a.split
 GROUP BY a.split
 """
 QUERIES["cluster_safe_splits"] = q_cluster_safe_splits
+
+
+# --- MinHash banding tuning table (round 11) --------------------------------
+
+#: band-row widths to evaluate over the 12-hash signature: b = 12/r
+#: bands each. r=1 is the recall-greedy/candidate-hungry end, r=6 the
+#: precision end — the production question is which rung fits the
+#: candidate budget at the target recall.
+BAND_TUNING_ROWS = (1, 2, 3, 4, 6)
+
+#: bounded persist slots for the tuning table's shared frames: the
+#: shingle explode feeds the truth join AND the signature build; the
+#: 12-hash signature table is re-banded once per config.
+_TUNE_SHINGLE_CACHE = SignatureCache()
+_TUNE_SIG_CACHE = SignatureCache()
+
+
+def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding TUNING TABLE: for every (band_rows r, bands b =
+    12/r) configuration of the same 12-hash MinHash signature, the
+    measured candidate-pair volume and the measured recall against the
+    prefix-join EXACT truth set (J >= 1/2) — the artifact that answers
+    "which banding fits my candidate budget at my target recall" with
+    numbers from THIS corpus instead of the 1-(1-J^r)^b formula.
+    ``lsh_recall_audit`` grades ONE configuration per J-decile; this
+    grades the whole knob range (SCALING.md's band-count knob rule).
+
+    One corpus scan: the shingle explode and the 12-hash signature
+    table are built once (bounded persist slots) and re-banded per
+    config; each config adds only its band self-join on (band, bucket)
+    carrying ids — never text — plus two counts. Output: one
+    all-integer row per configuration.
+    """
+    from etl_pipeline_excel_sql__spark.operators.dedup import (
+        _minhash_band_expr,
+        _minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.size(ws_tokens(F.col("text"))) > 0
+    )
+    exploded = _TUNE_SHINGLE_CACHE.swap(
+        shingle_rows(docs, "text", "doc_id", MINHASH_SHINGLE_N)
+    )
+    sig = _TUNE_SIG_CACHE.swap(_minhash_signatures(exploded, MINHASH_K))
+    truth = jaccard_prefix_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold_num=PREFIX_JACCARD_NUM,
+        threshold_den=PREFIX_JACCARD_DEN,
+        exploded=exploded,
+    ).select("id_a", "id_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    rows = []
+    for r in BAND_TUNING_ROWS:
+        bands = sig.select("__id", _minhash_band_expr(MINHASH_K, r))
+        cand = (
+            bands.alias("l")
+            .join(bands.alias("r"), on=["band", "bucket"])
+            .filter(F.col("l.__id") < F.col("r.__id"))
+            .select(
+                F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+            )
+            .distinct()
+        )
+        counts = cand.join(truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        rows.append(
+            counts.withColumn("band_rows", F.lit(r).cast("bigint")).withColumn(
+                "n_bands", F.lit(MINHASH_K // r).cast("bigint")
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.join(F.broadcast(n_truth)).select(
+        "band_rows",
+        "n_bands",
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        F.expr("CAST(n_hit * 1000000 DIV greatest(n_truth, 1) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+def _band_tuning_sql() -> str:
+    # outer CTE names are prefixed mh_ so they cannot shadow the CTEs
+    # inside the nested _JACCARD_PREFIX_SQL WITH (DuckDB hits an
+    # internal "recursive CTE scan" assertion on same-name shadowing
+    # with materialized CTEs).
+    sig_cte = f"""
+mh_base AS MATERIALIZED (
+  SELECT doc_id, {_shingle_sql(MINHASH_SHINGLE_N)} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+), mh_hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_HASH60.format(e='s')} & {MINHASH_PRIME}) AS hb
+  FROM mh_base
+), sigs AS MATERIALIZED (
+  SELECT doc_id,
+    [{', '.join(
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in affine_consts(MINHASH_K)
+    )}] AS mh
+  FROM mh_hashed
+), truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_JACCARD_PREFIX_SQL})
+), n_truth AS (SELECT COUNT(*) AS n_truth FROM truth)"""
+    selects = []
+    for r in BAND_TUNING_ROWS:
+        bucket = " || ',' || ".join(
+            f"CAST(mh[{r} * b + {i + 1}] AS VARCHAR)" for i in range(r)
+        )
+        selects.append(f"""
+SELECT CAST({r} AS BIGINT) AS band_rows,
+       CAST({MINHASH_K // r} AS BIGINT) AS n_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       (SELECT CAST(n_truth AS BIGINT) FROM n_truth) AS n_truth,
+       CAST(SUM(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END) * 1000000
+            // greatest((SELECT n_truth FROM n_truth), 1) AS BIGINT)
+         AS recall_ppm
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, b AS band, {bucket} AS bucket
+        FROM sigs, UNNEST(range(0, {MINHASH_K // r})) AS tt(b)) a
+  JOIN (SELECT doc_id, b AS band, {bucket} AS bucket
+        FROM sigs, UNNEST(range(0, {MINHASH_K // r})) AS tt(b)) b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+) c
+LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b""")
+    return "WITH " + sig_cte + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE["minhash_band_tuning"] = _band_tuning_sql()
+QUERIES["minhash_band_tuning"] = q_minhash_band_tuning

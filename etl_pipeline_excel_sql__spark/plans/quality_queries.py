@@ -410,3 +410,109 @@ WHERE cum_before * {BUDGET_DEN} < t * {BUDGET_NUM}
 
 ORACLE["curation_budget_select"] = _curation_budget_select_sql()
 QUERIES["curation_budget_select"] = q_curation_budget_select
+
+
+# --- Pareto quality/length frontier (round 11) ------------------------------
+
+
+def q_pareto_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of the corpus on (quality DESC, token cost ASC): the
+    documents for which no other document is at least as good on both
+    axes and strictly better on one — the efficient frontier a curation
+    budget walks (every budget-optimal pick is on it; dominated
+    documents are never optimal at any budget).
+
+    Dominance test without an all-pairs join: group docs by score (one
+    map-side-combined aggregate to per-score min token count), take the
+    strictly-better-prefix min over the SMALL distinct-score table
+    (window over score DESC — bounded by score cardinality, ≤1e6+1 ppm
+    values, in practice far fewer), and join it back: a doc survives
+    iff no strictly higher score achieved ≤ its tokens AND it matches
+    its own score group's minimum (equal-score docs with more tokens
+    are dominated within the group). Output is all-integer.
+    """
+    from etl_pipeline_excel_sql__spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        ws_tokens,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = ws_tokens(F.col("text"))
+    hits = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        hits = F.when(F.col("lang") == lg, stopword_hits(toks, lg)).otherwise(
+            hits
+        )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("__hits"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(__hits * 1000000) div greatest(n_tokens, 1)")
+        .cast("bigint")
+        .alias("score_ppm"),
+    )
+    from pyspark.sql import Window
+
+    # per-LANGUAGE frontier (scores are language-calibrated signals, so
+    # cross-language domination is meaningless; partitioning also keeps
+    # the distinct-score window sharded, never single-partition)
+    grp = scored.groupBy("lang", "score_ppm").agg(
+        F.min("n_tokens").alias("__gmin")
+    )
+    w_better = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_ppm").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn("__pmin", F.min("__gmin").over(w_better))
+    return (
+        scored.join(grp, ["lang", "score_ppm"])
+        .filter(
+            (F.col("__pmin").isNull() | (F.col("n_tokens") < F.col("__pmin")))
+            & (F.col("n_tokens") == F.col("__gmin"))
+        )
+        .select("doc_id", "lang", "score_ppm", "n_tokens")
+    )
+
+
+def _pareto_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _STOP,
+        _TOKS,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks,"
+        f" t -> list_contains({_STOP[lg]}, t)))"
+        for lg in sorted(_STOP)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST((CASE {cases} ELSE 0 END) * 1000000
+              // greatest(len(toks), 1) AS BIGINT) AS score_ppm
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+), grp AS (
+  SELECT lang, score_ppm, MIN(n_tokens) AS gmin
+  FROM scored GROUP BY lang, score_ppm
+), pref AS (
+  SELECT lang, score_ppm, gmin,
+         MIN(gmin) OVER (PARTITION BY lang ORDER BY score_ppm DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+  FROM grp
+)
+SELECT s.doc_id, s.lang, s.score_ppm, s.n_tokens
+FROM scored s JOIN pref p USING (lang, score_ppm)
+WHERE (p.pmin IS NULL OR s.n_tokens < p.pmin) AND s.n_tokens = p.gmin
+"""
+
+
+ORACLE["pareto_quality_length"] = _pareto_sql()
+QUERIES["pareto_quality_length"] = q_pareto_quality_length

@@ -169,3 +169,92 @@ def test_stream_left_join_emits_both_outer_and_matched_rows(spark):
         by_click[r.click_id].append(r.purchase_id)
     for cid, pids in by_click.items():
         assert (pids == [None]) or all(p is not None for p in pids), cid
+
+
+# --- pareto_quality_length -------------------------------------------------
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """Frontier equals the O(n²) dominance definition computed directly
+    (per language): kept iff no other doc scores >= with <= tokens and
+    is strictly better on one axis."""
+    from etl_pipeline_excel_sql__spark.plans.quality_queries import QUERIES
+
+    got = {
+        (r.lang, r.doc_id) for r in QUERIES["pareto_quality_length"](spark, SF).collect()
+    }
+    # brute force over the same scored tuples
+    from etl_pipeline_excel_sql__spark.functions.text import (
+        STOPWORDS,
+        stopword_hits,
+        ws_tokens,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF)
+    toks = ws_tokens(F.col("text"))
+    hits = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        hits = F.when(F.col("lang") == lg, stopword_hits(toks, lg)).otherwise(hits)
+    rows = docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("h"),
+        F.size(toks).cast("bigint").alias("t"),
+    ).collect()
+    scored = [
+        (r.lang, r.doc_id, (r.h * 1000000) // max(r.t, 1), r.t) for r in rows
+    ]
+    want = set()
+    for lang, did, s, t in scored:
+        dominated = any(
+            lg == lang
+            and s2 >= s
+            and t2 <= t
+            and (s2 > s or t2 < t)
+            for lg, _, s2, t2 in scored
+        )
+        if not dominated:
+            want.add((lang, did))
+    assert got == want
+
+
+# --- shard_rebalance_audit -------------------------------------------------
+
+
+def test_shard_rebalance_consistency_property(spark):
+    """The audit must PROVE consistent hashing's guarantee on the
+    corpus: every ring-moved key moves TO the new shard (never between
+    old shards), the ring moves a small fraction (~1/(N+1)), and mod
+    placement moves the large fraction (~N/(N+1))."""
+    from etl_pipeline_excel_sql__spark.plans.ops_queries import QUERIES
+
+    r = QUERIES["shard_rebalance_audit"](spark, SF).collect()[0]
+    assert r.moved_ring == r.moved_ring_to_new
+    assert 0 < r.moved_ring < r.moved_mod
+    # loose statistical bounds: ring ~1/9 (111k ppm), mod ~8/9 (889k)
+    assert 20_000 <= r.moved_ring_ppm <= 350_000
+    assert 700_000 <= r.moved_mod_ppm <= 980_000
+
+
+# --- minhash_band_tuning ---------------------------------------------------
+
+
+def test_band_tuning_scurve_monotonicity(spark):
+    """Wider bands (more rows per band) can only shrink the candidate
+    set and the recall — the S-curve the tuning table exists to
+    measure; n_truth is config-invariant."""
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["minhash_band_tuning"](spark, SF).collect(),
+        key=lambda r: r.band_rows,
+    )
+    assert [r.band_rows for r in rows] == [1, 2, 3, 4, 6]
+    assert len({r.n_truth for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates <= a.n_candidates
+        assert b.n_hit <= a.n_hit
+        assert b.recall_ppm <= a.recall_ppm
+    assert all(r.n_hit <= r.n_truth for r in rows)
+    assert all(r.n_hit <= r.n_candidates for r in rows)
