@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "pareto_quality_length",
     "shard_rebalance_audit",
     "minhash_band_tuning",
+    # corpus-health composition rows + tokenizer fertility audit
+    "dup_size_spectrum",
+    "effective_corpus_size",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -882,3 +882,89 @@ SELECT user_id,
 FROM per_session GROUP BY user_id
 """
 QUERIES["incremental_session_merge"] = q_incremental_session_merge
+
+
+# --- tokenizer fertility audit (round 11) -----------------------------------
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subwords emitted per
+    whitespace word by the corpus-trained BPE — the standard
+    tokenizer-evaluation number (fertility ≫ 1 on a language means the
+    vocab under-serves it and its effective context shrinks). Composes
+    the batched trainer + encoder (one corpus tokenization pass, the
+    ``bpe_token_ids`` DAG) with a per-language aggregate; the per-doc
+    subword counts are skinny rows, so the added cost over encoding is
+    one map-side-combined groupBy. Output all-integer, fertility in
+    ppm (1e6 = one subword per word)."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_doc_token_ids,
+        bpe_train_merges_from_words,
+        word_frequencies,
+    )
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = LineageTruncator(spark).truncate(
+        word_frequencies(docs, "text")
+    )
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train_merges_from_words(
+            words, BPE_TRAIN_MERGES, batch_pairs=4, max_batch_pairs=64
+        ).collect()
+    ]
+    ids = bpe_doc_token_ids(docs, "text", merges, words=words).select(
+        "doc_id", "n_subwords"
+    )
+    per = ids.join(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(ws_tokens(F.col("text"))).cast("bigint").alias("__nw"),
+        ),
+        "doc_id",
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        F.sum("__nw").cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(sum(n_subwords) * 1000000"
+            " DIV greatest(sum(__nw), 1) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    from etl_pipeline_excel_sql__spark.operators.bpe import (
+        bpe_token_ids_unrolled_sql,
+    )
+
+    ids = bpe_token_ids_unrolled_sql(
+        "SELECT doc_id, text FROM documents", "text", BPE_TRAIN_MERGES
+    )
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        " t -> t <> '')"
+    )
+    return f"""
+WITH f_ids AS MATERIALIZED (
+  SELECT doc_id, n_subwords FROM ({ids})
+), f_docs AS (
+  SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS nw FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(n_subwords) * 1000000 // greatest(SUM(nw), 1) AS BIGINT)
+         AS fertility_ppm
+FROM f_ids JOIN f_docs USING (doc_id)
+GROUP BY lang
+"""
+
+
+ORACLE["bpe_fertility_by_lang"] = _bpe_fertility_sql()
+QUERIES["bpe_fertility_by_lang"] = q_bpe_fertility_by_lang

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
 from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
@@ -569,3 +570,163 @@ SELECT doc_id, kn_score_scaled,
 FROM scores CROSS JOIN cuts
 """
 QUERIES["ccnet_ppl_buckets"] = q_ccnet_ppl_buckets
+
+
+# --- corpus-health composition rows (round 11) ------------------------------
+
+
+def _neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id): every document keyed by its NEAR-dup cluster
+    (MinHash pairs -> connected components; singletons key to
+    themselves). The corpus ships zero EXACT duplicates, so basing the
+    health rows on content-hash groups would be a constant histogram —
+    the near-dup clusters are the real structure."""
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_dedup_minhash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("member_id").alias("doc_id"), "cluster_id"
+    )
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("group_id"),
+    )
+
+
+#: shared recursive-CTE group assignment for the two health oracles —
+#: the dedup_clusters reach/fixpoint convention, LEFT-joined so
+#: singletons keep their own id.
+def _neardup_groups_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _MINHASH_SQL,
+    )
+
+    return f"""pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_MINHASH_SQL})
+), sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS node, u AS lbl FROM sym
+  UNION
+  SELECT s.v AS node, reach.lbl FROM reach JOIN sym s ON s.u = reach.node
+), comp AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+), grouped AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)"""
+
+
+def q_dup_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication spectrum over NEAR-dup clusters: how many
+    duplicate families of each size the corpus holds (singletons
+    included) — the first histogram a corpus health report shows (a
+    fat tail means boilerplate/mirroring; a spike at 1 means the crawl
+    is mostly unique). The heavy work is the audited MinHash +
+    components DAG; the spectrum itself is two tiny aggregates.
+    Output: ``(cluster_size, n_clusters, n_docs)``, all-integer."""
+    groups = _neardup_groups(spark, sf_dir)
+    fams = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return fams.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+def _dup_spectrum_sql() -> str:
+    return f"""
+WITH RECURSIVE {_neardup_groups_sql()},
+fams AS (
+  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM grouped GROUP BY group_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM fams GROUP BY cluster_size
+"""
+
+
+ORACLE["dup_size_spectrum"] = _dup_spectrum_sql()
+QUERIES["dup_size_spectrum"] = q_dup_size_spectrum
+
+
+def q_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-discounted corpus size per source: raw token mass vs the
+    EFFECTIVE mass after near-dup collapse (each cluster counted once,
+    by its keeper = min-id member) — the honest number a 100 TB corpus
+    quotes before training ("we have X tokens" means effective, not
+    raw). Clusters are attributed to the KEEPER's source. The token
+    counts ride skinny (doc, group, tokens) rows; the text never
+    shuffles. Output per source: member docs, clusters kept, raw vs
+    effective tokens, savings in ppm."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    groups = _neardup_groups(spark, sf_dir)
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("__ntok"),
+    )
+    g = groups.join(toks, "doc_id")
+    per_group = g.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__ntok").cast("bigint").alias("__raw"),
+        F.min_by("__ntok", "doc_id").alias("__eff"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+    return per_group.groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("__raw").cast("bigint").alias("raw_tokens"),
+        F.sum("__eff").cast("bigint").alias("effective_tokens"),
+        F.expr(
+            "CAST((sum(__raw) - sum(__eff)) * 1000000"
+            " DIV greatest(sum(__raw), 1) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+def _effective_size_sql() -> str:
+    toks = f"CAST(len({_TOKS}) AS BIGINT)"
+    return f"""
+WITH RECURSIVE {_neardup_groups_sql()},
+t AS (
+  SELECT g.doc_id, g.group_id, d.source, {toks} AS ntok
+  FROM grouped g JOIN documents d USING (doc_id)
+), per_group AS (
+  SELECT group_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ntok) AS BIGINT) AS raw,
+         CAST(arg_min(ntok, doc_id) AS BIGINT) AS eff,
+         arg_min(source, doc_id) AS source
+  FROM t GROUP BY group_id
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(raw) AS BIGINT) AS raw_tokens,
+       CAST(SUM(eff) AS BIGINT) AS effective_tokens,
+       CAST((SUM(raw) - SUM(eff)) * 1000000
+            // greatest(SUM(raw), 1) AS BIGINT) AS savings_ppm
+FROM per_group GROUP BY source
+"""
+
+
+ORACLE["effective_corpus_size"] = _effective_size_sql()
+QUERIES["effective_corpus_size"] = q_effective_corpus_size

@@ -86,6 +86,10 @@ BNLJ_WHITELIST = {
     "cohort_retention",  # broadcast cohort-day row
     "funnel_conversion",  # crossJoin of four single-row stage counts
     "multimodal_frames",  # broadcast frame-tick sequence
+    "incremental_session_merge",  # broadcast batch-cutoff scalar row
+    "curation_budget_select",  # broadcast corpus-token-total scalar
+    "minhash_band_tuning",  # broadcast truth-count scalar row
+    "shard_rebalance_audit",  # broadcast (N+1)*V-row hash ring
 }
 
 

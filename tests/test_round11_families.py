@@ -258,3 +258,44 @@ def test_band_tuning_scurve_monotonicity(spark):
         assert b.recall_ppm <= a.recall_ppm
     assert all(r.n_hit <= r.n_truth for r in rows)
     assert all(r.n_hit <= r.n_candidates for r in rows)
+
+
+# --- corpus-health rows + fertility ----------------------------------------
+
+
+def test_dup_spectrum_conserves_and_finds_structure(spark):
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import QUERIES
+
+    got = QUERIES["dup_size_spectrum"](spark, SF).collect()
+    n_docs_corpus = pq.read_table(f"{SF}/documents.parquet").num_rows
+    assert sum(r.n_docs for r in got) == n_docs_corpus
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in got)
+    sizes = {r.cluster_size for r in got}
+    assert 1 in sizes, "no singleton row"
+    assert any(s >= 2 for s in sizes), "no near-dup families found"
+
+
+def test_effective_size_discounts_near_dups(spark):
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import QUERIES
+
+    got = QUERIES["effective_corpus_size"](spark, SF).collect()
+    n_docs_corpus = pq.read_table(f"{SF}/documents.parquet").num_rows
+    assert sum(r.n_docs for r in got) == n_docs_corpus
+    assert all(r.effective_tokens <= r.raw_tokens for r in got)
+    assert all(r.n_clusters <= r.n_docs for r in got)
+    # the corpus HAS near-dups, so somewhere tokens were saved
+    assert any(r.savings_ppm > 0 for r in got)
+
+
+def test_bpe_fertility_at_least_one_subword_per_word(spark):
+    from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (
+        QUERIES,
+    )
+
+    got = QUERIES["bpe_fertility_by_lang"](spark, SF).collect()
+    assert got and all(r.n_words > 0 for r in got)
+    # BPE splits a word into >= 1 subwords, so fertility >= 1e6 ppm
+    assert all(r.fertility_ppm >= 1_000_000 for r in got)
+    # and the fertilities differ across languages (the signal the audit
+    # exists to surface)
+    assert len({r.fertility_ppm for r in got}) > 1
