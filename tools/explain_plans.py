@@ -524,6 +524,58 @@ COMMENTARY = {
         "all keyed on term — one shuffle family with map-side-combined "
         "sums; the varint ladder is a codegen'd integer CASE."
     ),
+    "entity_resolution_pipeline": (
+        "Round-11 capstone: exact-collapse groupBy is the only "
+        "record-scale exchange; the fuzzy stage is a hash join on the "
+        "block key over collapsed representatives (no cartesian/BNLJ); "
+        "components and the rollup run on the name vocabulary."
+    ),
+    "incremental_session_merge": (
+        "Session-view IVM: the cutoff scalar rides a broadcast (no "
+        "driver collect); base and delta sessionize independently "
+        "(user-keyed windows); only each user's single boundary row "
+        "joins across the batch seam before the final per-user "
+        "aggregate."
+    ),
+    "curation_budget_select": (
+        "Distributed exclusive prefix sum in quality order: the "
+        "corpus-scale cumsum window partitions by the permille bucket; "
+        "the only SinglePartition window is over the <=1001-row "
+        "range-offset table; the token-budget scalar broadcasts."
+    ),
+    "cluster_safe_splits": (
+        "Leakage-free split assignment: the MinHash+components DAG does "
+        "the heavy lifting; assignment is a zero-shuffle hash map over "
+        "(doc, group); the leak probe joins the skinny pair list by id "
+        "(hash joins only) and provably counts zero."
+    ),
+    "minhash_band_tuning": (
+        "One shared shingle explode + one 12-hash signature build "
+        "(bounded persist slots), re-banded per configuration; each "
+        "config adds only its (band, bucket)-keyed id self-join plus "
+        "two counts; the truth-count scalar broadcasts."
+    ),
+    "shard_rebalance_audit": (
+        "The (N+1)*V-row hash ring broadcasts; ownership is a per-doc "
+        "packed-MIN aggregate (map-side combined); a single global "
+        "one-row aggregate leaves the executors - nothing corpus-sized "
+        "shuffles."
+    ),
+    "pareto_quality_length": (
+        "Skyline without all-pairs: per-(lang, score) min aggregate, "
+        "prefix-min window over the small distinct-score table "
+        "(lang-sharded), one join back."
+    ),
+    "effective_corpus_size": (
+        "Near-dup-discounted token mass: the audited MinHash+components "
+        "DAG feeds a skinny (doc, group, tokens) frame; two map-side "
+        "combined aggregates; text never shuffles past the scan."
+    ),
+    "bpe_fertility_by_lang": (
+        "Composes the batched BPE trainer/encoder (k codegen'd folds "
+        "over DISTINCT words, id table broadcast) with one per-language "
+        "aggregate over skinny per-doc subword counts."
+    ),
 }
 
 
