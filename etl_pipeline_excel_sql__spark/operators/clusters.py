@@ -325,3 +325,100 @@ def _with_sizes(labels: DataFrame) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def cluster_safe_split_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    salt: str,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment + self-audit, one pair pass.
+
+    Assigns every document in ``docs`` to a split keyed by its near-dup
+    CLUSTER (``group_id = coalesce(component(min-id), own id)``) so no
+    near-duplicate pair can straddle splits, then PROVES it by joining
+    the same pair list against the assignment and counting straddlers.
+
+    The pair frame feeds two consumers — :func:`connected_components`
+    and the leak probe — so it is lineage-truncated ONCE here and the
+    materialized cut passed to both. Without the cut the full upstream
+    pair-generating DAG (in production the whole MinHash-LSH banding +
+    Jaccard verify over the corpus) executes twice: the same scale bug
+    class fixed in ``graph.label_propagation`` (rounds+1 corpus passes).
+    At 100 TB a second evaluation is a second full corpus dedup pass.
+
+    Returns ``(split, n_docs, n_groups, leak_pairs)``; ``leak_pairs`` is
+    zero by construction and the oracle recomputes the proof.
+    """
+    spark = docs.sparkSession
+    trunc = LineageTruncator(spark, checkpoint_dir)
+    pairs_m = trunc.truncate(pairs.select("id_a", "id_b"))
+    comp = connected_components(pairs_m).select(
+        F.col("member_id").alias(id_col), "cluster_id"
+    )
+    grouped = docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col))
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("group_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = grouped.select(
+        id_col,
+        "group_id",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = (
+        pairs_m.join(
+            assigned.select(
+                F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            assigned.select(
+                F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.explode(F.array(F.col("split_a"), F.col("split_b"))).alias(
+                "split"
+            )
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("group_id").cast("bigint").alias("n_groups"),
+    )
+    return per_split.join(leaks, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_groups",
+        F.coalesce(F.col("leak_pairs"), F.lit(0)).cast("bigint").alias(
+            "leak_pairs"
+        ),
+    )

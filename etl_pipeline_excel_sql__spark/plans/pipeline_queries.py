@@ -1471,80 +1471,19 @@ def q_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the heavy work is the audited ``dedup_minhash`` +
     components DAG; assignment is a narrow map over (doc, group) and
     the leak probe joins the skinny pair list against the assignment.
+    The pair frame feeds BOTH components and the leak probe, so the
+    operator truncates it once — without the cut the full LSH banding +
+    Jaccard-verify DAG executed a second time for the probe (a second
+    full corpus dedup pass at 100 TB); single evaluation is pinned by
+    an accumulator test (``test_clusters.py``).
     """
     from etl_pipeline_excel_sql__spark.operators.clusters import (
-        connected_components,
+        cluster_safe_split_audit,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     pairs = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs).select(
-        F.col("member_id").alias("doc_id"), "cluster_id"
-    )
-    grouped = docs.join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-        .cast("bigint")
-        .alias("group_id"),
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(SPLIT_SALT), F.col("group_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
-    assigned = grouped.select(
-        "doc_id",
-        "group_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
-    leaks = (
-        pairs.join(
-            assigned.select(
-                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
-            ),
-            "id_a",
-        )
-        .join(
-            assigned.select(
-                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
-            ),
-            "id_b",
-        )
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select(
-            F.explode(F.array(F.col("split_a"), F.col("split_b"))).alias(
-                "split"
-            )
-        )
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
-    )
-    per_split = assigned.groupBy("split").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.countDistinct("group_id").cast("bigint").alias("n_groups"),
-    )
-    return per_split.join(leaks, "split", "left").select(
-        "split",
-        "n_docs",
-        "n_groups",
-        F.coalesce(F.col("leak_pairs"), F.lit(0)).cast("bigint").alias(
-            "leak_pairs"
-        ),
-    )
+    return cluster_safe_split_audit(docs, pairs, SPLIT_SALT)
 
 
 ORACLE["cluster_safe_splits"] = f"""
