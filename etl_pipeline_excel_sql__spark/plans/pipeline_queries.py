@@ -1360,6 +1360,43 @@ QUERIES["split_leakage_audit"] = q_split_leakage_audit
 #: minhash_lsh_pairs cache doctrine: at most one lingering table).
 _AUDIT_SHINGLE_CACHE = SignatureCache()
 
+#: One persisted exact-truth parquet per (process, sf_dir) — the
+#: build-once/load-many seam (the ``bm25_serve_topk`` index-dir
+#: convention): ``lsh_recall_audit`` and ``minhash_band_tuning`` grade
+#: against the SAME prefix-join truth set over the same corpus, so
+#: rebuilding it per query paid the full prefix join twice per bench
+#: run (round-11 verdict item 2). At 100 TB the honest shape is the
+#: same artifact computed once (on a stratified sample) and loaded by
+#: every audit that needs it.
+_TRUTH_DIRS: dict[str, str] = {}
+
+
+def _shared_jaccard_truth(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, exploded: DataFrame
+) -> DataFrame:
+    """Exact J >= 1/2 truth pairs for ``sf_dir``, built once per process
+    (prefix-filter join over ``exploded``), persisted as parquet, and
+    LOADED on every later call — subsequent audits pay a skinny
+    (id_a, id_b, jaccard_ppm) scan instead of the corpus prefix join."""
+    path = _TRUTH_DIRS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="jaccard_truth_")
+        jaccard_prefix_pairs(
+            docs,
+            "text",
+            "doc_id",
+            shingle_n=MINHASH_SHINGLE_N,
+            threshold_num=PREFIX_JACCARD_NUM,
+            threshold_den=PREFIX_JACCARD_DEN,
+            exploded=exploded,
+        ).select("id_a", "id_b", "jaccard_ppm").write.mode(
+            "overwrite"
+        ).parquet(path)
+        _TRUTH_DIRS[sf_dir] = path
+    return spark.read.parquet(path)
+
 
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of MinHash-LSH banding against EXACT ground truth,
@@ -1382,6 +1419,9 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE, persists it through a bounded :class:`SignatureCache` slot, and
     feeds it to both operators via their ``exploded`` hook — one corpus
     scan + shingle explode instead of two (round-10 verdict item 2).
+    The truth set itself is the per-(process, sf) parquet artifact
+    shared with ``minhash_band_tuning`` (:func:`_shared_jaccard_truth`)
+    — built once, loaded by every audit thereafter.
     """
     docs = load_table(spark, "documents", sf_dir).filter(
         F.size(ws_tokens(F.col("text"))) > 0
@@ -1389,15 +1429,9 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = _AUDIT_SHINGLE_CACHE.swap(
         shingle_rows(docs, "text", "doc_id", MINHASH_SHINGLE_N)
     )
-    truth = jaccard_prefix_pairs(
-        docs,
-        "text",
-        "doc_id",
-        shingle_n=MINHASH_SHINGLE_N,
-        threshold_num=PREFIX_JACCARD_NUM,
-        threshold_den=PREFIX_JACCARD_DEN,
-        exploded=exploded,
-    ).select("id_a", "id_b", "jaccard_ppm")
+    truth = _shared_jaccard_truth(spark, sf_dir, docs, exploded).select(
+        "id_a", "id_b", "jaccard_ppm"
+    )
     cand = (
         minhash_lsh_pairs(
             docs,
@@ -1569,7 +1603,9 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus scan: the shingle explode and the 12-hash signature
     table are built once (bounded persist slots) and re-banded per
     config; each config adds only its band self-join on (band, bucket)
-    carrying ids — never text — plus two counts. Output: one
+    carrying ids — never text — plus two counts. The exact truth set is
+    the per-(process, sf) parquet artifact shared with
+    ``lsh_recall_audit`` (:func:`_shared_jaccard_truth`). Output: one
     all-integer row per configuration.
     """
     from etl_pipeline_excel_sql__spark.operators.dedup import (
@@ -1584,15 +1620,9 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows(docs, "text", "doc_id", MINHASH_SHINGLE_N)
     )
     sig = _TUNE_SIG_CACHE.swap(_minhash_signatures(exploded, MINHASH_K))
-    truth = jaccard_prefix_pairs(
-        docs,
-        "text",
-        "doc_id",
-        shingle_n=MINHASH_SHINGLE_N,
-        threshold_num=PREFIX_JACCARD_NUM,
-        threshold_den=PREFIX_JACCARD_DEN,
-        exploded=exploded,
-    ).select("id_a", "id_b")
+    truth = _shared_jaccard_truth(spark, sf_dir, docs, exploded).select(
+        "id_a", "id_b"
+    )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
 
     rows = []

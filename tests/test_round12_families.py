@@ -1,0 +1,61 @@
+"""Round-12 additions: shared Jaccard truth artifact + capstone pieces."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tiny_sf(spark, tmp_path):
+    """A minimal documents table on disk so load_table-style readers and
+    the truth builder have a real parquet corpus to scan."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_shared_jaccard_truth_builds_once_per_sf(spark, tiny_sf):
+    """Second call for the same sf_dir must LOAD the persisted parquet,
+    not rebuild: the dir map gains exactly one entry and the prefix-join
+    DAG (counted via an accumulator on the exploded input) runs once."""
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+    from etl_pipeline_excel_sql__spark.operators.dedup import shingle_rows
+    from etl_pipeline_excel_sql__spark.plans import pipeline_queries as pq
+
+    docs = spark.read.parquet(tiny_sf + "/documents.parquet").filter(
+        F.size(ws_tokens(F.col("text"))) > 0
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "bigint")
+    exploded = shingle_rows(
+        docs, "text", "doc_id", pq.MINHASH_SHINGLE_N
+    ).withColumn("__id", bump_udf("__id"))
+
+    pq._TRUTH_DIRS.pop(tiny_sf, None)
+    first = pq._shared_jaccard_truth(spark, tiny_sf, docs, exploded)
+    rows1 = sorted((r.id_a, r.id_b, r.jaccard_ppm) for r in first.collect())
+    bumps_after_build = acc.value
+    assert tiny_sf in pq._TRUTH_DIRS
+
+    second = pq._shared_jaccard_truth(spark, tiny_sf, docs, exploded)
+    rows2 = sorted((r.id_a, r.id_b, r.jaccard_ppm) for r in second.collect())
+    assert rows1 == rows2
+    assert acc.value == bumps_after_build, (
+        "second call re-evaluated the prefix-join DAG instead of "
+        "loading the persisted truth parquet"
+    )
+    # docs 1 and 4 are identical -> at least that exact pair in truth
+    assert (1, 4, 1000000) in rows1
+    pq._TRUTH_DIRS.pop(tiny_sf, None)
