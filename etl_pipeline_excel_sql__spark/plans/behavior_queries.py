@@ -27,6 +27,20 @@ ORACLE: dict = {}
 LINKAGE_PROBE_MOD = 17
 
 
+def noun_block(col: F.Column) -> F.Column:
+    """Second-token blocking key, guarded for sub-2-word names: bare
+    ``element_at(split(name,' '), 2)`` returns NULL (or THROWS under
+    Spark 4 ANSI defaults) on single-word names, while the DuckDB
+    oracle's ``split_part`` returns ``''`` and groups them into one
+    comparable block — a twin desync latent on TPC-H (p_name is always
+    5 words) but live on any other corpus. Both engines now yield
+    ``''`` for blockless names."""
+    toks = F.split(col, " ")
+    return F.when(F.size(toks) >= 2, F.element_at(toks, 2)).otherwise(
+        F.lit("")
+    )
+
+
 def _parts_with_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The part catalog with its blocking key: the name's noun (second
     token) — the token-signature blocking classic. Block cardinality is
@@ -35,7 +49,7 @@ def _parts_with_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "part", sf_dir).select(
         "p_partkey",
         "p_name",
-        F.element_at(F.split(F.col("p_name"), " "), 2).alias("block"),
+        noun_block(F.col("p_name")).alias("block"),
     )
 
 
@@ -125,9 +139,7 @@ def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").cast("bigint").alias("rep_key"),
             F.count(F.lit(1)).cast("bigint").alias("n_records"),
         )
-        .withColumn(
-            "block", F.element_at(F.split(F.col("p_name"), " "), 2)
-        )
+        .withColumn("block", noun_block(F.col("p_name")))
     )
     edges = blocked_match_pairs(
         reps,

@@ -59,3 +59,23 @@ def test_shared_jaccard_truth_builds_once_per_sf(spark, tiny_sf):
     # docs 1 and 4 are identical -> at least that exact pair in truth
     assert (1, 4, 1000000) in rows1
     pq._TRUTH_DIRS.pop(tiny_sf, None)
+
+
+def test_noun_block_guards_short_names(spark):
+    """ADVICE r11: single-word names must block to '' (the DuckDB
+    split_part behavior), never NULL, and never throw under ANSI."""
+    from etl_pipeline_excel_sql__spark.plans.behavior_queries import (
+        noun_block,
+    )
+
+    df = spark.createDataFrame(
+        [("solo",), ("two words",), ("",), ("three word name",)],
+        ["p_name"],
+    ).select("p_name", noun_block(F.col("p_name")).alias("block"))
+    got = {r.p_name: r.block for r in df.collect()}
+    assert got == {
+        "solo": "",
+        "two words": "words",
+        "": "",
+        "three word name": "word",
+    }
