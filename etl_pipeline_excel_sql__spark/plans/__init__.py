@@ -175,12 +175,31 @@ connected components → entity rollup; round-10 verdict item 7,
 oracle-green at sf0.001/0.01/0.1 first) in place of
 ``stream_m4_downsample`` (r4-r10; streaming kept by
 ``stream_hll_users`` + ``stream_cms_users``).
+Round 12's rotation (round-11 verdict item 3) gives the ten round-11
+local-only families their first gate runs — ``cluster_safe_splits``
+(post truncation fix), ``dup_size_spectrum``, ``effective_corpus_size``,
+``incremental_session_merge``, ``minhash_band_tuning``,
+``shard_rebalance_audit``, ``bpe_fertility_by_lang``,
+``stream_join_left``, ``curation_budget_select``,
+``pareto_quality_length`` — plus the round-12 capstone
+``pretrain_curation_pipeline`` (every incomer re-verified oracle-green
+at sf0.001 AND sf0.01 locally this round). Displaced: eleven rows with
+>= 3 rounds of driver history whose families stay represented —
+``dedup_incremental`` (r4-r11), ``agg_trimmed_mean`` (r4-r11),
+``hll_distinct_shingles`` (r8-r11), ``join_anti_new`` (r1-r11; the
+anti-join semantics also runs inside ``diff_cells``),
+``semantic_dedup_keep`` (r4-r11), ``hybrid_rrf_topk`` (r8-r11),
+``phrase_search_topk`` (r9-r11), ``band_join_recent_errors`` (r4-r11),
+``stream_hll_users`` (r8-r11), ``text_quality`` (r1-r11), and
+``corpus_curate_pipeline`` (r3-r11; its capstone slot goes to the
+strictly larger round-12 capstone).
 All displaced rows remain verified by the local replica at every SF.
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
     analytics2_queries,
     behavior_queries,
+    capstone_queries,
     classifier_queries,
     analytics3_queries,
     analytics4_queries,
@@ -240,6 +259,7 @@ _ALL_QUERIES = {
     **layout_queries.QUERIES,
     **retrieval_queries.QUERIES,
     **behavior_queries.QUERIES,
+    **capstone_queries.QUERIES,
     **cdc_queries.QUERIES,
     **clusterbal_queries.QUERIES,
     **sketch_queries.QUERIES,
@@ -274,6 +294,7 @@ _ALL_ORACLE = {
     **layout_queries.ORACLE,
     **retrieval_queries.ORACLE,
     **behavior_queries.ORACLE,
+    **capstone_queries.ORACLE,
     **cdc_queries.ORACLE,
     **clusterbal_queries.ORACLE,
     **sketch_queries.ORACLE,
@@ -290,11 +311,19 @@ DRIVER_PRIORITY = [
     "global_row_number",
     "date_fmt",
     # pct_fmt rotated out round 4 (T2, r1-r4 history; T-family kept by
-    # date_fmt) for the incremental-ingestion dedup family
-    "dedup_incremental",
+    # date_fmt) for the incremental-ingestion dedup family;
+    # dedup_incremental rotated out round 12 (r4-r11 history; dedup
+    # family kept by dedup_spans + the incoming cluster_safe_splits /
+    # minhash_band_tuning which exercise the same MinHash upstream) for
+    # the leakage-free cluster-keyed split assignment (round-11 local
+    # family, post-truncation-fix)
+    "cluster_safe_splits",
     # null_literal rotated out round 4 (trivially typed, r1-r4 history)
-    # for the robust-statistics family's first driver row
-    "agg_trimmed_mean",
+    # for the robust-statistics family's first driver row;
+    # agg_trimmed_mean rotated out round 12 (r4-r11 history; aggregates
+    # kept by agg_pricing_summary) for the near-dup duplication-spectrum
+    # corpus-health histogram
+    "dup_size_spectrum",
     # order_custom rotated out round 8b (O1, r1-r7 history; ordering
     # family kept by global_row_number) for the Kneser-Ney smoothed LM
     # scorer — the LM family's second row, zero history (locally green
@@ -304,8 +333,15 @@ DRIVER_PRIORITY = [
     # last-wins key semantics also runs inside diff_cells' build side)
     # for the engine-exact HLL sketch family's first driver row
     # (locally green at all four SFs before rotating in)
-    "hll_distinct_shingles",
-    "join_anti_new",
+    # hll_distinct_shingles rotated out round 12 (r8-r11 history;
+    # sketch family kept by stream_cms_users, and the HLL arithmetic
+    # stays hash-gated locally) for the dedup-discounted effective
+    # corpus size — the keeper-rule token accounting
+    "effective_corpus_size",
+    # join_anti_new rotated out round 12 (J2, r1-r11 history; the
+    # anti-join/new-row semantics also runs inside the flagship
+    # diff_cells) for session-view incremental view maintenance
+    "incremental_session_merge",
     "diff_cells",
     # word_diff rotated out round 4 (D3, r1-r4 history; D-family kept by
     # diff_cells) for the replica-verification fingerprint family;
@@ -338,7 +374,12 @@ DRIVER_PRIORITY = [
     # stream_join_attrib rotated out round 11 (r4-r10 history; three
     # streaming rows stay in-window) for PRF second-stage retrieval
     "bm25_prf_topk",
-    "semantic_dedup_keep",
+    # semantic_dedup_keep rotated out round 12 (r4-r11 history;
+    # embedding/semantic family kept by ann_ivf_topk +
+    # ivfpq_residual_adc + ann_sq8_rerank + margin_mining_topk) for the
+    # full-knob-range LSH banding tuning table measured against the
+    # shared exact truth artifact
+    "minhash_band_tuning",
     # bm25_stats (bisection diagnostic) retired round 11 after a final
     # green sf1 driver-canon sweep (round-10 verdict item 5) for the
     # int8 scalar-quantized-candidates + exact-rerank ANN serving shape
@@ -346,14 +387,21 @@ DRIVER_PRIORITY = [
     # join_bloom_prefilter rotated out round 8 (r2-r7 history; join
     # family kept by join_multitable_revenue + join_anti_new +
     # band_join_recent_errors + asof_join) for the hybrid sparse+dense
-    # RRF fusion row (locally green at all four SFs before rotating in)
-    "hybrid_rrf_topk",
+    # RRF fusion row (locally green at all four SFs before rotating in);
+    # hybrid_rrf_topk rotated out round 12 (r8-r11 history; retrieval
+    # kept by bm25_serve_topk + bm25_incremental_topk + bm25_prf_topk +
+    # rag_context_pipeline) for the consistent-hash vnode-ring
+    # rebalance audit
+    "shard_rebalance_audit",
     # asof_join rotated out round 9 (r2-r8 history; the as-of family
     # keeps asof_join_nearest/forward locally green and temporal joins
     # stay in-window via band_join_recent_errors + scd2_pointintime)
     # for exact-phrase search over positional postings — a new IR
-    # family with zero history (locally green at all four SFs first)
-    "phrase_search_topk",
+    # family with zero history (locally green at all four SFs first);
+    # phrase_search_topk rotated out round 12 (r9-r11 history; IR
+    # family kept by the four in-window BM25/RAG rows) for the
+    # per-language tokenizer fertility (subwords/word) audit
+    "bpe_fertility_by_lang",
     # window_agg_events rotated out round 4 (r1-r4 history; window family
     # kept by window_zscore + window_range_frame) for the time-weighted
     # LOCF aggregate; events_twap rotated out round 8b (r4-r7 history,
@@ -365,8 +413,12 @@ DRIVER_PRIORITY = [
     # range_join (r2-r4 history; band_join_recent_errors carries the
     # richer KEYLESS variant of the family), sessionize (r2-r4 history;
     # stream_sessionize keeps sessions in-window), and tpch_q2 (r2-r4
-    # history; q9+q21 keep TPC-H in-window)
-    "band_join_recent_errors",
+    # history; q9+q21 keep TPC-H in-window);
+    # band_join_recent_errors rotated out round 12 (r4-r11 history;
+    # temporal joins kept by scd2_pointintime) for the left-outer
+    # stream-stream interval join — watermark state-timeout null
+    # emission under the real streaming engine
+    "stream_join_left",
     # text_passage_dedup rotated out round 9 (r4-r8 history; the text +
     # dedup families keep six other in-window rows) for the RAG
     # context-serving capstone — BM25 + dense + RRF + snippet join in
@@ -396,9 +448,18 @@ DRIVER_PRIORITY = [
     # stream_window_counts rotated out round 8b (r3-r7 history; five
     # streaming rows stay in-window) for the streamed HLL — the sketch
     # as bounded streaming state, zero history (locally green at all
-    # four SFs before rotating in)
-    "stream_hll_users",
-    "corpus_curate_pipeline",
+    # four SFs before rotating in);
+    # stream_hll_users rotated out round 12 (r8-r11 history; streaming
+    # kept by stream_cms_users + incoming stream_join_left) for the
+    # token-budget greedy curation selection (the distributed
+    # two-phase prefix sum)
+    "curation_budget_select",
+    # corpus_curate_pipeline rotated out round 12 (r3-r11 history;
+    # corpus capstones kept by curate_pack_pipeline) for the round-12
+    # FULL pretraining-curation capstone: benchmark split-off ->
+    # quality gate -> near-dup keeper collapse -> k-gram decontam ->
+    # token-budget selection, with conservation-attributed dispositions
+    "pretrain_curation_pipeline",
     # round-10 rotation: stream_sessionize / merge_scd2 /
     # recursive_key_chain / sample_stratified (all r4-r9 history;
     # families kept in-window by stream_join_attrib+stream_hll_users+
@@ -419,7 +480,10 @@ DRIVER_PRIORITY = [
     # ngram_lm_score rotated out round 11 (r4-r10 history; LM family
     # kept by kn_lm_score) for DSIR hashed-bigram importance selection
     "dsir_select",
-    "text_quality",
+    # text_quality rotated out round 12 (r1-r11 history; text/quality
+    # family kept by quality_domain_rank + dsir_select) for the 2-D
+    # quality/length skyline (Pareto frontier) selection
+    "pareto_quality_length",
     # bpe_vocab rotated out round 11 (r7-r10 history; BPE family kept
     # by curate_pack_pipeline) for per-language permille quality-rank
     # calibration

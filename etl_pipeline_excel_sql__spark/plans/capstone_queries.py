@@ -1,0 +1,339 @@
+"""The full pretraining-curation capstone (round 12).
+
+One driver-gated DAG chaining the five individually-gated curation
+stages a data team actually ships, with every input document attributed
+to exactly one disposition (the conservation contract: docs in = kept +
+dropped, attributed):
+
+1. **benchmark split-off** — ``doc_id % SPAN_BENCH_MOD == 0`` plays the
+   held-out eval set (the ``decontam_spans`` demo wiring); benchmark
+   docs are never trainable.
+2. **quality gate** — per-language stopword-ratio score, calibrated to
+   a permille rank within each language (``quality_domain_rank``);
+   the worst ``1000 - QUALITY_CUT_PERMILLE`` permille drop.
+3. **near-dup cluster collapse** — MinHash-LSH pairs + connected
+   components over the full corpus (``dedup_minhash`` +
+   ``dedup_clusters``); each cluster keeps ONE member — the min-id
+   QUALITY-PASSING member (``effective_corpus_size``'s keeper rule,
+   restricted to trainable survivors) — the rest drop.
+4. **span decontam** — survivors sharing any ``SPAN_K``-gram with the
+   benchmark split drop (``decontam_spans`` membership; the k-gram
+   digest join is size-gated, never force-broadcast).
+5. **token-budget selection** — survivors rank by quality permille and
+   the best are kept until ``BUDGET_NUM/BUDGET_DEN`` of the ELIGIBLE
+   token mass is spent (``curation_budget_select``'s distributed
+   two-phase prefix sum — no corpus-scale single-partition window).
+
+Output: one all-integer row per disposition — ``(disposition, n_docs,
+n_tokens)`` over {benchmark, dropped_quality, dropped_neardup,
+dropped_contaminated, dropped_overbudget, kept}.
+
+Scale shape: the corpus-scale text is scanned once per stage with
+pruned columns (score tokenization, train k-grams, bench k-grams, the
+MinHash shingle pass) and NEVER shuffles — everything after each scan
+rides skinny (doc_id, ints) rows. The two multi-consumer frames (the
+ranked quality table and the staged disposition table) are
+lineage-truncated once; the pair DAG feeds only connected_components
+(which truncates its own input), so no expensive sub-DAG evaluates
+twice. The budget scalar and range-offset table are broadcast-sized by
+construction (≤1001 permille buckets).
+
+No reference parity: the reference (RogerThat8922/ETL-Pipeline-Excel-SQL-)
+has no corpus curation; this is the engine's LLM-data extension
+(SURVEY.md §2.12 family), composing only already-gated operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_excel_sql__spark.functions.text import (
+    STOPWORDS,
+    stopword_hits,
+    ws_tokens,
+)
+from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+from etl_pipeline_excel_sql__spark.operators.spans import kgram_rows
+from etl_pipeline_excel_sql__spark.plans.quality_queries import (
+    BUDGET_DEN,
+    BUDGET_NUM,
+)
+from etl_pipeline_excel_sql__spark.plans.spans_queries import (
+    SPAN_BENCH_MOD,
+    SPAN_K,
+)
+from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: quality cut: documents ranked in the worst 200 permille of their
+#: language drop at the gate (keep the best ~80%).
+QUALITY_CUT_PERMILLE = 800
+
+
+def q_pretrain_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents in → attributed dispositions out; see module docstring."""
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
+        _neardup_groups,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % SPAN_BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % SPAN_BENCH_MOD != 0)
+
+    # stage 2 scoring + per-language permille calibration (the
+    # quality_domain_rank arithmetic, over trainable docs only)
+    toks = ws_tokens(F.col("text"))
+    hits = F.lit(0)
+    for lg in sorted(STOPWORDS):
+        hits = F.when(F.col("lang") == lg, stopword_hits(toks, lg)).otherwise(
+            hits
+        )
+    scored = train.select(
+        "doc_id",
+        "lang",
+        hits.alias("__hits"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(__hits * 1000000) div greatest(n_tokens, 1)")
+        .cast("bigint")
+        .alias("__score"),
+    )
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("__score").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    # ranked feeds the keeper rule, the disposition CASE, the budget
+    # prefix sum, and the final aggregate — truncate the skinny frame
+    # once so the corpus tokenization pass runs exactly once.
+    ranked = LineageTruncator(spark).truncate(
+        scored.withColumn("__r", F.row_number().over(wl))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("((__r - 1) * 1000) div greatest(__n - 1, 1)")
+            .cast("bigint")
+            .alias("permille"),
+        )
+    )
+
+    # stage 3 inputs: full-corpus near-dup groups (singletons key to
+    # themselves); the pair DAG feeds only connected_components, which
+    # truncates its own input — one evaluation.
+    groups = _neardup_groups(spark, sf_dir)
+
+    # stage 4 input: trainable docs sharing any k-gram with the bench
+    # split. Corpus-derived digest set — size-gated join, no broadcast
+    # hint (the decontam_spans doctrine).
+    bench_h = kgram_rows(bench, "text", "doc_id", SPAN_K).select(
+        "h"
+    ).distinct()
+    contam = (
+        kgram_rows(train, "text", "doc_id", SPAN_K)
+        .join(bench_h, "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(1))
+    )
+
+    flags = ranked.join(groups, "doc_id").join(contam, "doc_id", "left")
+    keepers = (
+        flags.filter(F.col("permille") < QUALITY_CUT_PERMILLE)
+        .groupBy("group_id")
+        .agg(F.min("doc_id").alias("__keeper"))
+    )
+    # Disposition priority: quality, then near-dup, then contamination.
+    # A quality-passing doc always has a keeper in its group (itself at
+    # minimum), so the NULL-keeper comparison can only be reached by
+    # docs the first branch already caught.
+    staged = LineageTruncator(spark).truncate(
+        flags.join(keepers, "group_id", "left").select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "permille",
+            F.when(
+                F.col("permille") >= QUALITY_CUT_PERMILLE,
+                F.lit("dropped_quality"),
+            )
+            .when(
+                F.col("doc_id") != F.col("__keeper"),
+                F.lit("dropped_neardup"),
+            )
+            .when(
+                F.col("__contam").isNotNull(), F.lit("dropped_contaminated")
+            )
+            .alias("early"),
+        )
+    )
+
+    # stage 5: two-phase distributed exclusive prefix sum over the
+    # eligible set in quality order (range key = permille bucket,
+    # ≤1001 ranges; the curation_budget_select decomposition).
+    eligible = staged.filter(F.col("early").isNull())
+    rng_w = Window.orderBy("permille").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rng_off = (
+        eligible.groupBy("permille")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__tot").over(rng_w), F.lit(0).cast("bigint")),
+        )
+        .select("permille", "__off")
+    )
+    in_w = (
+        Window.partitionBy("permille")
+        .orderBy("lang", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        eligible.join(rng_off, "permille")
+        .withColumn(
+            "cum_before",
+            F.col("__off")
+            + F.coalesce(
+                F.sum("n_tokens").over(in_w), F.lit(0).cast("bigint")
+            ),
+        )
+        .select("doc_id", "cum_before")
+    )
+    total = eligible.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("__total")
+    )
+    disp = (
+        staged.join(cum, "doc_id", "left")
+        .join(F.broadcast(total))
+        .select(
+            "n_tokens",
+            F.coalesce(
+                F.col("early"),
+                F.when(
+                    F.col("cum_before") * F.lit(BUDGET_DEN)
+                    < F.col("__total") * F.lit(BUDGET_NUM),
+                    F.lit("kept"),
+                ).otherwise(F.lit("dropped_overbudget")),
+            ).alias("disposition"),
+        )
+    )
+    train_rows = disp.groupBy("disposition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    bench_row = bench.select(
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("__ntok")
+    ).agg(
+        F.lit("benchmark").alias("disposition"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("__ntok"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return train_rows.unionByName(bench_row)
+
+
+def _pretrain_curation_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
+        _neardup_groups_sql,
+    )
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _STOP,
+        _TOKS,
+    )
+    from etl_pipeline_excel_sql__spark.plans.spans_queries import _occ_sql
+
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks,"
+        f" t -> list_contains({_STOP[lg]}, t)))"
+        for lg in sorted(_STOP)
+    )
+    train_src = (
+        f"SELECT doc_id, text FROM documents"
+        f" WHERE doc_id % {SPAN_BENCH_MOD} <> 0"
+    )
+    bench_src = (
+        f"SELECT doc_id, text FROM documents"
+        f" WHERE doc_id % {SPAN_BENCH_MOD} = 0"
+    )
+    return f"""
+WITH RECURSIVE {_neardup_groups_sql()},
+scored AS MATERIALIZED (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST((CASE {cases} ELSE 0 END) * 1000000
+              // greatest(len(toks), 1) AS BIGINT) AS score
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        WHERE doc_id % {SPAN_BENCH_MOD} <> 0)
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, lang, n_tokens,
+         CAST(((row_number() OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id ASC)) - 1) * 1000
+              // greatest((COUNT(*) OVER (PARTITION BY lang)) - 1, 1)
+              AS BIGINT) AS permille
+  FROM scored
+),
+contam AS MATERIALIZED (
+  SELECT DISTINCT o.doc_id
+  FROM ({_occ_sql(train_src)}) o
+  JOIN (SELECT DISTINCT h FROM ({_occ_sql(bench_src)})) bh USING (h)
+),
+flags AS MATERIALIZED (
+  SELECT r.doc_id, r.lang, r.n_tokens, r.permille, g.group_id,
+         (c.doc_id IS NOT NULL) AS is_contam
+  FROM ranked r JOIN grouped g USING (doc_id)
+  LEFT JOIN contam c ON c.doc_id = r.doc_id
+),
+keepers AS (
+  SELECT group_id, MIN(doc_id) AS keeper FROM flags
+  WHERE permille < {QUALITY_CUT_PERMILLE} GROUP BY group_id
+),
+staged AS MATERIALIZED (
+  SELECT f.doc_id, f.lang, f.n_tokens, f.permille,
+         CASE WHEN f.permille >= {QUALITY_CUT_PERMILLE}
+                THEN 'dropped_quality'
+              WHEN f.doc_id <> k.keeper THEN 'dropped_neardup'
+              WHEN f.is_contam THEN 'dropped_contaminated'
+              ELSE NULL END AS early
+  FROM flags f LEFT JOIN keepers k USING (group_id)
+),
+cum AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY permille ASC, lang ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM staged WHERE early IS NULL
+),
+total AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t
+          FROM staged WHERE early IS NULL),
+disp AS (
+  SELECT s.n_tokens,
+         COALESCE(s.early,
+           CASE WHEN c.cum_before * {BUDGET_DEN} < tt.t * {BUDGET_NUM}
+                THEN 'kept' ELSE 'dropped_overbudget' END) AS disposition
+  FROM staged s LEFT JOIN cum c USING (doc_id) CROSS JOIN total tt
+)
+SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM disp GROUP BY disposition
+UNION ALL
+SELECT 'benchmark' AS disposition, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(len({_TOKS})), 0) AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id % {SPAN_BENCH_MOD} = 0
+"""
+
+
+QUERIES["pretrain_curation_pipeline"] = q_pretrain_curation_pipeline
+ORACLE["pretrain_curation_pipeline"] = _pretrain_curation_sql()

@@ -88,6 +88,8 @@ BNLJ_WHITELIST = {
     "multimodal_frames",  # broadcast frame-tick sequence
     "incremental_session_merge",  # broadcast batch-cutoff scalar row
     "curation_budget_select",  # broadcast corpus-token-total scalar
+    "pretrain_curation_pipeline",  # broadcast eligible-token-total scalar
+    #               (the curation_budget_select budget row)
     "minhash_band_tuning",  # broadcast truth-count scalar row
     "shard_rebalance_audit",  # broadcast (N+1)*V-row hash ring
 }

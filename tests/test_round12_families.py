@@ -79,3 +79,41 @@ def test_noun_block_guards_short_names(spark):
         "": "",
         "three word name": "word",
     }
+
+
+def test_pretrain_curation_conservation(spark):
+    """The capstone's conservation contract: every input document lands
+    in exactly one disposition — docs in = kept + dropped, attributed —
+    token mass conserves, and the budget math holds (kept token mass
+    cannot exceed the 3/10 budget by more than one document)."""
+    from etl_pipeline_excel_sql__spark.plans.capstone_queries import (
+        q_pretrain_curation_pipeline,
+    )
+
+    from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(ws_tokens(F.col("text"))))
+    ).first()[0]
+
+    rows = q_pretrain_curation_pipeline(spark, sf).collect()
+    by = {r.disposition: r for r in rows}
+    allowed = {
+        "benchmark",
+        "dropped_quality",
+        "dropped_neardup",
+        "dropped_contaminated",
+        "dropped_overbudget",
+        "kept",
+    }
+    assert set(by) <= allowed
+    assert sum(r.n_docs for r in rows) == n_docs, "doc conservation"
+    assert sum(r.n_tokens for r in rows) == n_tokens, "token conservation"
+    assert "kept" in by and by["kept"].n_docs > 0
+    assert "benchmark" in by
+    # every pipeline stage must actually fire on the synthetic corpus
+    assert by.get("dropped_quality") and by["dropped_quality"].n_docs > 0
+    assert by.get("dropped_overbudget") and by["dropped_overbudget"].n_docs > 0
