@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "dup_size_spectrum",
     "effective_corpus_size",
     "bpe_fertility_by_lang",
+    # round-12 full pretraining-curation capstone (quality gate ->
+    # keeper collapse -> decontam -> budget selection, attributed)
+    "pretrain_curation_pipeline",
 ]
 
 

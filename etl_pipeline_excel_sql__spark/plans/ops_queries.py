@@ -355,3 +355,102 @@ FROM j
 
 ORACLE["shard_rebalance_audit"] = _shard_rebalance_sql()
 QUERIES["shard_rebalance_audit"] = q_shard_rebalance_audit
+
+
+# --- ring-sharded sink write-path audit (round 12) ---------------------------
+
+#: one resharded table dir per (process, sf_dir) — the bm25_serve_topk
+#: index-dir convention: repeated gate/bench invocations reuse the
+#: on-disk table instead of leaking a fresh mkdtemp per call.
+_RING_DIRS: dict[str, str] = {}
+
+
+def q_ring_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `shard_rebalance_audit` ring DEPLOYED as a sink, audited from
+    the FILES: write the documents table parquet-partitioned by its
+    ring-owner shard (``sinks.bucketed.write_ring_sharded`` — ownership
+    is a pure map over the literal vnode ring, no join/shuffle), grow
+    the fleet N -> N+1 in place (``reshard_add_shard`` — dynamic
+    partition overwrite rewrites ONLY the donor partitions plus the new
+    shard; movers provably go only TO the new shard), then report per
+    shard from the resharded files: row count and how many rows moved
+    in. The oracle recomputes both from first principles (md5-60 ring
+    ownership under both fleet sizes), so any sink mis-placement or
+    lost/duplicated row during the in-place rewrite hash-desyncs.
+
+    At 100 TB this is the reshard a storage fleet actually executes:
+    moved volume ~1/(N+1) of the corpus, untouched shards' files not
+    rewritten (asserted in tests/test_bucketed.py)."""
+    from etl_pipeline_excel_sql__spark.sinks.bucketed import (
+        reshard_add_shard,
+        ring_assign,
+        ring_points,
+        write_ring_sharded,
+    )
+    from etl_pipeline_excel_sql__spark.sources.registry import load_table
+
+    path = _RING_DIRS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ring_shard_tbl_")
+        docs = load_table(spark, "documents", sf_dir).select("doc_id")
+        write_ring_sharded(
+            docs, path, "doc_id", SHARD_N, SHARD_VNODES, RING_SPACE
+        )
+        reshard_add_shard(
+            spark, path, "doc_id", SHARD_N, SHARD_VNODES, RING_SPACE
+        )
+        _RING_DIRS[sf_dir] = path
+    after = spark.read.parquet(path)
+    old_pts = ring_points(SHARD_N, SHARD_VNODES, RING_SPACE)
+    with_old = ring_assign(
+        after, "doc_id", old_pts, RING_SPACE, out_col="__old_shard"
+    )
+    return with_old.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("__old_shard") != F.col("shard"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gained"),
+    )
+
+
+def _ring_reshard_sql() -> str:
+    from etl_pipeline_excel_sql__spark.functions.hashing import H60_SQL
+
+    h = H60_SQL.format(x="concat('doc:', CAST(doc_id AS VARCHAR))")
+    pt = H60_SQL.format(
+        x="concat('ring', ':', CAST(s AS VARCHAR), ':', CAST(v AS VARCHAR))"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, ({h}) % {RING_SPACE} AS h FROM documents
+), ring AS (
+  SELECT s AS shard, ({pt}) % {RING_SPACE} AS point
+  FROM range(0, {SHARD_N + 1}) t1(s), range(0, {SHARD_VNODES}) t2(v)
+), own_n AS (
+  SELECT doc_id, h,
+         CAST(MIN(((point - h + {RING_SPACE}) % {RING_SPACE}) * 256 + shard)
+              % 256 AS BIGINT) AS o_n
+  FROM docs JOIN ring ON ring.shard < {SHARD_N}
+  GROUP BY doc_id, h
+), own_n1 AS (
+  SELECT doc_id,
+         CAST(MIN(((point - h + {RING_SPACE}) % {RING_SPACE}) * 256 + shard)
+              % 256 AS BIGINT) AS o_n1
+  FROM docs JOIN ring ON TRUE
+  GROUP BY doc_id, h
+)
+SELECT o_n1 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN o.o_n <> p.o_n1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gained
+FROM own_n o JOIN own_n1 p USING (doc_id)
+GROUP BY o_n1
+"""
+
+
+ORACLE["ring_reshard_audit"] = _ring_reshard_sql()
+QUERIES["ring_reshard_audit"] = q_ring_reshard_audit
