@@ -34,8 +34,10 @@ queries are sensitive to:
   corpus, matching the production shape.
 
 Everything runs JVM-side (explode + built-in expressions, no Python
-UDFs) so generating sf1 takes seconds, and the same tool generates sf10
-from sf1 if a second decade is ever needed.
+UDFs) so generating sf1 takes seconds.  For a second decade generate
+sf10 DIRECTLY from sf0.1 with ``--factor 100`` — chaining from sf1
+would collide keys, because sf1 ids already span many KEY_OFFSET
+blocks (copy 8 of sf1 + offset 1 == copy 9 of sf1 + offset 0).
 
 Usage:
     python tools/gen_scaled_testdata.py \
@@ -54,9 +56,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_pipeline_excel_sql__spark.session import get_session
 
-#: Per-copy key offset.  Far above any key in the source data (sf0.1
-#: tops out at o_orderkey ≈ 600k; even sf10-from-sf1 stays < 10M per
-#: copy block) so replicated key spaces never collide.
+#: Per-copy key offset.  Far above any key in the ORIGINAL sf0.1 data
+#: (o_orderkey ≈ 600k), so replicated key spaces never collide as long
+#: as the SOURCE is original driver data; already-scaled dirs exceed
+#: one offset block and must not be used as a source (see module doc).
 KEY_OFFSET = 10_000_000
 
 #: int64 key columns to offset per table (both sides of every FK edge).
