@@ -73,10 +73,13 @@ ORACLE: dict = {}
 QUALITY_CUT_PERMILLE = 800
 
 
-def q_pretrain_curation_pipeline(
+def _curation_dispositions(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """documents in → attributed dispositions out; see module docstring."""
+) -> tuple[DataFrame, DataFrame]:
+    """(disp, bench): the doc-level disposition frame over trainable
+    docs — ``(doc_id, group_id, n_tokens, disposition)`` — and the raw
+    benchmark split. Shared by the summary capstone and the kept-set
+    manifest; see module docstring for the stage semantics."""
     from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
         _neardup_groups,
     )
@@ -158,6 +161,7 @@ def q_pretrain_curation_pipeline(
     staged = LineageTruncator(spark).truncate(
         flags.join(keepers, "group_id", "left").select(
             "doc_id",
+            "group_id",
             "lang",
             "n_tokens",
             "permille",
@@ -217,6 +221,8 @@ def q_pretrain_curation_pipeline(
         staged.join(cum, "doc_id", "left")
         .join(F.broadcast(total))
         .select(
+            "doc_id",
+            "group_id",
             "n_tokens",
             F.coalesce(
                 F.col("early"),
@@ -228,6 +234,14 @@ def q_pretrain_curation_pipeline(
             ).alias("disposition"),
         )
     )
+    return disp, bench
+
+
+def q_pretrain_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents in → attributed dispositions out; see module docstring."""
+    disp, bench = _curation_dispositions(spark, sf_dir)
     train_rows = disp.groupBy("disposition").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -244,7 +258,52 @@ def q_pretrain_curation_pipeline(
     return train_rows.unionByName(bench_row)
 
 
-def _pretrain_curation_sql() -> str:
+def q_pretrain_kept_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's DELIVERABLE: the kept-set manifest — one row per
+    surviving document with its near-dup group and its leakage-free
+    train/val/test split. The split key is the GROUP hash (the
+    ``cluster_safe_splits`` salt+bucket arithmetic), so any future
+    near-duplicate ingested into an existing cluster lands in the same
+    split as its keeper by construction — the property that makes the
+    manifest safe to extend incrementally. Kept docs are one-per-cluster
+    (the keeper rule), so the manifest is trivially leak-free today;
+    group-keying is what keeps it leak-free TOMORROW."""
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        SPLIT_SALT,
+    )
+
+    disp, _ = _curation_dispositions(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPLIT_SALT), F.col("group_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return disp.filter(F.col("disposition") == "kept").select(
+        "doc_id",
+        "group_id",
+        "n_tokens",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _curation_ctes() -> str:
+    """The shared oracle CTE chain ending at
+    ``disp(doc_id, group_id, n_tokens, disposition)`` — the SQL twin of
+    :func:`_curation_dispositions`."""
     from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
         _neardup_groups_sql,
     )
@@ -300,7 +359,7 @@ keepers AS (
   WHERE permille < {QUALITY_CUT_PERMILLE} GROUP BY group_id
 ),
 staged AS MATERIALIZED (
-  SELECT f.doc_id, f.lang, f.n_tokens, f.permille,
+  SELECT f.doc_id, f.group_id, f.lang, f.n_tokens, f.permille,
          CASE WHEN f.permille >= {QUALITY_CUT_PERMILLE}
                 THEN 'dropped_quality'
               WHEN f.doc_id <> k.keeper THEN 'dropped_neardup'
@@ -319,12 +378,18 @@ cum AS (
 total AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t
           FROM staged WHERE early IS NULL),
 disp AS (
-  SELECT s.n_tokens,
+  SELECT s.doc_id, s.group_id, s.n_tokens,
          COALESCE(s.early,
            CASE WHEN c.cum_before * {BUDGET_DEN} < tt.t * {BUDGET_NUM}
                 THEN 'kept' ELSE 'dropped_overbudget' END) AS disposition
   FROM staged s LEFT JOIN cum c USING (doc_id) CROSS JOIN total tt
-)
+)"""
+
+
+def _pretrain_curation_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import _TOKS
+
+    return f"""{_curation_ctes()}
 SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM disp GROUP BY disposition
@@ -335,5 +400,28 @@ FROM documents WHERE doc_id % {SPAN_BENCH_MOD} = 0
 """
 
 
+def _pretrain_manifest_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _HASH60,
+        SPLIT_SALT,
+    )
+
+    bucket = _HASH60.format(
+        e=f"concat('{SPLIT_SALT}', CAST(group_id AS VARCHAR))"
+    )
+    return f"""{_curation_ctes()}
+SELECT doc_id, group_id, n_tokens,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_id, n_tokens, ({bucket}) % 100 AS b
+  FROM disp WHERE disposition = 'kept'
+)
+"""
+
+
 QUERIES["pretrain_curation_pipeline"] = q_pretrain_curation_pipeline
 ORACLE["pretrain_curation_pipeline"] = _pretrain_curation_sql()
+QUERIES["pretrain_kept_manifest"] = q_pretrain_kept_manifest
+ORACLE["pretrain_kept_manifest"] = _pretrain_manifest_sql()

@@ -267,24 +267,15 @@ QUERIES["quality_domain_rank"] = q_quality_domain_rank
 BUDGET_NUM, BUDGET_DEN = 3, 10
 
 
-def q_curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget curation: the greedy selection every pretraining
-    data plan executes — rank documents by a calibrated quality score,
-    take the best until a token budget is spent. Composes the
-    ``quality_domain_rank`` calibration (per-language permille, so
-    cross-language scores are comparable) with a DISTRIBUTED exclusive
-    prefix sum of token counts in rank order; a document is selected
-    iff the tokens before it fit the budget (3/10 of total corpus
-    tokens — SF-invariant by construction).
-
-    The prefix sum is the ``pack_lm_sequences`` two-phase doctrine, but
-    keyed on the SCORE instead of doc_id: ranges are the (bounded,
-    ≤1001-row) permille buckets in quality order; per-range totals take
-    one map-side-combined aggregate, range offsets a window over that
-    tiny table, and the within-range cumsum partitions by bucket — no
-    global single-partition window anywhere. The budget scalar rides a
-    broadcast join (no driver collect). Output is all-integer.
-    """
+def _ranked_cum(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cum, total): the calibrated-quality doc frame ``(doc_id, lang,
+    n_tokens, permille, cum_before)`` — exclusive prefix sum of token
+    counts in (permille, lang, doc_id) selection order, built with the
+    two-phase decomposition described in :func:`q_curation_budget_select`
+    — and the 1-row corpus token total. Shared by the budget selection
+    and the cut×budget trade-off table."""
     from etl_pipeline_excel_sql__spark.functions.text import (
         STOPWORDS,
         stopword_hits,
@@ -360,6 +351,28 @@ def q_curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = scored.agg(F.sum("n_tokens").alias("__total"))
+    return cum, total
+
+
+def q_curation_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: the greedy selection every pretraining
+    data plan executes — rank documents by a calibrated quality score,
+    take the best until a token budget is spent. Composes the
+    ``quality_domain_rank`` calibration (per-language permille, so
+    cross-language scores are comparable) with a DISTRIBUTED exclusive
+    prefix sum of token counts in rank order; a document is selected
+    iff the tokens before it fit the budget (3/10 of total corpus
+    tokens — SF-invariant by construction).
+
+    The prefix sum is the ``pack_lm_sequences`` two-phase doctrine, but
+    keyed on the SCORE instead of doc_id: ranges are the (bounded,
+    ≤1001-row) permille buckets in quality order; per-range totals take
+    one map-side-combined aggregate, range offsets a window over that
+    tiny table, and the within-range cumsum partitions by bucket — no
+    global single-partition window anywhere. The budget scalar rides a
+    broadcast join (no driver collect). Output is all-integer.
+    """
+    cum, total = _ranked_cum(spark, sf_dir)
     return (
         cum.join(F.broadcast(total))
         .filter(
@@ -410,6 +423,135 @@ WHERE cum_before * {BUDGET_DEN} < t * {BUDGET_NUM}
 
 ORACLE["curation_budget_select"] = _curation_budget_select_sql()
 QUERIES["curation_budget_select"] = q_curation_budget_select
+
+
+# --- quality-cut × budget trade-off table (round 12) ------------------------
+
+#: quality-cut rungs to evaluate: keep docs with permille < cut. 1001
+#: is the no-cut rung (permille tops out at 1000), so the table spans
+#: "aggressive gate" to "no gate" in one artifact.
+QUALITY_CUT_RUNGS = (500, 600, 700, 800, 900, 1001)
+
+
+def q_quality_budget_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate knob measured on-corpus (the
+    ``minhash_band_tuning`` pattern applied to curation): for every
+    quality-cut rung, how many documents/tokens remain eligible and how
+    much of the fixed 3/10 token budget the greedy selection actually
+    fills — the table a data planner reads to pick the cut before
+    committing a 100 TB curation run (a cut so aggressive the budget
+    starves is visible as ``budget_fill_ppm`` < 1e6).
+
+    ONE doc-level pass: the selection order is permille-ascending, so
+    restricting to ``permille < cut`` truncates a PREFIX of the
+    sequence and leaves every earlier document's exclusive prefix sum
+    unchanged — the single shared ``cum_before`` answers all rungs.
+    Per-rung work is a join of the ≤1001-row permille-bucket table
+    against the 6-row rung list (broadcast, bounded) plus one
+    aggregate. All-integer output.
+    """
+    cum, total = _ranked_cum(spark, sf_dir)
+    sel = cum.join(F.broadcast(total)).withColumn(
+        "__sel",
+        (
+            F.col("cum_before") * F.lit(BUDGET_DEN)
+            < F.col("__total") * F.lit(BUDGET_NUM)
+        ).cast("int"),
+    )
+    buckets = sel.groupBy("permille").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("n_tokens").cast("bigint").alias("__tok"),
+        F.sum("__sel").cast("bigint").alias("__nsel"),
+        F.sum(F.col("__sel") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("__seltok"),
+    )
+    rungs = spark.createDataFrame(
+        [(c,) for c in QUALITY_CUT_RUNGS], ["cut"]
+    ).select(F.col("cut").cast("bigint").alias("cut"))
+    agg = (
+        buckets.join(F.broadcast(rungs), F.col("permille") < F.col("cut"))
+        .groupBy("cut")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_eligible"),
+            F.sum("__tok").cast("bigint").alias("eligible_tokens"),
+            F.sum("__nsel").cast("bigint").alias("n_selected"),
+            F.sum("__seltok").cast("bigint").alias("selected_tokens"),
+        )
+    )
+    return agg.join(F.broadcast(total)).select(
+        "cut",
+        "n_eligible",
+        "eligible_tokens",
+        "n_selected",
+        "selected_tokens",
+        F.expr(
+            f"CAST(selected_tokens * {BUDGET_DEN} * 1000000"
+            f" DIV greatest(__total * {BUDGET_NUM}, 1) AS BIGINT)"
+        ).alias("budget_fill_ppm"),
+    )
+
+
+def _quality_tradeoff_sql() -> str:
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _STOP,
+        _TOKS,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks,"
+        f" t -> list_contains({_STOP[lg]}, t)))"
+        for lg in sorted(_STOP)
+    )
+    rungs = ", ".join(str(c) for c in QUALITY_CUT_RUNGS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST((CASE {cases} ELSE 0 END) * 1000000
+              // greatest(len(toks), 1) AS BIGINT) AS score
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(((row_number() OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id ASC)) - 1) * 1000
+              // greatest((COUNT(*) OVER (PARTITION BY lang)) - 1, 1)
+              AS BIGINT) AS permille
+  FROM scored
+), cum AS (
+  SELECT permille, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY permille ASC, lang ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM ranked
+), total AS (SELECT SUM(n_tokens) AS t FROM scored),
+sel AS (
+  SELECT permille, n_tokens,
+         CASE WHEN cum_before * {BUDGET_DEN} < t * {BUDGET_NUM}
+              THEN 1 ELSE 0 END AS s
+  FROM cum, total
+), buckets AS (
+  SELECT permille, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok,
+         CAST(SUM(s) AS BIGINT) AS nsel,
+         CAST(SUM(s * n_tokens) AS BIGINT) AS seltok
+  FROM sel GROUP BY permille
+), rungs AS (SELECT unnest([{rungs}]) AS cut)
+SELECT CAST(cut AS BIGINT) AS cut,
+       CAST(SUM(n) AS BIGINT) AS n_eligible,
+       CAST(SUM(tok) AS BIGINT) AS eligible_tokens,
+       CAST(SUM(nsel) AS BIGINT) AS n_selected,
+       CAST(SUM(seltok) AS BIGINT) AS selected_tokens,
+       CAST(SUM(seltok) * {BUDGET_DEN} * 1000000
+            // greatest((SELECT t FROM total) * {BUDGET_NUM}, 1)
+            AS BIGINT) AS budget_fill_ppm
+FROM rungs JOIN buckets ON buckets.permille < rungs.cut
+GROUP BY cut
+"""
+
+
+ORACLE["quality_budget_tradeoff"] = _quality_tradeoff_sql()
+QUERIES["quality_budget_tradeoff"] = q_quality_budget_tradeoff
 
 
 # --- Pareto quality/length frontier (round 11) ------------------------------

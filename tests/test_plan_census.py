@@ -90,6 +90,9 @@ BNLJ_WHITELIST = {
     "curation_budget_select",  # broadcast corpus-token-total scalar
     "pretrain_curation_pipeline",  # broadcast eligible-token-total scalar
     #               (the curation_budget_select budget row)
+    "pretrain_kept_manifest",  # same dispositions DAG, same scalar
+    "quality_budget_tradeoff",  # broadcast 6-row rung list against the
+    #               <=1001-row bucket table + the budget-total scalar
     "minhash_band_tuning",  # broadcast truth-count scalar row
     "shard_rebalance_audit",  # broadcast (N+1)*V-row hash ring
 }
