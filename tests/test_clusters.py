@@ -79,3 +79,35 @@ def test_split_audit_evaluates_pair_dag_once(spark):
         f"upstream pair DAG evaluated more than once: {acc.value} bumps "
         f"for {len(edges)} edges"
     )
+
+
+def test_incremental_component_merge_equals_from_scratch(spark):
+    """The IVM reduction behind dedup_clusters_incremental: components
+    over (persisted label star-edges ∪ delta edges) must equal
+    components over (original pairs ∪ delta edges) — including the case
+    where one delta edge merges two existing clusters and the case
+    where delta introduces brand-new nodes."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_excel_sql__spark.operators.clusters import (
+        connected_components,
+    )
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    delta = [(3, 10), (30, 31), (31, 21)]  # merge {1,2,3}+{10,11}; new+{20,21}
+    base_df = spark.createDataFrame(base, ["id_a", "id_b"])
+    delta_df = spark.createDataFrame(delta, ["id_a", "id_b"])
+    labels = connected_components(base_df).select(
+        F.col("member_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    inc = {
+        (r.member_id, r.cluster_id, r.cluster_size)
+        for r in connected_components(labels.unionByName(delta_df)).collect()
+    }
+    scratch = {
+        (r.member_id, r.cluster_id, r.cluster_size)
+        for r in connected_components(base_df.unionByName(delta_df)).collect()
+    }
+    assert inc == scratch
+    # sanity: the merged cluster is {1,2,3,10,11} rooted at 1
+    assert (11, 1, 5) in inc and (31, 20, 4) in inc
