@@ -576,6 +576,44 @@ COMMENTARY = {
         "over DISTINCT words, id table broadcast) with one per-language "
         "aggregate over skinny per-doc subword counts."
     ),
+    "pretrain_curation_pipeline": (
+        "The full curation capstone: each corpus-scale scan appears "
+        "ONCE (score tokenization, train/bench k-grams, the MinHash "
+        "shingle pass inside components); the ranked and staged frames "
+        "are localCheckpoint cuts (InMemoryTableScan here), so the "
+        "disposition CASE, keeper rule, budget prefix sum, and final "
+        "aggregate all read materialized skinny rows; the budget scalar "
+        "is the one whitelisted BroadcastNestedLoopJoin."
+    ),
+    "pretrain_kept_manifest": (
+        "Same dispositions DAG as the capstone; the manifest adds only "
+        "a filter on the skinny frame plus the group-hash split CASE — "
+        "no new corpus work."
+    ),
+    "quality_budget_tradeoff": (
+        "One doc-level pass (the curation_budget_select two-phase "
+        "prefix sum), then a <=1001-row permille-bucket aggregate "
+        "joined against the broadcast 6-row rung list — every knob "
+        "rung answered without re-scanning the corpus."
+    ),
+    "ring_reshard_audit": (
+        "Ring ownership is a LITERAL-array packed arg-min inside "
+        "WholeStageCodegen — a pure map, no join, no shuffle; the only "
+        "exchange is the final per-shard count over (shard, doc) rows "
+        "read back from the resharded files."
+    ),
+    "dedup_clusters_incremental": (
+        "Components over (persisted label star-edges UNION delta band "
+        "joins): the corpus pair graph is loaded as a skinny parquet "
+        "scan, never regenerated; only the new batch builds signatures; "
+        "the components loop runs on |labels| + |delta| edges."
+    ),
+    "cluster_safe_splits": (
+        "The MinHash pair frame is truncated once (round-12 fix): the "
+        "LSH banding + Jaccard verify appears a single time, feeding "
+        "both the components loop and the leak-probe join via the "
+        "materialized cut."
+    ),
 }
 
 
