@@ -33,9 +33,12 @@ def noun_block(col: F.Column) -> F.Column:
     Spark 4 ANSI defaults) on single-word names, while the DuckDB
     oracle's ``split_part`` returns ``''`` and groups them into one
     comparable block — a twin desync latent on TPC-H (p_name is always
-    5 words) but live on any other corpus. Both engines now yield
-    ``''`` for blockless names."""
-    toks = F.split(col, " ")
+    5 words) but live on any other corpus. NULL names are coalesced to
+    ``''`` BEFORE the split in both twins (Spark's when/otherwise would
+    yield ``''`` while ``split_part(NULL, ' ', 2)`` yields NULL — a
+    second latent desync on nullable name columns), so both engines
+    yield ``''`` for blockless AND NULL names."""
+    toks = F.split(F.coalesce(col, F.lit("")), " ")
     return F.when(F.size(toks) >= 2, F.element_at(toks, 2)).otherwise(
         F.lit("")
     )
@@ -72,7 +75,7 @@ def q_linkage_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["linkage_best_match"] = f"""
 WITH cat AS (
   SELECT p_partkey AS key, p_name AS name,
-         split_part(p_name, ' ', 2) AS block
+         split_part(coalesce(p_name, ''), ' ', 2) AS block
   FROM part
 ), probes AS (
   SELECT * FROM cat WHERE key % {LINKAGE_PROBE_MOD} = 0
@@ -177,7 +180,8 @@ WITH RECURSIVE reps0 AS MATERIALIZED (
          CAST(COUNT(*) AS BIGINT) AS n_records
   FROM part GROUP BY p_name
 ), reps AS MATERIALIZED (
-  SELECT n, split_part(n, ' ', 2) AS b, k, n_records FROM reps0
+  SELECT n, split_part(coalesce(n, ''), ' ', 2) AS b, k, n_records
+  FROM reps0
 ), pairs AS MATERIALIZED (
   SELECT a.k AS ka, b.k AS kb
   FROM reps a JOIN reps b USING (b)

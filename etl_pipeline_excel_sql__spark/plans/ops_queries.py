@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_excel_sql__spark.sources.registry import (
+    corpus_fingerprint,
+    scratch_dir,
+)
 from etl_pipeline_excel_sql__spark.functions.hashing import (
     H60_SQL,
     md5_hash60,
@@ -359,10 +363,12 @@ QUERIES["shard_rebalance_audit"] = q_shard_rebalance_audit
 
 # --- ring-sharded sink write-path audit (round 12) ---------------------------
 
-#: one resharded table dir per (process, sf_dir) — the bm25_serve_topk
-#: index-dir convention: repeated gate/bench invocations reuse the
-#: on-disk table instead of leaking a fresh mkdtemp per call.
-_RING_DIRS: dict[str, str] = {}
+#: one resharded table dir per (process, corpus version) — the
+#: bm25_serve_topk index-dir convention: repeated gate/bench invocations
+#: reuse the on-disk table instead of leaking a fresh mkdtemp per call.
+#: Keyed on (sf_dir, corpus fingerprint) so in-process corpus
+#: regeneration rebuilds the table (ADVICE r12); atexit-cleaned.
+_RING_DIRS: dict[tuple, str] = {}
 
 
 def q_ring_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,11 +395,10 @@ def q_ring_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_pipeline_excel_sql__spark.sources.registry import load_table
 
-    path = _RING_DIRS.get(sf_dir)
+    ring_key = (sf_dir, corpus_fingerprint(sf_dir))
+    path = _RING_DIRS.get(ring_key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="ring_shard_tbl_")
+        path = scratch_dir("ring_shard_tbl_")
         docs = load_table(spark, "documents", sf_dir).select("doc_id")
         write_ring_sharded(
             docs, path, "doc_id", SHARD_N, SHARD_VNODES, RING_SPACE
@@ -401,7 +406,7 @@ def q_ring_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         reshard_add_shard(
             spark, path, "doc_id", SHARD_N, SHARD_VNODES, RING_SPACE
         )
-        _RING_DIRS[sf_dir] = path
+        _RING_DIRS[ring_key] = path
     after = spark.read.parquet(path)
     old_pts = ring_points(SHARD_N, SHARD_VNODES, RING_SPACE)
     with_old = ring_assign(

@@ -45,7 +45,11 @@ from etl_pipeline_excel_sql__spark.operators.similarity import (
     ivf_topk,
     ivf_topk_trained,
 )
-from etl_pipeline_excel_sql__spark.sources.registry import load_table
+from etl_pipeline_excel_sql__spark.sources.registry import (
+    corpus_fingerprint,
+    load_table,
+    scratch_dir,
+)
 
 # --- Spark queries ----------------------------------------------------------
 
@@ -1297,10 +1301,13 @@ QUERIES["dedup_incremental"] = q_dedup_incremental
 
 # --- incremental cluster-state maintenance (round 12) ------------------------
 
-#: persisted corpus-only cluster labels per (process, sf_dir) — the
-#: bm25_serve/jaccard-truth build-once/load-many seam: the base state a
-#: production ingest loads, never recomputes.
-_CLUSTER_STATE_DIRS: dict[str, str] = {}
+#: persisted corpus-only cluster labels per (process, corpus version) —
+#: the bm25_serve/jaccard-truth build-once/load-many seam: the base
+#: state a production ingest loads, never recomputes. Keyed on
+#: (sf_dir, corpus fingerprint), not sf_dir alone, so an in-process
+#: corpus regeneration invalidates the artifact instead of silently
+#: desyncing from the oracle (ADVICE r12); dirs are atexit-cleaned.
+_CLUSTER_STATE_DIRS: dict[tuple, str] = {}
 
 
 def q_dedup_clusters_incremental(
@@ -1338,11 +1345,10 @@ def q_dedup_clusters_incremental(
     new_docs = docs.filter(is_new)
     corpus = docs.filter(~is_new)
 
-    path = _CLUSTER_STATE_DIRS.get(sf_dir)
+    state_key = (sf_dir, corpus_fingerprint(sf_dir))
+    path = _CLUSTER_STATE_DIRS.get(state_key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="cluster_state_")
+        path = scratch_dir("cluster_state_")
         base_pairs = minhash_lsh_pairs(
             corpus,
             "text",
@@ -1355,7 +1361,7 @@ def q_dedup_clusters_incremental(
         connected_components(base_pairs).select(
             "member_id", "cluster_id"
         ).write.mode("overwrite").parquet(path)
-        _CLUSTER_STATE_DIRS[sf_dir] = path
+        _CLUSTER_STATE_DIRS[state_key] = path
     state = spark.read.parquet(path)
 
     cross = minhash_lsh_pairs_cross(
@@ -1463,8 +1469,10 @@ _AUDIT_SHINGLE_CACHE = SignatureCache()
 #: rebuilding it per query paid the full prefix join twice per bench
 #: run (round-11 verdict item 2). At 100 TB the honest shape is the
 #: same artifact computed once (on a stratified sample) and loaded by
-#: every audit that needs it.
-_TRUTH_DIRS: dict[str, str] = {}
+#: every audit that needs it. Keyed on (sf_dir, corpus fingerprint) so
+#: in-process corpus regeneration invalidates the artifact (ADVICE
+#: r12); dirs are atexit-cleaned via scratch_dir.
+_TRUTH_DIRS: dict[tuple, str] = {}
 
 
 def _shared_jaccard_truth(
@@ -1474,11 +1482,10 @@ def _shared_jaccard_truth(
     (prefix-filter join over ``exploded``), persisted as parquet, and
     LOADED on every later call — subsequent audits pay a skinny
     (id_a, id_b, jaccard_ppm) scan instead of the corpus prefix join."""
-    path = _TRUTH_DIRS.get(sf_dir)
+    truth_key = (sf_dir, corpus_fingerprint(sf_dir))
+    path = _TRUTH_DIRS.get(truth_key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="jaccard_truth_")
+        path = scratch_dir("jaccard_truth_")
         jaccard_prefix_pairs(
             docs,
             "text",
@@ -1490,7 +1497,7 @@ def _shared_jaccard_truth(
         ).select("id_a", "id_b", "jaccard_ppm").write.mode(
             "overwrite"
         ).parquet(path)
-        _TRUTH_DIRS[sf_dir] = path
+        _TRUTH_DIRS[truth_key] = path
     return spark.read.parquet(path)
 
 

@@ -223,18 +223,25 @@ JOIN dl d ON d.doc_id = tf.doc_id, stats s
 QUERIES["bm25_contrib"] = q_bm25_contrib
 
 
-#: One reusable index dir per (process, sf_dir) — repeated bench/gate
-#: invocations overwrite instead of leaking a fresh mkdtemp each call,
-#: and two SFs in one session can't serve each other's index.
-_SERVE_IDX_DIRS: dict[str, str] = {}
+#: One reusable index dir per (process, corpus version) — repeated
+#: bench/gate invocations overwrite instead of leaking a fresh mkdtemp
+#: each call, and two SFs in one session can't serve each other's index.
+#: Keyed on (sf_dir, corpus fingerprint) so an in-process corpus
+#: regeneration invalidates the warm index the serve-score hot path
+#: would otherwise read stale (ADVICE r12); dirs are atexit-cleaned.
+_SERVE_IDX_DIRS: dict[tuple, str] = {}
 
 
 def _serve_idx_dir(sf_dir: str) -> str:
-    if sf_dir not in _SERVE_IDX_DIRS:
-        import tempfile
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        corpus_fingerprint,
+        scratch_dir,
+    )
 
-        _SERVE_IDX_DIRS[sf_dir] = tempfile.mkdtemp(prefix="bm25_serve_idx_")
-    return _SERVE_IDX_DIRS[sf_dir]
+    key = (sf_dir, corpus_fingerprint(sf_dir))
+    if key not in _SERVE_IDX_DIRS:
+        _SERVE_IDX_DIRS[key] = scratch_dir("bm25_serve_idx_")
+    return _SERVE_IDX_DIRS[key]
 
 
 def _bm25_score_cte(qt: str, out: str) -> str:

@@ -39,6 +39,46 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def corpus_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap content-identity key for the corpus at ``sf_dir`` — the
+    (path, mtime_ns, size) triples of the table's parquet file(s).
+
+    Derived per-(process, sf) artifacts (the persisted Jaccard-truth
+    parquet, the incremental cluster state, the resharded ring table,
+    ADVICE r12) key their caches on this, not on ``sf_dir`` alone: if
+    the corpus at the same path is REGENERATED in-process (e.g.
+    ``gen_scaled_testdata`` then re-bench in one session), the
+    fingerprint changes and the stale artifact is rebuilt instead of
+    silently desyncing from the oracle, which reads the live files.
+    """
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / f"{table}.parquet"
+    if p.is_dir():
+        return tuple(
+            (str(q.relative_to(p)), q.stat().st_mtime_ns, q.stat().st_size)
+            for q in sorted(p.rglob("*"))
+            if q.is_file()
+        )
+    st = p.stat()
+    return (st.st_mtime_ns, st.st_size)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with atexit removal — every per-(process, sf)
+    derived-artifact dir (truth parquet, cluster state, ring table, bm25
+    index) goes through here so nothing lingers past the process
+    (ADVICE r12: the caches previously leaked their dirs for the
+    machine's lifetime)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin the SQL confs our semantics depend on, whoever built the session.
 

@@ -21,4 +21,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
+    if not Path(SF_SMOKE).is_dir():
+        pytest.skip(f"generated test corpus missing: {SF_SMOKE}")
     return SF_SMOKE

@@ -43,11 +43,16 @@ def test_shared_jaccard_truth_builds_once_per_sf(spark, tiny_sf):
         docs, "text", "doc_id", pq.MINHASH_SHINGLE_N
     ).withColumn("__id", bump_udf("__id"))
 
-    pq._TRUTH_DIRS.pop(tiny_sf, None)
+    from etl_pipeline_excel_sql__spark.sources.registry import (
+        corpus_fingerprint,
+    )
+
+    truth_key = (tiny_sf, corpus_fingerprint(tiny_sf))
+    pq._TRUTH_DIRS.pop(truth_key, None)
     first = pq._shared_jaccard_truth(spark, tiny_sf, docs, exploded)
     rows1 = sorted((r.id_a, r.id_b, r.jaccard_ppm) for r in first.collect())
     bumps_after_build = acc.value
-    assert tiny_sf in pq._TRUTH_DIRS
+    assert truth_key in pq._TRUTH_DIRS
 
     second = pq._shared_jaccard_truth(spark, tiny_sf, docs, exploded)
     rows2 = sorted((r.id_a, r.id_b, r.jaccard_ppm) for r in second.collect())
@@ -58,7 +63,7 @@ def test_shared_jaccard_truth_builds_once_per_sf(spark, tiny_sf):
     )
     # docs 1 and 4 are identical -> at least that exact pair in truth
     assert (1, 4, 1000000) in rows1
-    pq._TRUTH_DIRS.pop(tiny_sf, None)
+    pq._TRUTH_DIRS.pop(truth_key, None)
 
 
 def test_noun_block_guards_short_names(spark):
@@ -69,19 +74,22 @@ def test_noun_block_guards_short_names(spark):
     )
 
     df = spark.createDataFrame(
-        [("solo",), ("two words",), ("",), ("three word name",)],
-        ["p_name"],
+        [("solo",), ("two words",), ("",), ("three word name",), (None,)],
+        "p_name string",
     ).select("p_name", noun_block(F.col("p_name")).alias("block"))
     got = {r.p_name: r.block for r in df.collect()}
+    # ADVICE r12: NULL names coalesce to '' in BOTH twins (split_part on
+    # NULL yields NULL in DuckDB; the input is coalesced there too).
     assert got == {
         "solo": "",
         "two words": "words",
         "": "",
         "three word name": "word",
+        None: "",
     }
 
 
-def test_pretrain_curation_conservation(spark):
+def test_pretrain_curation_conservation(spark, sf_dir):
     """The capstone's conservation contract: every input document lands
     in exactly one disposition — docs in = kept + dropped, attributed —
     token mass conserves, and the budget math holds (kept token mass
@@ -92,7 +100,7 @@ def test_pretrain_curation_conservation(spark):
 
     from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     docs = spark.read.parquet(sf + "/documents.parquet")
     n_docs = docs.count()
     n_tokens = docs.select(
