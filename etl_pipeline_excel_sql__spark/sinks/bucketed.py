@@ -187,6 +187,17 @@ def reshard_add_shard(
     # materialized blocks first, or the overwrite truncates its own input
     out = out.localCheckpoint(eager=True)
     n_moved = incoming.count()
+    # Donors whose EVERY row moved contribute no keeper rows, so dynamic
+    # partition overwrite never rewrites their partition — the stale
+    # files would survive on disk while the moved rows also land in the
+    # new shard, silently duplicating the whole donor (ADVICE r12).
+    # Such donors must be deleted explicitly after the overwrite. The
+    # distinct-shard probe is over the already-checkpointed skinny
+    # frame: ≤ N+1 rows back to the driver.
+    present = {
+        int(r.shard) for r in out.select("shard").distinct().collect()
+    }
+    emptied = [d for d in lost if d not in present]
     prior = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -195,4 +206,10 @@ def reshard_add_shard(
         out.write.mode("overwrite").partitionBy("shard").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for d in emptied:
+            part = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={d}")
+            part.getFileSystem(conf).delete(part, True)
     return n_moved

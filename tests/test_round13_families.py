@@ -50,3 +50,62 @@ def test_truth_cache_invalidates_on_corpus_regen(spark, tmp_path):
     rows2 = truth_rows()
     assert (1, 3, 1000000) in rows2, "stale truth artifact served"
     assert (1, 2, 1000000) not in rows2
+
+
+def test_reshard_empty_donor_partition_deleted(spark, tmp_path):
+    """ADVICE r12 (medium): a donor shard that loses ALL its rows has no
+    keeper rows, so dynamic partition overwrite alone never rewrites its
+    partition — the stale files would both survive AND duplicate every
+    moved row. reshard_add_shard must delete the emptied donor partition
+    explicitly; total row count and per-key placement must be exact."""
+    import hashlib
+
+    from etl_pipeline_excel_sql__spark.sinks.bucketed import (
+        reshard_add_shard,
+        ring_points,
+        write_ring_sharded,
+    )
+
+    ring_space = 1 << 52
+    n_old, vnodes = 2, 2
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def owner(key, pts):
+        h = h60(f"doc:{key}") % ring_space
+        return min(((p - h) % ring_space) * 256 + s for s, p in pts) % 256
+
+    old_pts = [(s, p) for s, p in ring_points(n_old, vnodes, ring_space)]
+    new_pts = [(s, p) for s, p in ring_points(n_old + 1, vnodes, ring_space)]
+    movers_of_1, stayers_of_0 = [], []
+    for k in range(4000):
+        o_old, o_new = owner(k, old_pts), owner(k, new_pts)
+        if o_old == 1 and o_new == n_old:
+            movers_of_1.append(k)
+        elif o_old == 0 and o_new == 0:
+            stayers_of_0.append(k)
+    assert len(movers_of_1) >= 50 and len(stayers_of_0) >= 50
+    keys = movers_of_1[:200] + stayers_of_0[:200]
+
+    path = str(tmp_path / "ring_tbl")
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    write_ring_sharded(df, path, "doc_id", n_old, vnodes, ring_space)
+    n_moved = reshard_add_shard(
+        spark, path, "doc_id", n_old, vnodes, ring_space
+    )
+    assert n_moved == 200
+
+    after = spark.read.parquet(path)
+    rows = [(r.doc_id, int(r.shard)) for r in after.collect()]
+    assert len(rows) == len(keys), "duplicated or lost rows after reshard"
+    assert len({k for k, _ in rows}) == len(keys)
+    placed = dict(rows)
+    for k in movers_of_1[:200]:
+        assert placed[k] == n_old
+    for k in stayers_of_0[:200]:
+        assert placed[k] == 0
+    # the emptied donor's partition directory must be gone
+    import os
+
+    assert not os.path.exists(os.path.join(path, "shard=1"))
