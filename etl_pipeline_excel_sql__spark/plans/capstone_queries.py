@@ -14,8 +14,11 @@ dropped, attributed):
 3. **near-dup cluster collapse** — MinHash-LSH pairs + connected
    components over the full corpus (``dedup_minhash`` +
    ``dedup_clusters``); each cluster keeps ONE member — the min-id
-   QUALITY-PASSING member (``effective_corpus_size``'s keeper rule,
-   restricted to trainable survivors) — the rest drop.
+   QUALITY-PASSING, NON-CONTAMINATED member
+   (``effective_corpus_size``'s keeper rule, restricted to trainable
+   survivors that also clear stage 4, ADVICE r12: a contaminated
+   min-id member no longer dooms its cluster's clean content) — the
+   rest drop.
 4. **span decontam** — survivors sharing any ``SPAN_K``-gram with the
    benchmark split drop (``decontam_spans`` membership; the k-gram
    digest join is size-gated, never force-broadcast).
@@ -149,15 +152,25 @@ def _curation_dispositions(
     )
 
     flags = ranked.join(groups, "doc_id").join(contam, "doc_id", "left")
+    # Keeper = min-id QUALITY-PASSING, NON-CONTAMINATED member (ADVICE
+    # r12): restricting to clean members means a cluster whose min-id
+    # quality-passing doc is contaminated still promotes its best clean
+    # member instead of discarding the whole cluster's trainable
+    # content.
     keepers = (
-        flags.filter(F.col("permille") < QUALITY_CUT_PERMILLE)
+        flags.filter(
+            (F.col("permille") < QUALITY_CUT_PERMILLE)
+            & F.col("__contam").isNull()
+        )
         .groupBy("group_id")
         .agg(F.min("doc_id").alias("__keeper"))
     )
     # Disposition priority: quality, then near-dup, then contamination.
-    # A quality-passing doc always has a keeper in its group (itself at
-    # minimum), so the NULL-keeper comparison can only be reached by
-    # docs the first branch already caught.
+    # A quality-passing non-contaminated doc always has a keeper in its
+    # group (itself at minimum). When a group has NO clean
+    # quality-passing member, __keeper is NULL and the != comparison is
+    # NULL too, so its contaminated quality-passing members fall through
+    # to dropped_contaminated — identical CASE semantics in both twins.
     staged = LineageTruncator(spark).truncate(
         flags.join(keepers, "group_id", "left").select(
             "doc_id",
@@ -356,7 +369,8 @@ flags AS MATERIALIZED (
 ),
 keepers AS (
   SELECT group_id, MIN(doc_id) AS keeper FROM flags
-  WHERE permille < {QUALITY_CUT_PERMILLE} GROUP BY group_id
+  WHERE permille < {QUALITY_CUT_PERMILLE} AND NOT is_contam
+  GROUP BY group_id
 ),
 staged AS MATERIALIZED (
   SELECT f.doc_id, f.group_id, f.lang, f.n_tokens, f.permille,

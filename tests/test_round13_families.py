@@ -109,3 +109,46 @@ def test_reshard_empty_donor_partition_deleted(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(path, "shard=1"))
+
+
+def test_keeper_promotes_clean_member(spark, tmp_path):
+    """ADVICE r12: when a near-dup cluster's min-id quality-passing
+    member is contaminated, the keeper rule must promote the best CLEAN
+    quality-passing member instead of dropping the whole cluster —
+    decontam participates in keeper selection in both twins."""
+    from etl_pipeline_excel_sql__spark.plans.capstone_queries import (
+        _curation_dispositions,
+    )
+
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    # non-repeating so the distinct-shingle overlap (hence Jaccard)
+    # between the two near-dups stays high
+    # length picked so the two near-dups (J≈0.82) collide in at least
+    # one LSH band under the shipped 12-hash/2-row family
+    base = " ".join(
+        f"the w{i} is on a b{i} and it runs for the c{i} of d{i}"
+        for i in range(7)
+    )
+    rows = [
+        # benchmark doc (37 % 37 == 0) carrying the contaminating 8-gram
+        (37, bench_gram, "en", "src9", 1),
+        # doc 1: near-dup of doc 2, shares the bench 8-gram -> contaminated
+        (1, base + " " + bench_gram, "en", "src9", 1),
+        # doc 2: clean near-dup (same base, different tail)
+        (2, base + " one two three four five six seven eight", "en", "src9", 1),
+    ] + [
+        # stopword-free junk fillers occupy the worst quality permilles
+        (10 + i, f"zz{i} yy{i} xx{i} ww{i} vv{i} uu{i}", "en", "src9", 1)
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    disp, _ = _curation_dispositions(spark, str(tmp_path))
+    got = {r.doc_id: r.disposition for r in disp.collect()}
+    # same cluster, doc 1 contaminated: keeper must be doc 2
+    assert got[1] == "dropped_neardup"
+    assert got[2] in ("kept", "dropped_overbudget")
