@@ -152,3 +152,81 @@ def test_keeper_promotes_clean_member(spark, tmp_path):
     # same cluster, doc 1 contaminated: keeper must be doc 2
     assert got[1] == "dropped_neardup"
     assert got[2] in ("kept", "dropped_overbudget")
+
+
+def test_incremental_manifest_split_stability(spark, tmp_path):
+    """Round-13 capstone contract: ingesting a batch through
+    pretrain_manifest_incremental (a) equals the from-scratch rebuild
+    engine-side (the oracle proves it cross-engine), and (b) under the
+    monotone id-allocation contract with no cluster merges, no
+    previously-kept doc changes split — new near-duplicates land in
+    their keeper's split by construction."""
+    from etl_pipeline_excel_sql__spark.plans.capstone_queries import (
+        q_pretrain_kept_manifest,
+        q_pretrain_manifest_incremental,
+    )
+
+    base = " ".join(
+        f"the w{i} is on a b{i} and it runs for the c{i} of d{i}"
+        for i in range(7)
+    )
+    good = "the of and is in for on a " * 6  # stopword-dense: top quality
+    corpus_rows = (
+        [
+            # near-dup cluster {1, 2} — keeper 1 (quality-passing)
+            (1, good + base, "en", "corpusA", 1),
+            (2, good + base + " tail two alpha", "en", "corpusA", 1),
+            # quality-passing singleton
+            (3, good + " solo content here entirely", "en", "corpusA", 1),
+            # bench doc
+            (37, "benchmark eval text nobody trains on here today", "en",
+             "corpusA", 1),
+        ]
+        + [
+            # stopword-free junk spreads the permille range
+            (10 + i, f"junkzz{i} yy{i} xx{i} ww{i} vv{i} uu{i} tt{i}",
+             "en", "corpusA", 1)
+            for i in range(8)
+        ]
+    )
+    # batch ids all ABOVE existing ids (monotone allocation); 101 is a
+    # near-dup of cluster {1,2}; 103 a fresh singleton; no bridges.
+    batch_rows = [
+        (101, good + base + " tail other beta", "en", "src0", 1),
+        (103, good + " brand new batch document text", "en", "src0", 1),
+    ]
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    dir_a.mkdir(), dir_b.mkdir()
+    write(corpus_rows, dir_a)
+    write(corpus_rows + batch_rows, dir_b)
+
+    before = {
+        r.doc_id: (r.group_id, r.split)
+        for r in q_pretrain_kept_manifest(spark, str(dir_a)).collect()
+    }
+    after_inc = {
+        r.doc_id: (r.group_id, r.split)
+        for r in q_pretrain_manifest_incremental(spark, str(dir_b)).collect()
+    }
+    after_full = {
+        r.doc_id: (r.group_id, r.split)
+        for r in q_pretrain_kept_manifest(spark, str(dir_b)).collect()
+    }
+    # extend == rebuild, engine-side (the gate proves it cross-engine)
+    assert after_inc == after_full
+    # cluster {1,2,101} keeps keeper 1; new dup 101 must NOT appear
+    assert 1 in after_inc and 101 not in after_inc
+    # split stability: every doc kept before and still kept after keeps
+    # its split (and its group key)
+    for doc_id, (gid, split) in before.items():
+        if doc_id in after_inc:
+            assert after_inc[doc_id] == (gid, split), doc_id
+    assert set(before) <= set(after_inc), "ingest must not evict keepers"
