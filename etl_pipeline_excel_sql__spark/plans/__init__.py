@@ -194,6 +194,26 @@ anti-join semantics also runs inside ``diff_cells``),
 ``corpus_curate_pipeline`` (r3-r11; its capstone slot goes to the
 strictly larger round-12 capstone).
 All displaced rows remain verified by the local replica at every SF.
+Round 13's rotation (round-12 verdict item 2) gives the four round-12
+local-only families their first gate runs — ``pretrain_kept_manifest``,
+``quality_budget_tradeoff``, ``dedup_clusters_incremental``,
+``ring_reshard_audit`` — plus the three round-13 rows the verdict asked
+for as gated deliverables: ``pretrain_manifest_incremental`` (verdict
+item 1, the incremental-ingest capstone with the shared from-scratch
+oracle), ``lsh_recall_audit_sampled`` (verdict item 3, the O(sample)
+audit), and ``manifest_release_diff`` (verdict item 6, the release
+diff). Every incomer re-verified oracle-green at sf0.001 AND sf0.01
+locally this round before rotating in. Displaced: seven rows with >= 3
+rounds of driver history whose families stay represented — ``drop_cols``
+(P1, r1-r12; projection kept by diff_cells/download_pipeline),
+``date_fmt`` (T1, r1-r12; date formatting runs inside
+download_pipeline), ``array_funcs`` (r1-r12; arrays load-bearing in
+every in-window shingle/vector row), ``window_zscore`` (r1-r12; windows
+kept by incremental_session_merge + pareto_quality_length +
+scd2_pointintime), ``skipgram_top_pairs`` (r9-r12; co-occurrence kept
+by kn_lm_score), ``hard_negatives_topk`` (r9-r12; contrastive mining
+kept by margin_mining_topk), and ``rag_context_pipeline`` (r9-r12;
+retrieval kept by the three in-window BM25 rows).
 """
 
 from etl_pipeline_excel_sql__spark.plans import (
@@ -305,11 +325,21 @@ _ALL_ORACLE = {
 DRIVER_PRIORITY = [
     # SURVEY §2 reference core (F/P/J/T/O/D operators + flagship pipeline)
     "filter_eq",
-    "drop_cols",
+    # drop_cols rotated out round 13 (P1, r1-r12 history; projection
+    # pruning runs inside every in-window scan and diff_cells /
+    # download_pipeline drop columns explicitly) for the curation
+    # capstone's DELIVERABLE — the kept-set manifest with GROUP-hash
+    # leakage-free splits (round-12 local family)
+    "pretrain_kept_manifest",
     # rename_positional rotated out round 4 (P2, r1-r4 history; P-family
     # kept by drop_cols) for the distributed-global-ordinals operator
     "global_row_number",
-    "date_fmt",
+    # date_fmt rotated out round 13 (T1, r1-r12 history; the
+    # date-token formatting also runs inside the in-window flagship
+    # download_pipeline) for the cluster-state IVM — persisted labels +
+    # delta band joins provably equal from-scratch clustering (the
+    # shared-oracle proof; round-12 local family)
+    "dedup_clusters_incremental",
     # pct_fmt rotated out round 4 (T2, r1-r4 history; T-family kept by
     # date_fmt) for the incremental-ingestion dedup family;
     # dedup_incremental rotated out round 12 (r4-r11 history; dedup
@@ -355,7 +385,11 @@ DRIVER_PRIORITY = [
     # chunking family's first driver row (locally green at all four SFs
     # before rotating in)
     "cdc_chunk_stats",
-    "array_funcs",
+    # array_funcs rotated out round 13 (r1-r12 history; array
+    # transform/filter/zip ops are load-bearing inside every in-window
+    # shingle/vector family) for the every-rung-from-one-pass
+    # quality/budget tradeoff curve (round-12 local family)
+    "quality_budget_tradeoff",
     # numerically risky aggregates / windows (the round-1 hash failures)
     "agg_pricing_summary",
     # agg_rollup rotated out round 11 (r1-r10 history; aggregates kept
@@ -366,7 +400,12 @@ DRIVER_PRIORITY = [
     # joins kept by join_anti_new + band_join_recent_errors +
     # scd2_pointintime) for join-view incremental view maintenance
     "incremental_join_merge",
-    "window_zscore",
+    # window_zscore rotated out round 13 (r1-r12 history; window
+    # family kept by incremental_session_merge + pareto_quality_length
+    # + scd2_pointintime) for the ring-sharded SINK write-path audit —
+    # in-place N->N+1 reshard graded from the resharded files
+    # (round-12 local family, plus the round-13 empty-donor fix)
+    "ring_reshard_audit",
     # bm25_contrib (bisection diagnostic) retired round 11 after a
     # final green sf1 driver-canon sweep (round-10 verdict item 5) for
     # margin-band classifier reliability calibration
@@ -423,12 +462,21 @@ DRIVER_PRIORITY = [
     # dedup families keep six other in-window rows) for the RAG
     # context-serving capstone — BM25 + dense + RRF + snippet join in
     # one DAG (locally green at all four SFs first)
-    "rag_context_pipeline",
+    # rag_context_pipeline rotated out round 13 (r9-r12 history;
+    # retrieval kept by bm25_serve_topk + bm25_incremental_topk +
+    # bm25_prf_topk) for the round-13 capstone: batch ingest into the
+    # persisted curation state, oracle-proven extend-equals-rebuild
+    "pretrain_manifest_incremental",
     # emb_gram_matrix rotated out round 9 (r4-r8 history; the embedding
     # family keeps neardup_cosine + ivfpq + cluster_balanced_sample
     # in-window) for contrastive hard-negative mining, a new
     # training-pair family (locally green at all four SFs first)
-    "hard_negatives_topk",
+    # hard_negatives_topk rotated out round 13 (r9-r12 history;
+    # contrastive mining kept by margin_mining_topk) for the
+    # fixed-budget sampled-truth LSH recall audit — the O(sample)
+    # 100 TB shape of lsh_recall_audit (decade probe: flat vs
+    # dedup_jaccard_prefix's linear)
+    "lsh_recall_audit_sampled",
     # merge_upsert rotated out round 4 (driver history in r2+r3;
     # merge_scd2 keeps the MERGE family in-window) for the round-4
     # streaming sliding-window row
@@ -436,7 +484,11 @@ DRIVER_PRIORITY = [
     # streaming rows stay in-window) for the word2vec-style skip-gram
     # co-occurrence family's first driver row (locally green at all
     # four SFs first)
-    "skipgram_top_pairs",
+    # skipgram_top_pairs rotated out round 13 (r9-r12 history;
+    # co-occurrence kept by kn_lm_score's n-gram upstream) for the
+    # dataset-release diff — the reference's snapshot-diff capability
+    # aimed at the curation manifests, changes attributed by cause
+    "manifest_release_diff",
     # TPC-H widening (round 2; q18 rotated out round 3 — family-redundant
     # with q2/q9/q21, all locally green)
     # tpch_q9_profit rotated out round 4 (r2-r4 history; q21 keeps TPC-H

@@ -438,7 +438,7 @@ def _curation_state(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def q_pretrain_manifest_incremental(
+def _incremental_dispositions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Batch ingest of the curation capstone END TO END: merge the
@@ -565,14 +565,148 @@ def q_pretrain_manifest_incremental(
         .withColumn("__contam", F.lit(1))
     )
 
-    disp = _stage_dispositions(spark, ranked, groups, contam)
-    return _manifest_of(disp)
+    return _stage_dispositions(spark, ranked, groups, contam)
 
 
-def _curation_ctes() -> str:
+def q_pretrain_manifest_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The extended kept-set manifest from the incremental ingest —
+    ``_manifest_of`` over :func:`_incremental_dispositions` (see that
+    docstring for the full IVM story and the extend-equals-rebuild
+    oracle argument)."""
+    return _manifest_of(_incremental_dispositions(spark, sf_dir))
+
+
+def q_manifest_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff at corpus scale — the reference's signature
+    snapshot-diff capability (Compare.py's cell/new-row classifier,
+    engine-side as ``diff_cells``) aimed at the curation stack: diff
+    the PREVIOUS release manifest (the persisted corpus-only state,
+    exactly what ``_curation_state`` holds between ingests) against the
+    CURRENT one (the incremental ingest of the ``NEW_SOURCES`` batch),
+    attributing every changed row to its cause. The audit a data team
+    reads before shipping a release.
+
+    Output rows ``(change, n_docs, n_tokens)``, all-integer, over:
+
+    * ``added_new``        — kept now, absent before, doc arrived in
+      the batch;
+    * ``added_rebalanced`` — kept now, absent before, doc was already
+      in the corpus (the bigger eligible pool widened the token budget,
+      or batch arrivals shifted its permille/keeper);
+    * ``removed_quality`` / ``removed_neardup`` /
+      ``removed_contaminated`` / ``removed_overbudget`` — kept before,
+      dropped now, attributed by the doc's CURRENT disposition (e.g. a
+      batch near-dup with a smaller id stole its keeper slot →
+      ``removed_neardup``; a batch BENCH doc retro-contaminated it →
+      ``removed_contaminated``);
+    * ``split_moved``      — kept in both but its group hash changed
+      (a cluster merge re-keyed the group: the whole cluster moves as
+      one unit, never straddling a split);
+    * ``unchanged``        — kept in both, same split.
+
+    Scale shape: both manifests ride the skinny persisted state + batch
+    delta (see ``_incremental_dispositions``); the diff itself is one
+    full-outer id join of two manifest-sized frames plus a broadcast of
+    the batch id set — ``diff_cells``'s classifier shape on curation
+    output. The oracle recomputes BOTH releases from scratch (the
+    corpus-only chain and the full chain), so the hash match also
+    re-proves prev==corpus-only-rebuild on every gate run.
+    """
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        NEW_SOURCES,
+    )
+
+    path = _curation_state(spark, sf_dir)
+    # previous release: manifest from the persisted corpus-only state
+    ranked_prev = _rank_permille(
+        spark, spark.read.parquet(f"{path}/scores")
+    )
+    labels = spark.read.parquet(f"{path}/labels").select(
+        F.col("member_id").alias("doc_id"), "cluster_id"
+    )
+    groups_prev = (
+        ranked_prev.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("group_id"),
+        )
+    )
+    contam_prev = (
+        spark.read.parquet(f"{path}/contam0")
+        .withColumn("__contam", F.lit(1))
+    )
+    prev_m = _manifest_of(
+        _stage_dispositions(spark, ranked_prev, groups_prev, contam_prev)
+    )
+
+    # current release + its disposition frame (for removal attribution)
+    cur_disp = LineageTruncator(spark).truncate(
+        _incremental_dispositions(spark, sf_dir)
+    )
+    cur_m = _manifest_of(cur_disp)
+
+    batch_ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("source").isin(*NEW_SOURCES))
+        .select("doc_id")
+        .withColumn("__new", F.lit(1))
+    )
+    p = prev_m.select(
+        "doc_id",
+        F.col("split").alias("p_split"),
+        F.col("n_tokens").alias("p_tok"),
+    )
+    c = cur_m.select(
+        "doc_id",
+        F.col("split").alias("c_split"),
+        F.col("n_tokens").alias("c_tok"),
+    )
+    j = (
+        p.join(c, "doc_id", "full_outer")
+        .join(batch_ids, "doc_id", "left")
+        .join(
+            cur_disp.select("doc_id", "disposition"), "doc_id", "left"
+        )
+        .select(
+            F.when(
+                F.col("p_split").isNull() & F.col("__new").isNotNull(),
+                F.lit("added_new"),
+            )
+            .when(F.col("p_split").isNull(), F.lit("added_rebalanced"))
+            .when(
+                F.col("c_split").isNull(),
+                F.concat(
+                    F.lit("removed_"),
+                    F.regexp_replace(
+                        F.col("disposition"), "^dropped_", ""
+                    ),
+                ),
+            )
+            .when(
+                F.col("p_split") != F.col("c_split"), F.lit("split_moved")
+            )
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+            F.coalesce(F.col("c_tok"), F.col("p_tok")).alias("n_tokens"),
+        )
+    )
+    return j.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _curation_ctes(src: str = "documents") -> str:
     """The shared oracle CTE chain ending at
     ``disp(doc_id, group_id, n_tokens, disposition)`` — the SQL twin of
-    :func:`_curation_dispositions`."""
+    :func:`_curation_dispositions`. ``src`` may be a parenthesized
+    subquery (the round-13 release diff runs the same chain over the
+    corpus-only snapshot)."""
     from etl_pipeline_excel_sql__spark.plans.corpus2_queries import (
         _neardup_groups_sql,
     )
@@ -588,20 +722,20 @@ def _curation_ctes() -> str:
         for lg in sorted(_STOP)
     )
     train_src = (
-        f"SELECT doc_id, text FROM documents"
+        f"SELECT doc_id, text FROM {src} AS cc_t"
         f" WHERE doc_id % {SPAN_BENCH_MOD} <> 0"
     )
     bench_src = (
-        f"SELECT doc_id, text FROM documents"
+        f"SELECT doc_id, text FROM {src} AS cc_b"
         f" WHERE doc_id % {SPAN_BENCH_MOD} = 0"
     )
     return f"""
-WITH RECURSIVE {_neardup_groups_sql()},
+WITH RECURSIVE {_neardup_groups_sql(src)},
 scored AS MATERIALIZED (
   SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST((CASE {cases} ELSE 0 END) * 1000000
               // greatest(len(toks), 1) AS BIGINT) AS score
-  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM {src} AS cc_s
         WHERE doc_id % {SPAN_BENCH_MOD} <> 0)
 ),
 ranked AS MATERIALIZED (
@@ -670,7 +804,9 @@ FROM documents WHERE doc_id % {SPAN_BENCH_MOD} = 0
 """
 
 
-def _pretrain_manifest_sql() -> str:
+def _manifest_select_sql() -> str:
+    """The kept-rows → manifest SELECT over a ``disp`` CTE (shared by
+    the standalone manifest oracle and the release-diff oracle)."""
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
         _HASH60,
         SPLIT_SALT,
@@ -679,15 +815,19 @@ def _pretrain_manifest_sql() -> str:
     bucket = _HASH60.format(
         e=f"concat('{SPLIT_SALT}', CAST(group_id AS VARCHAR))"
     )
-    return f"""{_curation_ctes()}
-SELECT doc_id, group_id, n_tokens,
+    return f"""SELECT doc_id, group_id, n_tokens,
        CASE WHEN b < 80 THEN 'train'
             WHEN b < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id, group_id, n_tokens, ({bucket}) % 100 AS b
   FROM disp WHERE disposition = 'kept'
-)
+)"""
+
+
+def _pretrain_manifest_sql(src: str = "documents") -> str:
+    return f"""{_curation_ctes(src)}
+{_manifest_select_sql()}
 """
 
 
@@ -699,3 +839,55 @@ QUERIES["pretrain_manifest_incremental"] = q_pretrain_manifest_incremental
 #: the VERBATIM from-scratch manifest SQL — hash equality IS the
 #: extend-equals-rebuild proof (see q_pretrain_manifest_incremental).
 ORACLE["pretrain_manifest_incremental"] = _pretrain_manifest_sql()
+
+
+def _release_diff_sql() -> str:
+    """Oracle for the release diff: recompute BOTH releases from
+    scratch — the corpus-only chain (the previous release) and the
+    full chain (the current one) — then the same full-outer classifier.
+    """
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _NEW_SRC_SQL,
+    )
+
+    corpus_src = (
+        f"(SELECT * FROM documents"
+        f" WHERE source NOT IN ({_NEW_SRC_SQL}))"
+    )
+    return f"""WITH prev_m AS MATERIALIZED (
+{_pretrain_manifest_sql(corpus_src)}
+), cur_d AS MATERIALIZED (
+{_curation_ctes()}
+SELECT doc_id, group_id, n_tokens, disposition FROM disp
+), cur_m AS MATERIALIZED (
+  SELECT * FROM (
+    WITH disp AS (SELECT * FROM cur_d)
+    {_manifest_select_sql()}
+  )
+), j AS (
+  SELECT CASE
+           WHEN p.doc_id IS NULL AND s.doc_id IS NOT NULL
+             THEN 'added_new'
+           WHEN p.doc_id IS NULL THEN 'added_rebalanced'
+           WHEN c.doc_id IS NULL
+             THEN 'removed_' ||
+                  regexp_replace(d.disposition, '^dropped_', '')
+           WHEN p.split <> c.split THEN 'split_moved'
+           ELSE 'unchanged'
+         END AS change,
+         COALESCE(c.n_tokens, p.n_tokens) AS n_tokens
+  FROM prev_m p
+  FULL OUTER JOIN cur_m c ON c.doc_id = p.doc_id
+  LEFT JOIN (SELECT doc_id FROM documents
+             WHERE source IN ({_NEW_SRC_SQL})) s
+         ON s.doc_id = COALESCE(p.doc_id, c.doc_id)
+  LEFT JOIN cur_d d ON d.doc_id = COALESCE(p.doc_id, c.doc_id)
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM j GROUP BY change
+"""
+
+
+QUERIES["manifest_release_diff"] = q_manifest_release_diff
+ORACLE["manifest_release_diff"] = _release_diff_sql()

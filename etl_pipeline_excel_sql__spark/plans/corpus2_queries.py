@@ -604,13 +604,23 @@ def _neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared recursive-CTE group assignment for the two health oracles —
 #: the dedup_clusters reach/fixpoint convention, LEFT-joined so
 #: singletons keep their own id.
-def _neardup_groups_sql() -> str:
+def _neardup_groups_sql(src: str = "documents") -> str:
+    """``src`` may be a parenthesized subquery: the round-13 release
+    diff runs the SAME group chain over the corpus-only snapshot."""
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        _DOCS_TOKS_SRC,
         _MINHASH_SQL,
+        _TOKS,
     )
 
+    mh = _MINHASH_SQL
+    if src != "documents":
+        mh = mh.replace(
+            _DOCS_TOKS_SRC,
+            f"(SELECT doc_id, {_TOKS} AS toks FROM {src} AS nd_src)",
+        )
     return f"""pairs AS MATERIALIZED (
-  SELECT id_a, id_b FROM ({_MINHASH_SQL})
+  SELECT id_a, id_b FROM ({mh})
 ), sym AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION

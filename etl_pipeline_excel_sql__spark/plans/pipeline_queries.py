@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.functions.hashing import (
     H60_SQL,
+    md5_hash60,
     rolling_fingerprint,
 )
 from etl_pipeline_excel_sql__spark.functions.text import (
@@ -1583,6 +1584,152 @@ SELECT CAST(band AS BIGINT) AS band,
 FROM j GROUP BY band
 """
 QUERIES["lsh_recall_audit"] = q_lsh_recall_audit
+
+
+# --- sampled-truth LSH recall audit (round 13) ------------------------------
+
+#: fixed absolute document budget for the sampled audit — the quantity
+#: that makes the 100 TB cost O(sample): the sampled fraction SHRINKS
+#: as the corpus grows (ppm threshold = budget/N), so the audit's
+#: prefix-join truth never scales with the corpus.
+LSH_AUDIT_SAMPLE_BUDGET = 2000
+
+#: deterministic doc-sample salt (split_train_val hash convention)
+LSH_AUDIT_SAMPLE_SALT = "lsr:"
+
+#: bounded persist slot for the sampled audit's shingle frame
+_AUDIT_SHINGLE_CACHE_SAMPLED = SignatureCache()
+
+
+def q_lsh_recall_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``lsh_recall_audit`` at its honest 100 TB cost: exact Jaccard
+    truth over a FIXED-BUDGET deterministic document sample instead of
+    the full corpus (SCALING.md's one-line swap, now a gated operator).
+
+    Sampling: a doc enters iff ``md5(salt || doc_id) % 1e6 <
+    min(1e6, budget·1e6 div N)`` — a pure hash map; the ppm threshold
+    shrinks as the corpus grows, so the expected sample is ~constant
+    (``LSH_AUDIT_SAMPLE_BUDGET`` docs) and the prefix-join truth plus
+    the sampled band join cost O(sample²-dup-mass), NOT Θ(corpus dup
+    mass) like ``dedup_jaccard_prefix`` (whose linear asymptote is its
+    exact-recall contract — the decade probe shows this row's exponent
+    far below it). Doc-level uniform sampling is the stratifier that
+    stays honest at scale: stratifying truth PAIRS by J-decile would
+    require knowing J first — the full truth set, the exact cost being
+    avoided. Per-decile recall is still reported per stratum, and the
+    pytest bounds the sampled-vs-exact deviation per band
+    (``tests/test_round13_families.py``).
+
+    Both sides (truth + candidates) share one shingle frame over the
+    sampled docs (the ``lsh_recall_audit`` persist doctrine); the
+    corpus-scale work that remains is one text scan to hash doc ids and
+    shingle the survivors. Output: per J-decile band, sampled truth
+    count, band-join hits, recall ppm — all-integer.
+    """
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.size(ws_tokens(F.col("text"))) > 0
+    )
+    n_frame = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ppm = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.expr(f"({LSH_AUDIT_SAMPLE_BUDGET} * 1000000) div __n"),
+    )
+    sampled = (
+        docs.join(F.broadcast(n_frame))
+        .filter(
+            md5_hash60(
+                F.concat(
+                    F.lit(LSH_AUDIT_SAMPLE_SALT),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % 1000000
+            < ppm
+        )
+        .drop("__n")
+    )
+    exploded = _AUDIT_SHINGLE_CACHE_SAMPLED.swap(
+        shingle_rows(sampled, "text", "doc_id", MINHASH_SHINGLE_N)
+    )
+    truth = jaccard_prefix_pairs(
+        sampled,
+        "text",
+        "doc_id",
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold_num=PREFIX_JACCARD_NUM,
+        threshold_den=PREFIX_JACCARD_DEN,
+        exploded=exploded,
+    ).select("id_a", "id_b", "jaccard_ppm")
+    cand = (
+        minhash_lsh_pairs(
+            sampled,
+            "text",
+            "doc_id",
+            num_hashes=MINHASH_K,
+            band_rows=MINHASH_BAND_ROWS,
+            shingle_n=MINHASH_SHINGLE_N,
+            threshold=MINHASH_THRESHOLD,
+            exploded=exploded,
+        )
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    per = truth.join(cand, ["id_a", "id_b"], "left").select(
+        F.expr("jaccard_ppm div 100000").cast("bigint").alias("band"),
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("hit"),
+    )
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("(n_hit * 1000000) div n_true").cast("bigint"),
+        )
+    )
+
+
+#: the shared tokenized-docs source line in the two reused CTE chains;
+#: the sampled oracle swaps it for the sampled view (assert-guarded so
+#: a future edit to either chain can't silently miss the swap).
+_DOCS_TOKS_SRC = f"(SELECT doc_id, {_TOKS} AS toks FROM documents)"
+_SAMPLED_TOKS_SRC = "(SELECT doc_id, toks FROM lsr_sampled)"
+
+assert _MINHASH_SQL.count(_DOCS_TOKS_SRC) == 1
+assert _JACCARD_PREFIX_SQL.count(_DOCS_TOKS_SRC) == 1
+
+ORACLE["lsh_recall_audit_sampled"] = f"""
+WITH lsr_eligible AS MATERIALIZED (
+  SELECT doc_id, toks FROM {_DOCS_TOKS_SRC} WHERE len(toks) > 0
+), lsr_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lsr_eligible
+), lsr_sampled AS MATERIALIZED (
+  SELECT doc_id, toks FROM lsr_eligible, lsr_n
+  WHERE {_HASH60.format(e="concat('" + LSH_AUDIT_SAMPLE_SALT
+        + "', CAST(doc_id AS VARCHAR))")} % 1000000
+        < least(1000000, ({LSH_AUDIT_SAMPLE_BUDGET} * 1000000) // nn)
+), truth AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard_ppm
+  FROM ({_JACCARD_PREFIX_SQL.replace(_DOCS_TOKS_SRC, _SAMPLED_TOKS_SRC)})
+), cand AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM ({_MINHASH_SQL.replace(_DOCS_TOKS_SRC, _SAMPLED_TOKS_SRC)})
+), j AS (
+  SELECT t.jaccard_ppm // 100000 AS band,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t LEFT JOIN cand c USING (id_a, id_b)
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY band
+"""
+QUERIES["lsh_recall_audit_sampled"] = q_lsh_recall_audit_sampled
 
 
 # --- cluster-safe split assignment (round 11) -------------------------------

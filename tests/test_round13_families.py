@@ -230,3 +230,135 @@ def test_incremental_manifest_split_stability(spark, tmp_path):
         if doc_id in after_inc:
             assert after_inc[doc_id] == (gid, split), doc_id
     assert set(before) <= set(after_inc), "ingest must not evict keepers"
+
+
+def test_sampled_lsh_audit_matches_exact(spark, sf_dir):
+    """When the sample budget covers the whole corpus the sampled audit
+    must EQUAL the full audit bit-for-bit (budget >= N => ppm threshold
+    saturates and every doc samples in)."""
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        LSH_AUDIT_SAMPLE_BUDGET,
+        q_lsh_recall_audit,
+        q_lsh_recall_audit_sampled,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    assert docs.count() <= LSH_AUDIT_SAMPLE_BUDGET
+    full = sorted(map(tuple, q_lsh_recall_audit(spark, sf_dir).collect()))
+    samp = sorted(
+        map(tuple, q_lsh_recall_audit_sampled(spark, sf_dir).collect())
+    )
+    assert full == samp
+
+
+def test_sampled_lsh_audit_deviation_bounded():
+    """At a corpus bigger than the budget the sampled recall estimate
+    must track the exact recall: per J-decile deviation <= 0.1 wherever
+    both sides have enough pairs to estimate from."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 corpus missing")
+    from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
+        q_lsh_recall_audit,
+        q_lsh_recall_audit_sampled,
+    )
+    from etl_pipeline_excel_sql__spark.session import get_session
+
+    spark = get_session(master="local[4]", shuffle_partitions=4)
+    full = {
+        r.band: (r.n_true, r.recall_ppm)
+        for r in q_lsh_recall_audit(spark, sf).collect()
+    }
+    samp = {
+        r.band: (r.n_true, r.recall_ppm)
+        for r in q_lsh_recall_audit_sampled(spark, sf).collect()
+    }
+    checked = 0
+    for band, (n_true, recall) in full.items():
+        if n_true < 30 or band not in samp:
+            continue
+        n_s, recall_s = samp[band]
+        if n_s < 10:
+            continue
+        assert abs(recall_s - recall) <= 100000, (band, recall, recall_s)
+        checked += 1
+    assert checked >= 1, "no band had enough mass to compare"
+
+
+def test_manifest_release_diff_attribution(spark, tmp_path):
+    """Release-diff classifier on a crafted corpus: a batch near-dup
+    with a SMALLER id steals the keeper slot (removed_neardup +
+    added_new), fresh batch content is added_new, stable keepers are
+    unchanged, and the category counts conserve the manifest union."""
+    from etl_pipeline_excel_sql__spark.plans.capstone_queries import (
+        q_manifest_release_diff,
+        q_pretrain_kept_manifest,
+        q_pretrain_manifest_incremental,
+    )
+
+    base = " ".join(
+        f"the w{i} is on a b{i} and it runs for the c{i} of d{i}"
+        for i in range(7)
+    )
+    good = "the of and is in for on a " * 6
+    corpus_rows = [
+        # corpus keeper (singleton, top quality)
+        (3, good + " solo content here entirely", "en", "corpusA", 1),
+        # corpus doc 6: near-dup target the batch will outrank by id
+        (6, good + base, "en", "corpusA", 1),
+        (37, "benchmark eval text nobody trains on here today", "en",
+         "corpusA", 1),
+    ] + [
+        (10 + i, f"junkzz{i} yy{i} xx{i} ww{i} vv{i} uu{i} tt{i}",
+         "en", "corpusA", 1)
+        for i in range(8)
+    ]
+    batch_rows = [
+        # near-dup of 6 with SMALLER id -> steals the keeper slot
+        (5, good + base + " tail other beta", "en", "src0", 1),
+        # fresh batch singleton
+        (103, good + " brand new batch document text", "en", "src0", 1),
+    ]
+    spark.createDataFrame(
+        corpus_rows + batch_rows,
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    diff = {r.change: (r.n_docs, r.n_tokens)
+            for r in q_manifest_release_diff(spark, sf).collect()}
+    prev_ids = {
+        r.doc_id
+        for r in q_pretrain_kept_manifest(
+            spark, str(tmp_path)
+        ).collect()
+    }  # NOTE: full-corpus manifest; recompute prev below from corpus-only
+    cur_ids = {
+        r.doc_id
+        for r in q_pretrain_manifest_incremental(spark, sf).collect()
+    }
+    # keeper theft: 6 left the release as a near-dup loser, 5 arrived
+    assert 5 in cur_ids and 6 not in cur_ids
+    assert diff.get("removed_neardup", (0,))[0] >= 1
+    # doc 5 is added_new; 103 may land over the token budget
+    assert diff.get("added_new", (0,))[0] >= 1
+    assert "unchanged" in diff
+    assert "split_moved" not in diff  # no cluster merges crafted
+    # conservation: category doc counts cover prev ∪ cur exactly
+    corpus_only = [r for r in corpus_rows]
+    prev_dir = tmp_path / "prev"
+    prev_dir.mkdir()
+    spark.createDataFrame(
+        corpus_only, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(prev_dir / "documents.parquet")
+    )
+    prev_ids = {
+        r.doc_id
+        for r in q_pretrain_kept_manifest(spark, str(prev_dir)).collect()
+    }
+    assert sum(n for n, _ in diff.values()) == len(prev_ids | cur_ids)
