@@ -91,6 +91,12 @@ BNLJ_WHITELIST = {
     "pretrain_curation_pipeline",  # broadcast eligible-token-total scalar
     #               (the curation_budget_select budget row)
     "pretrain_kept_manifest",  # same dispositions DAG, same scalar
+    "pretrain_manifest_incremental",  # same dispositions DAG (budget
+    #               scalar) over the persisted state + batch delta
+    "manifest_release_diff",  # composes both releases' disposition
+    #               DAGs; inherits their budget-total scalar broadcasts
+    "lsh_recall_audit_sampled",  # broadcast 1-row corpus-count frame
+    #               (the ppm sampling threshold)
     "quality_budget_tradeoff",  # broadcast 6-row rung list against the
     #               <=1001-row bucket table + the budget-total scalar
     "minhash_band_tuning",  # broadcast truth-count scalar row
