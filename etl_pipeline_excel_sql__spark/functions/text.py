@@ -27,9 +27,19 @@ BPE_SPLIT_RE = r"\w+|[^\w\s]"
 
 
 def ws_tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    """Whitespace tokenization of trimmed text (empty text → empty array).
+
+    ``split(trim(x), '\\s+')`` can only ever emit the empty string as the
+    single element of ``[""]`` when the trimmed text is empty (interior
+    and edge separators are consumed by ``\\s+`` after the trim), so
+    ``array_remove(.., '')`` is exactly the old higher-order
+    ``filter(.., t -> t != '')`` — but it is a plain codegen-friendly
+    expression instead of an interpreted per-element lambda (round-13
+    A/B at sf0.1: explode+count over the corpus 0.486 s → 0.445 s,
+    arrays bit-identical; this function runs inside nearly every text
+    query's scan projection)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
 
 
 def ws_token_count(col: Column | str) -> Column:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 
 def dot_sql(a: str, b: str, dims: int) -> str:
@@ -218,8 +219,8 @@ def srp_planes_df(
         for t in range(tables)
         for j in range(bits)
     ]
-    return spark.createDataFrame(
-        rows, "__t INT, __j INT, __plane ARRAY<DOUBLE>, __w BIGINT"
+    return local_df(
+        spark, rows, "__t INT, __j INT, __plane ARRAY<DOUBLE>, __w BIGINT"
     )
 
 

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 
 from etl_pipeline_excel_sql__spark.functions.text import ws_tokens
 from etl_pipeline_excel_sql__spark.operators.iterative import LineageTruncator
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 MERGES_SCHEMA = StructType(
     [
@@ -325,7 +326,7 @@ def bpe_train_merges_from_words(
             rounds += 1
     if stats is not None:
         stats["rounds"] = rounds
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return local_df(spark, merges, MERGES_SCHEMA)
 
 
 def _bpe_cte_parts(docs_cte: str, text_col: str, n_merges: int) -> list[str]:
@@ -513,7 +514,7 @@ def bpe_doc_token_ids(
     if words is None:
         words = word_frequencies(docs, text_col)
     vocab = bpe_vocab_ids(words, merges)
-    vdf = spark.createDataFrame(vocab, "sym string, id int")
+    vdf = local_df(spark, vocab, "sym string, id int")
     enc = bpe_encode_words(docs, text_col, merges, words=words)
     wids = (
         enc.select("w", F.posexplode("syms").alias("sp", "sym"))

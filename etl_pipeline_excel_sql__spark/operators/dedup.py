@@ -369,6 +369,83 @@ def minhash_lsh_pairs_cross(
     )
 
 
+def minhash_lsh_pairs_ingest(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    cache: SignatureCache | None = None,
+) -> DataFrame:
+    """ALL delta edges of an ingest in one pass: cross (new × corpus)
+    AND within-batch (new × new, ``id_a < id_b``) near-dup pairs from
+    ONE tagged signature build — ``(id_a, id_b, jaccard_sim)``.
+
+    Round-13 optimization (guide §1.2 "don't compute things twice"):
+    the ingest callers (``dedup_clusters_incremental``, the incremental
+    curation manifest) previously called :func:`minhash_lsh_pairs_cross`
+    and then :func:`minhash_lsh_pairs` over the batch — re-shingling and
+    re-signaturing the batch a second time and re-aggregating its
+    shingle sets for a second verification join. Both band joins are
+    derivable from the cross function's tagged signature table, and one
+    union'd candidate list verifies against ONE shingle-set aggregate.
+    Pair-for-pair identical to the old union: the side-restricted band
+    joins partition the tagged self-join's pair space (cross edges have
+    one id per side, within edges two new ids — disjoint classes), and
+    verification arithmetic is unchanged.
+
+    Output columns are the COMPONENT-EDGE shape (``id_a``/``id_b``;
+    cross rows carry (new, corpus), within rows (min, max) of the batch
+    pair) — callers that need the cross rows' side semantics keep using
+    :func:`minhash_lsh_pairs_cross`.
+    """
+    assert num_hashes % band_rows == 0
+
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit("new").alias("__side")
+    ).unionByName(
+        corpus_df.select(
+            F.col(id_col), F.col(text_col), F.lit("corpus").alias("__side")
+        )
+    )
+    tagged = tagged.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    exploded = shingle_rows(tagged, text_col, id_col, shingle_n)
+    sides = tagged.select(F.col(id_col).alias("__id"), "__side")
+    sig = (cache or _DEFAULT_SIG_CACHE_CROSS).swap(
+        _minhash_signatures(exploded, num_hashes).join(sides, "__id")
+    )
+    bands = sig.select(
+        "__id", "__side", _minhash_band_expr(num_hashes, band_rows)
+    )
+    new_b = bands.filter(F.col("__side") == "new").drop("__side")
+    cor_b = bands.filter(F.col("__side") == "corpus").drop("__side")
+    cand_cross = (
+        new_b.alias("l")
+        .join(cor_b.alias("r"), on=["band", "bucket"])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    cand_within = (
+        new_b.alias("l")
+        .join(new_b.alias("r"), on=["band", "bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    cand = cand_cross.unionByName(cand_within).distinct()
+    sets = exploded.groupBy("__id").agg(F.collect_set("__sh").alias("__sh"))
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

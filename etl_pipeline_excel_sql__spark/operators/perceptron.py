@@ -119,8 +119,10 @@ def perceptron_train(
 
 
 def _weights_df(spark, w: dict[int, int]) -> DataFrame:
+    from etl_pipeline_excel_sql__spark.functions.localframe import local_df
+
     rows = sorted(w.items()) or [(-1, 0)]  # never an empty frame
-    return spark.createDataFrame(rows, "bucket INT, w BIGINT")
+    return local_df(spark, rows, "bucket INT, w BIGINT")
 
 
 def _row_margins(feats: DataFrame, spark, w: dict[int, int]) -> DataFrame:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 
 def exact_quantiles(
@@ -60,7 +61,7 @@ def exact_quantiles(
         F.sum("__c").over(wcum).alias("__cum"),
     )
     n_row = counts.agg(F.sum("__c").alias("__n"))
-    pcts_df = spark.createDataFrame([(p,) for p in pcts], "pct INT")
+    pcts_df = local_df(spark, [(p,) for p in pcts], "pct INT")
     # rank per pct — pcts × 1 rows, broadcast-scale by construction
     ranks = pcts_df.crossJoin(F.broadcast(n_row)).select(
         "pct",

@@ -86,20 +86,28 @@ def winnow_fingerprint_stats(
     ).filter(
         (F.length("__t") >= k + w - 1) & (F.length("__t") < POS_CAP)
     )
+    # Round-13 optimization (guide §4.1 "prefer built-ins"/§1.2): explode
+    # the POSITION sequence and slice each k-gram with a plain codegen'd
+    # ``substring(__t, pos, k)`` AFTER the explode, instead of
+    # materializing a per-document array of all grams through an
+    # interpreted ``transform`` lambda (higher-order functions do not
+    # participate in whole-stage codegen). Values are identical
+    # (pos = 1-based window start either way); measured at sf0.1:
+    # min-of-6 4.28 s → 3.98 s with far tighter variance (4.28-6.39 →
+    # 3.98-4.15), and the O(doc-length) gram array never exists.
     grams = base.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(__t) - {k - 1}),"
-                f" i -> substring(__t, i, {k}))"
-            )
-        ).alias("__p0", "__g"),
+            F.sequence(F.lit(1), F.length("__t") - (k - 1))
+        ).alias("__i", "pos"),
+        "__t",
     ).select(
         "doc_id",
-        (F.col("__p0") + 1).alias("pos"),
+        "pos",
         (
-            (md5_hash60(F.col("__g")) % HASH40) * POS_CAP
-            + (F.lit(POS_CAP - 1) - (F.col("__p0") + 1))
+            (md5_hash60(F.expr(f"substring(__t, pos, {k})")) % HASH40)
+            * POS_CAP
+            + (F.lit(POS_CAP - 1) - F.col("pos"))
         ).alias("key"),
     )
     wn = Window.partitionBy("doc_id")

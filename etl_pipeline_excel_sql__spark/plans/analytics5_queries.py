@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 #: letter runs, digit runs, or INDIVIDUAL punctuation characters (the
 #: third alternative has no ``+`` on purpose: BPE-style vocabularies
@@ -62,7 +63,8 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"),
     )
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [("F", "finished"), ("P", "pending"), (None, "open")],
         "k string, status_name string",
     )

@@ -107,8 +107,8 @@ def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate exchange on the (tiny) probe key.
     """
     scd2 = q_merge_scd2(spark, sf_dir)
-    probes = spark.createDataFrame(
-        [(d,) for d in SCD2_PROBES], "probe_date string"
+    probes = local_df(
+        spark, [(d,) for d in SCD2_PROBES], "probe_date string"
     )
     hit = scd2.crossJoin(F.broadcast(probes)).filter(
         (F.col("valid_from") <= F.col("probe_date"))
@@ -168,6 +168,7 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_pipeline_excel_sql__spark.plans.analytics5_queries import (  # noqa: E402
     ORACLE as _A5_ORACLE,
 )
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 _CENTROID_CTE = _A5_ORACLE["emb_label_centroids"]
 

@@ -479,8 +479,7 @@ def _incremental_dispositions(
         connected_components,
     )
     from etl_pipeline_excel_sql__spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_lsh_pairs_cross,
+        minhash_lsh_pairs_ingest,
     )
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
         MINHASH_BAND_ROWS,
@@ -504,11 +503,13 @@ def _incremental_dispositions(
     )
     ranked = _rank_permille(spark, scores)
 
-    # clusters: star edges ∪ cross ∪ within → components (IVM)
+    # clusters: star edges ∪ delta (cross + within from ONE tagged
+    # signature pass — round-13 optimization, see
+    # dedup.minhash_lsh_pairs_ingest) → components (IVM)
     label_edges = spark.read.parquet(f"{path}/labels").select(
         F.col("member_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    cross = minhash_lsh_pairs_cross(
+    delta = minhash_lsh_pairs_ingest(
         batch,
         corpus,
         "text",
@@ -517,18 +518,9 @@ def _incremental_dispositions(
         band_rows=MINHASH_BAND_ROWS,
         shingle_n=MINHASH_SHINGLE_N,
         threshold=MINHASH_THRESHOLD,
-    ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
-    within = minhash_lsh_pairs(
-        batch,
-        "text",
-        "doc_id",
-        num_hashes=MINHASH_K,
-        band_rows=MINHASH_BAND_ROWS,
-        shingle_n=MINHASH_SHINGLE_N,
-        threshold=MINHASH_THRESHOLD,
     ).select("id_a", "id_b")
     comp = connected_components(
-        label_edges.unionByName(cross).unionByName(within)
+        label_edges.unionByName(delta)
     ).select(F.col("member_id").alias("doc_id"), "cluster_id")
     groups = (
         ranked.select("doc_id")

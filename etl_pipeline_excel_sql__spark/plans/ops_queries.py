@@ -41,6 +41,7 @@ from etl_pipeline_excel_sql__spark.operators.ordering import (
     global_row_numbers,
 )
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 #: DuckDB twin of md5_hash60 (cited in functions/hashing.py docstring).
 _H60 = H60_SQL
@@ -242,7 +243,8 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(RING_SPACE)
         ).alias("h"),
     )
-    ring = spark.createDataFrame(
+    ring = local_df(
+        spark,
         [(s, v) for s in range(SHARD_N + 1) for v in range(SHARD_VNODES)],
         ["shard", "vnode"],
     ).select(

@@ -1338,7 +1338,7 @@ def q_dedup_clusters_incremental(
         connected_components,
     )
     from etl_pipeline_excel_sql__spark.operators.dedup import (
-        minhash_lsh_pairs_cross,
+        minhash_lsh_pairs_ingest,
     )
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1365,20 +1365,14 @@ def q_dedup_clusters_incremental(
         _CLUSTER_STATE_DIRS[state_key] = path
     state = spark.read.parquet(path)
 
-    cross = minhash_lsh_pairs_cross(
+    # Round-13 optimization: ONE tagged signature pass yields both the
+    # cross (new × corpus) and within-batch delta edges — see
+    # dedup.minhash_lsh_pairs_ingest (previously the batch was shingled,
+    # signatured and set-aggregated twice: once inside the cross join,
+    # once in a second minhash_lsh_pairs call).
+    delta = minhash_lsh_pairs_ingest(
         new_docs,
         corpus,
-        "text",
-        "doc_id",
-        num_hashes=MINHASH_K,
-        band_rows=MINHASH_BAND_ROWS,
-        shingle_n=MINHASH_SHINGLE_N,
-        threshold=MINHASH_THRESHOLD,
-    ).select(
-        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
-    )
-    within = minhash_lsh_pairs(
-        new_docs,
         "text",
         "doc_id",
         num_hashes=MINHASH_K,
@@ -1389,9 +1383,7 @@ def q_dedup_clusters_incremental(
     label_edges = state.select(
         F.col("member_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    return connected_components(
-        label_edges.unionByName(cross).unionByName(within)
-    )
+    return connected_components(label_edges.unionByName(delta))
 
 
 ORACLE["dedup_clusters_incremental"] = ORACLE["dedup_clusters"]
@@ -1597,8 +1589,20 @@ LSH_AUDIT_SAMPLE_BUDGET = 2000
 #: deterministic doc-sample salt (split_train_val hash convention)
 LSH_AUDIT_SAMPLE_SALT = "lsr:"
 
-#: bounded persist slot for the sampled audit's shingle frame
-_AUDIT_SHINGLE_CACHE_SAMPLED = SignatureCache()
+#: bounded lineage truncator for the sampled audit's shingle frame.
+#: Round-13 optimization: the frame is SAMPLE-sized (~LSH_AUDIT_SAMPLE_
+#: BUDGET docs), but a persist slot keeps its full logical subtree, so
+#: the two pair generators' many references blew the static plan up to
+#: 1415 lines / 118 Exchange nodes and the query paid seconds of
+#: driver-side planning + AQE re-optimization (guide §3.3 "very large
+#: plans: materialise an intermediate to truncate"). An eager
+#: localCheckpoint cuts every downstream subtree to a short leaf:
+#: measured min-of-6 at sf0.1 5.72 s → 3.72 s, identical rows. The
+#: truncator retires the previous call's blocks (bounded storage, the
+#: kmeans_train_assign doctrine); cost of materializing the cut is
+#: sample-scale, NOT corpus-scale, which is why checkpoint beats
+#: persist here while the corpus-scale signature caches keep persist.
+_AUDIT_SAMPLED_TRUNC = None
 
 
 def q_lsh_recall_audit_sampled(
@@ -1650,7 +1654,14 @@ def q_lsh_recall_audit_sampled(
         )
         .drop("__n")
     )
-    exploded = _AUDIT_SHINGLE_CACHE_SAMPLED.swap(
+    from etl_pipeline_excel_sql__spark.operators.iterative import (
+        LineageTruncator,
+    )
+
+    global _AUDIT_SAMPLED_TRUNC
+    if _AUDIT_SAMPLED_TRUNC is None or _AUDIT_SAMPLED_TRUNC._spark is not spark:
+        _AUDIT_SAMPLED_TRUNC = LineageTruncator(spark)
+    exploded = _AUDIT_SAMPLED_TRUNC.truncate(
         shingle_rows(sampled, "text", "doc_id", MINHASH_SHINGLE_N)
     )
     truth = jaccard_prefix_pairs(

@@ -21,6 +21,7 @@ from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
     q_ann_brute_topk,
     q_ann_ivf_topk,
 )
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 RECALL_K = 5
 
@@ -466,8 +467,8 @@ def q_quality_budget_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("__seltok"),
     )
-    rungs = spark.createDataFrame(
-        [(c,) for c in QUALITY_CUT_RUNGS], ["cut"]
+    rungs = local_df(
+        spark, [(c,) for c in QUALITY_CUT_RUNGS], ["cut"]
     ).select(F.col("cut").cast("bigint").alias("cut"))
     agg = (
         buckets.join(F.broadcast(rungs), F.col("permille") < F.col("cut"))

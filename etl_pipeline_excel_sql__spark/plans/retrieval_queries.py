@@ -47,6 +47,7 @@ from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
     _TOKS,
 )
 from etl_pipeline_excel_sql__spark.sources.registry import load_table
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -66,7 +67,7 @@ BM25_TOPK = 10
 
 def _query_terms_df(spark: SparkSession) -> DataFrame:
     rows = [(qid, t) for qid, terms in RETRIEVAL_QUERIES for t in terms]
-    return spark.createDataFrame(rows, "query_id INT, term STRING")
+    return local_df(spark, rows, "query_id INT, term STRING")
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,8 +442,8 @@ def _phrase_terms_df(spark: SparkSession) -> DataFrame:
         for pid, terms in PHRASE_QUERIES
         for slot, t in enumerate(terms)
     ]
-    return spark.createDataFrame(
-        rows, "phrase_id INT, slot INT, term STRING, phrase_len INT"
+    return local_df(
+        spark, rows, "phrase_id INT, slot INT, term STRING, phrase_len INT"
     )
 
 

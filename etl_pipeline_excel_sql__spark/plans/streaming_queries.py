@@ -351,6 +351,7 @@ ORACLE["stream_m4_downsample"] = _A7_ORACLE["events_m4_downsample"]
 from etl_pipeline_excel_sql__spark.plans.analytics_queries import (  # noqa: E402
     ORACLE as _AN_ORACLE,
 )
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 ORACLE["stream_window_counts"] = _AN_ORACLE["window_agg_events"]
 
@@ -443,8 +444,8 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = run_to_memory_sink(
         cms_cells_stream(ev), _sink_name("stream_cms_users")
     )
-    probes = spark.createDataFrame(
-        [(u,) for u in CMS_PROBE_USERS], "user_id BIGINT"
+    probes = local_df(
+        spark, [(u,) for u in CMS_PROBE_USERS], "user_id BIGINT"
     ).select(
         "user_id",
         F.posexplode(

@@ -67,7 +67,7 @@ def save_perceptron_weights(
 ) -> None:
     rows = sorted(weights.items())
     save_artifact(
-        spark.createDataFrame(rows or [(-1, 0)], "bucket INT, w BIGINT"),
+        local_df(spark, rows or [(-1, 0)], "bucket INT, w BIGINT"),
         path,
     )
 
@@ -105,6 +105,7 @@ from pyspark.sql.types import (  # noqa: E402
     StructField,
 )
 from pyspark.sql.types import StringType as _Str  # noqa: E402
+from etl_pipeline_excel_sql__spark.functions.localframe import local_df
 
 BM25_TF_SCHEMA = StructType(
     [
@@ -136,8 +137,8 @@ def save_bm25_index(idx, path: str) -> None:
     idx.dfreq.write.mode("overwrite").parquet(f"{path}/df")
     spark = idx.tf.sparkSession
     save_artifact(
-        spark.createDataFrame(
-            [(idx.n_docs, idx.total_toks)], BM25_STATS_SCHEMA
+        local_df(
+            spark, [(idx.n_docs, idx.total_toks)], BM25_STATS_SCHEMA
         ),
         f"{path}/stats",
     )
