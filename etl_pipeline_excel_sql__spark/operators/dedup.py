@@ -401,6 +401,15 @@ def minhash_lsh_pairs_ingest(
     cross rows carry (new, corpus), within rows (min, max) of the batch
     pair) — callers that need the cross rows' side semantics keep using
     :func:`minhash_lsh_pairs_cross`.
+
+    Precondition (inherited from :func:`minhash_lsh_pairs_cross`, ADVICE
+    r13): the two sides' id spaces must be DISJOINT — callers split one
+    table by a partition predicate. An id on both sides would merge the
+    two documents' shingle rows into one signature/set and emit wrong
+    pairs. Cache note: shares ``_DEFAULT_SIG_CACHE_CROSS`` semantics —
+    interleaved cross/ingest callers should pass their own
+    :class:`SignatureCache` (each call retires the slot's previous
+    table).
     """
     assert num_hashes % band_rows == 0
 
@@ -435,6 +444,111 @@ def minhash_lsh_pairs_ingest(
     )
     cand = cand_cross.unionByName(cand_within).distinct()
     sets = exploded.groupBy("__id").agg(F.collect_set("__sh").alias("__sh"))
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_index_tables(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side MinHash SEARCH INDEX an ingest service persists
+    between batches: ``(bands, sets)`` — the (id, band, bucket) LSH
+    band table new batches probe, and the (id, distinct-shingle-array)
+    sets exact verification joins. Built with the SAME expressions the
+    tagged one-pass builders use (:func:`shingle_rows`,
+    :func:`_minhash_signatures`, :func:`_minhash_band_expr`, the
+    empty-document filter), so an indexed ingest is pair-for-pair
+    identical to re-signaturing the corpus inline — that equivalence is
+    what lets :func:`minhash_lsh_pairs_ingest_indexed` drop the ingest
+    path's ONE remaining corpus text scan (r13 verdict: "persisting
+    corpus band tables would eliminate it too").
+    """
+    corpus = corpus.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    exploded = shingle_rows(corpus, text_col, id_col, shingle_n)
+    sig = _minhash_signatures(exploded, num_hashes)
+    bands = sig.select("__id", _minhash_band_expr(num_hashes, band_rows))
+    sets = exploded.groupBy("__id").agg(F.collect_set("__sh").alias("__sh"))
+    return bands, sets
+
+
+#: ingest's own default cache slot (ADVICE r13: sharing the cross slot
+#: let interleaved cross/ingest callers evict each other's cache).
+_DEFAULT_SIG_CACHE_INGEST = SignatureCache()
+
+
+def minhash_lsh_pairs_ingest_indexed(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    cache: SignatureCache | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_ingest` against a PERSISTED corpus index
+    (round 14): all delta edges of an ingest — cross (new × corpus) and
+    within-batch (``id_a < id_b``) — touching ONLY batch text plus the
+    skinny persisted ``(bands, sets)`` tables from
+    :func:`minhash_index_tables`.
+
+    This removes the fused ingest's one documented non-incremental
+    cost: the corpus re-scan + signature rebuild inside every
+    evaluation. At 100 TB that scan is the difference between an ingest
+    costing O(batch + index-probe) and O(corpus); the index is
+    corpus-sized ROWS of ints/hashes (what a production near-dup
+    service persists between batches), never documents.
+
+    Pair-for-pair identical to the inline fused pass: the persisted
+    tables are built with the same expressions over the same
+    empty-filtered corpus, the side-restricted band joins partition the
+    tagged self-join's pair space exactly as before, and verification
+    reads the same distinct-shingle sets (batch side fresh, corpus side
+    persisted; array element order is irrelevant to
+    ``array_intersect``/``array_union`` sizes). The shared DuckDB
+    oracle recomputes everything from scratch, so the hash gate
+    re-proves the equivalence on every run.
+
+    Precondition: disjoint id spaces between batch and corpus (callers
+    split one table by a partition predicate).
+    """
+    assert num_hashes % band_rows == 0
+
+    new_df = new_df.filter(F.size(ws_tokens(F.col(text_col))) > 0)
+    exploded = shingle_rows(new_df, text_col, id_col, shingle_n)
+    sig = (cache or _DEFAULT_SIG_CACHE_INGEST).swap(
+        _minhash_signatures(exploded, num_hashes)
+    )
+    new_b = sig.select("__id", _minhash_band_expr(num_hashes, band_rows))
+    cand_cross = (
+        new_b.alias("l")
+        .join(corpus_bands.alias("r"), on=["band", "bucket"])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    cand_within = (
+        new_b.alias("l")
+        .join(new_b.alias("r"), on=["band", "bucket"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    cand = cand_cross.unionByName(cand_within).distinct()
+    sets = exploded.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__sh")
+    ).unionByName(corpus_sets)
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
@@ -656,11 +770,52 @@ def jaccard_prefix_pairs(
     prefix = ranked.filter(
         F.col("__rn")
         <= F.col("__sz") - F.expr(f"(({p} * __sz) + {q} - 1) DIV {q}") + 1
-    ).select("__id", "__h")
+    ).select("__id", "__h", "__rn", "__sz")
+    # POSITIONAL filter (round 14, the PPJoin positional bound [Xiao,
+    # Wang, Lin & Yu, WWW'08] on top of the ICDE'06 prefix lemma): a
+    # prefix-entry match at ranks (rn_a, rn_b) can lead to at most
+    #   ub = 1 + min(sz_a - rn_a, sz_b - rn_b)
+    # common shingles (everything after the matched entry, plus the
+    # entry itself), so the pair can only reach J >= p/q — i.e.
+    # inter*(p+q) >= p*(sz_a+sz_b) — if ub*(p+q) >= p*(sz_a+sz_b).
+    # Soundness of filtering PER MATCHING ENTRY: take a qualifying
+    # pair's FIRST common shingle in the global (df, hash) order; the
+    # prefix lemma puts it in both prefixes, and every one of the
+    # pair's `inter` common shingles sits at its rank or later on both
+    # sides, so ub >= inter >= p/(p+q)*(sz_a+sz_b) holds AT THAT ENTRY
+    # — the pair survives the filter there. Entries that fail the
+    # bound provably cannot be that witness, so dropping them loses no
+    # qualifying pair; the exact verification below is unchanged. This
+    # also subsumes the classic length filter (q*min_sz >= p*max_sz:
+    # the bound at rn_a = rn_b = 1). All-integer arithmetic.
     cand = (
-        prefix.select(F.col("__id").alias("id_a"), "__h")
-        .join(prefix.select(F.col("__id").alias("id_b"), "__h"), on="__h")
+        prefix.select(
+            F.col("__id").alias("id_a"),
+            "__h",
+            F.col("__rn").alias("__rn_a"),
+            F.col("__sz").alias("__sz_a"),
+        )
+        .join(
+            prefix.select(
+                F.col("__id").alias("id_b"),
+                "__h",
+                F.col("__rn").alias("__rn_b"),
+                F.col("__sz").alias("__sz_b"),
+            ),
+            on="__h",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("__sz_a") - F.col("__rn_a"),
+                    F.col("__sz_b") - F.col("__rn_b"),
+                )
+            )
+            * F.lit(p + q)
+            >= F.lit(p) * (F.col("__sz_a") + F.col("__sz_b"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -259,7 +259,7 @@ def triangle_participation(
     global _tri_trunc
     spark = pairs.sparkSession
     if truncator is None:
-        if _tri_trunc is None or _tri_trunc._spark is not spark:
+        if _tri_trunc is None or _tri_trunc.spark is not spark:
             _tri_trunc = LineageTruncator(spark)
         truncator = _tri_trunc
     pairs = truncator.truncate(pairs.select(id_a, id_b))

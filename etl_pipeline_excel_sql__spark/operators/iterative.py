@@ -70,6 +70,14 @@ class LineageTruncator:
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
             self._ckpt_root = checkpoint_dir
 
+    @property
+    def spark(self) -> SparkSession:
+        """The session this truncator's cuts live in — module-global
+        slot holders compare it to the current session to decide
+        whether a cached truncator is stale (ADVICE r13: callers were
+        reaching into ``_spark``)."""
+        return self._spark
+
     # -- reliable-mode file tracking ------------------------------------
     def _rdd_dirs(self) -> set[str]:
         """Glob rdd-* checkpoint dirs under the root, any filesystem."""

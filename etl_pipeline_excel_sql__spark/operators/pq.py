@@ -56,9 +56,45 @@ _ivfpq_coarse_trunc: LineageTruncator | None = None
 _ivfpq_resid_trunc: LineageTruncator | None = None
 
 
+def _argmin_struct(sub: int) -> F.Column:
+    """``min(when(sub == s, struct(d, code)))`` — the per-subspace
+    argmin as ONE aggregate over the per-vector candidate rows. Struct
+    ordering is (d ASC, code ASC), exactly ``min_by(code, struct(d,
+    code))``'s tie-break (lowest code on equal distance). ``when``
+    yields NULL for other subspaces' rows and ``min`` ignores NULLs, so
+    a single ``groupBy(id)`` computes all m argmins at once — the
+    vector crosses the shuffle ONCE instead of m times (guide §2.3)."""
+    return F.min(
+        F.when(
+            F.col("sub") == sub,
+            F.struct(F.col("__d").alias("d"), F.col("code")),
+        )
+    ).alias(f"__c{sub}")
+
+
+def _scored_rows(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    id_col: str,
+    subdim: int,
+    m: int,
+) -> DataFrame:
+    """One candidate row per (vector, subspace, code) with its unrolled
+    squared-L2 distance — the map-side fan-out every assignment pass
+    scores. Codebooks broadcast; no shuffle."""
+    return (
+        _sub_rows(corpus, id_col, vec_col, m)
+        .join(F.broadcast(codebooks), "sub")
+        .withColumn(
+            "__d", F.expr(l2sq_sub_sql(vec_col, "centroid", "sub", subdim))
+        )
+    )
+
+
 def _global_trunc(name: str, spark) -> LineageTruncator:
     t = globals()[name]
-    if t is None or t._spark is not spark:
+    if t is None or t.spark is not spark:
         t = LineageTruncator(spark)
         globals()[name] = t
     return t
@@ -91,21 +127,37 @@ def _sub_rows(corpus: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame
 
 
 def _assign_codes(
-    rows: DataFrame, codebooks: DataFrame, vec_col: str, id_col: str, subdim: int
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    id_col: str,
+    subdim: int,
+    m: int,
 ) -> DataFrame:
-    """Per (vector, subspace): the argmin-distance code.
+    """Per (vector, subspace): the argmin-distance code, as
+    ``(id, sub, code, vec)`` rows.
 
-    Codebooks broadcast; candidates collapse map-side via
-    ``min_by(code, struct(dist, code))`` (ties → lowest code), so the
-    combine shuffle carries one row per (vector, subspace)."""
-    scored = rows.join(F.broadcast(codebooks), "sub").withColumn(
-        "__d", F.expr(l2sq_sub_sql(vec_col, "centroid", "sub", subdim))
-    )
-    return scored.groupBy(id_col, "sub").agg(
-        F.min_by(
-            F.col("code"), F.struct(F.col("__d").alias("d"), F.col("code"))
-        ).alias("code"),
+    Round-14 shape (guide §2.3 "shuffle fewer bytes"): ONE
+    ``groupBy(id)`` computes every subspace's argmin via
+    :func:`_argmin_struct` (the m × ncodes candidate rows fan out
+    narrowly from each corpus row, so partial aggregation collapses
+    them map-side to one combined row per VECTOR), then the m codes
+    re-explode. The previous ``groupBy(id, sub)`` shuffled the full
+    ``dims``-double vector once per subspace — m identical copies.
+    Identical values: struct-min ordering (d ASC, code ASC) is exactly
+    the old ``min_by(code, struct(d, code))`` tie-break.
+    """
+    scored = _scored_rows(corpus, codebooks, vec_col, id_col, subdim, m)
+    per_id = scored.groupBy(id_col).agg(
+        *[_argmin_struct(s) for s in range(m)],
         F.first(vec_col).alias(vec_col),
+    )
+    return per_id.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"__c{s}.code") for s in range(m)])
+        ).alias("sub", "code"),
+        F.col(vec_col),
     )
 
 
@@ -160,8 +212,18 @@ def pq_train_codebooks(
     rank), per subspace — deterministic, no RNG, matching the IVF
     trainer's doctrine. ``iters`` assignments with ``iters - 1`` mean
     updates in between; the RETURNED codebooks are the means of the
-    final assignment (what encoding and ADC consume). Per-round lineage
-    truncation through ``truncator`` (caller-owned or private)."""
+    final assignment (what encoding and ADC consume).
+
+    Round-14 loop shape (guide §2.4/§5): the lineage cut moved from the
+    corpus-sized assignment to the m × ncodes CODEBOOK frame — each
+    Lloyd round is exactly ONE job (the truncator materializes the
+    means aggregation, with the corpus assignment evaluated inside it),
+    and every consumer of the returned codebooks (the encoder, the ADC
+    lookup table, the next round) reads ≤128 materialized rows instead
+    of re-running the training subtree or reading a corpus-sized
+    checkpoint. Same ``truncator`` lifetime contract as before: blocks
+    retire on the next call through the same (default: module-global)
+    truncator, so only the most recent call's codebooks stay readable."""
     if dims % m != 0:
         raise ValueError(f"pq: dims ({dims}) not divisible by m ({m})")
     subdim = dims // m
@@ -177,6 +239,9 @@ def pq_train_codebooks(
             .alias("code"),
         )
     )
+    # seed codebooks stay LAZY: round 1's cut evaluates them once
+    # (inside its broadcast build) — an eager cut here would be a
+    # whole extra job for a ncodes-row limit.
     cb = seeds.select(
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         "code",
@@ -186,15 +251,10 @@ def pq_train_codebooks(
             f" AS DOUBLE))"
         ).alias("centroid"),
     )
-    rows = _sub_rows(corpus, id_col, vec_col, m)
-    assigned = None
     for _ in range(iters):
-        if assigned is not None:
-            cb = _codebook_means(assigned, vec_col, subdim)
-        assigned = trunc.truncate(
-            _assign_codes(rows, cb, vec_col, id_col, subdim)
-        )
-    return _codebook_means(assigned, vec_col, subdim)
+        assigned = _assign_codes(corpus, cb, vec_col, id_col, subdim, m)
+        cb = trunc.truncate(_codebook_means(assigned, vec_col, subdim))
+    return cb
 
 
 def pq_encode(
@@ -208,20 +268,21 @@ def pq_encode(
     """Encode every vector as its ``m`` nearest-codebook codes →
     (id, codes) with ``codes`` ordered by subspace. The 32×-compressed
     search artifact; at scale this is what you persist and broadcast-
-    search against, not the float vectors."""
+    search against, not the float vectors.
+
+    Round-14 shape: ONE ``groupBy(id)`` emits the subspace-ordered code
+    array directly (:func:`_argmin_struct` per subspace), with the
+    vector dropped before the shuffle — the previous form shuffled
+    (id, sub, code, vec) rows to a second ``collect_list`` shuffle just
+    to re-assemble the array the first aggregate already knew."""
     subdim = dims // m
-    assigned = _assign_codes(
-        _sub_rows(corpus, id_col, vec_col, m),
-        codebooks,
-        vec_col,
-        id_col,
-        subdim,
+    scored = _scored_rows(corpus, codebooks, vec_col, id_col, subdim, m)
+    per_id = scored.groupBy(id_col).agg(
+        *[_argmin_struct(s) for s in range(m)]
     )
-    return assigned.groupBy(id_col).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+    return per_id.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__c{s}.code") for s in range(m)]).alias("codes"),
     )
 
 
@@ -449,10 +510,18 @@ def _coarse_kmeans(
     one definition so a tie-break/precision/seeding fix cannot
     desynchronize the raw and residual paths (their SQL oracles likewise
     share the coarse CTE builder). Deterministic lowest-id seeds,
-    decimal-exact means, per-round lineage truncation through ``trunc``.
-    Returns ``(assigned, coarse_final)``: the final (id, vec, cell)
-    assignment (materialized) and the final (cell, ccent) centroid table
-    (lazy plan over it — keep ``trunc`` uncut until consumed)."""
+    decimal-exact means. Returns ``(assigned, coarse_final)``: the final
+    (id, vec, cell) assignment (lineage-truncated through ``trunc`` —
+    it feeds both the final means and the caller's code/cell join) and
+    the final (cell, ccent) centroid table (lazy plan over the
+    materialized assignment — keep ``trunc`` uncut until consumed).
+
+    Round-14 loop shape (guide §2.4/§5, same doctrine as
+    :func:`pq_train_codebooks`): intermediate rounds truncate the
+    ncells-row CENTROID table, not the corpus-sized assignment — one
+    job per round (the assignment evaluates inside the centroid cut),
+    and the next round's broadcast reads ncells materialized rows
+    instead of a corpus-sized checkpoint."""
     seeds = (
         corpus.orderBy(id_col)
         .limit(ncells)
@@ -463,7 +532,8 @@ def _coarse_kmeans(
             .alias("cell"),
         )
     )
-    coarse = seeds.select(
+    # seed centroids stay LAZY: round 1's cut evaluates them once.
+    cb = seeds.select(
         "cell",
         F.expr(
             f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
@@ -503,12 +573,14 @@ def _coarse_kmeans(
             ).alias("ccent")
         )
 
-    assigned = None
-    cb = coarse
-    for _ in range(iters):
-        if assigned is not None:
-            cb = _cell_means(assigned)
-        assigned = trunc.truncate(_assign_cells(cb))
+    for _ in range(iters - 1):
+        cb = trunc.truncate(_cell_means(_assign_cells(cb)))
+    # Final assignment IS the corpus-scale cut: it has multiple
+    # consumers (the final means, the caller's codes/cell join, the
+    # residual subtraction), so one materialization beats re-running
+    # the assignment per consumer. Truncating it also retires the last
+    # intermediate centroid cut (read during this materialization).
+    assigned = trunc.truncate(_assign_cells(cb))
     coarse_final = _cell_means(assigned)
     return assigned, coarse_final
 

@@ -346,11 +346,6 @@ def kmeans_train_assign(
     """
     if iters < 1:
         raise ValueError("kmeans_train_assign: iters must be >= 1")
-    # Bounded block storage across rounds AND calls: the truncator's
-    # eager cut materializes round i (reading round i-1's still-live
-    # blocks through the lazily-built cents plan) and only THEN retires
-    # round i-1 — at most two corpus-sized assignments ever coexist,
-    # instead of iters × corpus accumulating forever.
     from etl_pipeline_excel_sql__spark.operators.iterative import (
         LineageTruncator,
     )
@@ -358,9 +353,10 @@ def kmeans_train_assign(
     global _kmeans_trunc
     spark = corpus.sparkSession
     if truncator is None:
-        if _kmeans_trunc is None or _kmeans_trunc._spark is not spark:
+        if _kmeans_trunc is None or _kmeans_trunc.spark is not spark:
             _kmeans_trunc = LineageTruncator(spark)
         truncator = _kmeans_trunc
+    # seed centroids stay LAZY: round 1's cut evaluates them once.
     cents = (
         corpus.orderBy(id_col)
         .limit(ncells)
@@ -376,17 +372,27 @@ def kmeans_train_assign(
         )
         .select("cell", "centroid")
     )
-    for it in range(iters):
-        # Eager per-round cut: keeps the plan flat across rounds, lets
-        # every downstream consumer (probe centroids + both sides of the
-        # cell join) read the materialized assignment instead of
-        # recomputing it, and retires the previous round's blocks.
-        assigned = truncator.truncate(
-            _assign_broadcast(corpus, cents, id_col, vec_col, dims)
+    # Round-14 loop shape (guide §2.4/§5, the pq_train_codebooks
+    # doctrine): intermediate rounds truncate the ncells-row CENTROID
+    # table, not the corpus-sized assignment — each round is ONE job
+    # (the assignment evaluates inside the centroid cut) and the next
+    # round's broadcast reads ncells materialized rows instead of a
+    # corpus-sized checkpoint. The FINAL assignment is the one
+    # corpus-scale cut kept: it is the multi-consumer frame (probe
+    # centroids + both sides of the cell join read it). Truncating it
+    # also retires the last centroid cut, and the truncator's next call
+    # retires the final cut — the same lifetime contract as before.
+    for _ in range(iters - 1):
+        cents = truncator.truncate(
+            cell_centroids(
+                _assign_broadcast(corpus, cents, id_col, vec_col, dims),
+                "cell",
+                vec_col,
+            )
         )
-        if it < iters - 1:
-            cents = cell_centroids(assigned, "cell", vec_col)
-    return assigned
+    return truncator.truncate(
+        _assign_broadcast(corpus, cents, id_col, vec_col, dims)
+    )
 
 
 def ivf_topk_trained(

@@ -379,11 +379,19 @@ def _curation_state(spark: SparkSession, sf_dir: str) -> str:
     * ``contam0``   — (doc_id) baseline contamination flags
       (train_idx ⋈ bench_h), precomputed so steady-state ingests skip
       even that join.
+    * ``mh_bands`` / ``mh_sets`` — the corpus MinHash SEARCH INDEX
+      (round 14: ``dedup.minhash_index_tables``): the LSH band table
+      new batches probe and the distinct-shingle sets verification
+      joins. Persisting these removes the ingest's one documented
+      non-incremental cost — the cross probe's corpus re-scan +
+      signature rebuild (the r13 verdict's "persisting corpus band
+      tables would eliminate it too").
     """
     from etl_pipeline_excel_sql__spark.operators.clusters import (
         connected_components,
     )
     from etl_pipeline_excel_sql__spark.operators.dedup import (
+        minhash_index_tables,
         minhash_lsh_pairs,
     )
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
@@ -434,6 +442,16 @@ def _curation_state(spark: SparkSession, sf_dir: str) -> str:
     ).select("doc_id").distinct().write.mode("overwrite").parquet(
         f"{path}/contam0"
     )
+    mh_bands, mh_sets = minhash_index_tables(
+        corpus,
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_K,
+        band_rows=MINHASH_BAND_ROWS,
+        shingle_n=MINHASH_SHINGLE_N,
+    )
+    mh_bands.write.mode("overwrite").parquet(f"{path}/mh_bands")
+    mh_sets.write.mode("overwrite").parquet(f"{path}/mh_sets")
     _CURATION_STATE_DIRS[key] = path
     return path
 
@@ -479,7 +497,7 @@ def _incremental_dispositions(
         connected_components,
     )
     from etl_pipeline_excel_sql__spark.operators.dedup import (
-        minhash_lsh_pairs_ingest,
+        minhash_lsh_pairs_ingest_indexed,
     )
     from etl_pipeline_excel_sql__spark.plans.pipeline_queries import (
         MINHASH_BAND_ROWS,
@@ -493,7 +511,6 @@ def _incremental_dispositions(
     docs = load_table(spark, "documents", sf_dir)
     is_new = F.col("source").isin(*NEW_SOURCES)
     batch = docs.filter(is_new)
-    corpus = docs.filter(~is_new)
     batch_bench = batch.filter(F.col("doc_id") % SPAN_BENCH_MOD == 0)
     batch_train = batch.filter(F.col("doc_id") % SPAN_BENCH_MOD != 0)
 
@@ -503,15 +520,18 @@ def _incremental_dispositions(
     )
     ranked = _rank_permille(spark, scores)
 
-    # clusters: star edges ∪ delta (cross + within from ONE tagged
-    # signature pass — round-13 optimization, see
-    # dedup.minhash_lsh_pairs_ingest) → components (IVM)
+    # clusters: star edges ∪ delta (cross + within probing the
+    # PERSISTED corpus band/set index — round 14; previously the cross
+    # probe re-scanned and re-signatured the corpus text on every
+    # evaluation, the one documented non-incremental cost) →
+    # components (IVM)
     label_edges = spark.read.parquet(f"{path}/labels").select(
         F.col("member_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    delta = minhash_lsh_pairs_ingest(
+    delta = minhash_lsh_pairs_ingest_indexed(
         batch,
-        corpus,
+        spark.read.parquet(f"{path}/mh_bands"),
+        spark.read.parquet(f"{path}/mh_sets"),
         "text",
         "doc_id",
         num_hashes=MINHASH_K,

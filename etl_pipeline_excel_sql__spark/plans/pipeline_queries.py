@@ -1338,7 +1338,8 @@ def q_dedup_clusters_incremental(
         connected_components,
     )
     from etl_pipeline_excel_sql__spark.operators.dedup import (
-        minhash_lsh_pairs_ingest,
+        minhash_index_tables,
+        minhash_lsh_pairs_ingest_indexed,
     )
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1361,18 +1362,29 @@ def q_dedup_clusters_incremental(
         ).select("id_a", "id_b")
         connected_components(base_pairs).select(
             "member_id", "cluster_id"
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(f"{path}/labels")
+        # Round 14: the corpus MinHash band/set index persists alongside
+        # the labels (dedup.minhash_index_tables) so the ingest's cross
+        # probe reads skinny index rows instead of re-scanning and
+        # re-signaturing the corpus text on every evaluation — the one
+        # non-incremental cost the r13 fused pass still paid.
+        mh_bands, mh_sets = minhash_index_tables(
+            corpus,
+            "text",
+            "doc_id",
+            num_hashes=MINHASH_K,
+            band_rows=MINHASH_BAND_ROWS,
+            shingle_n=MINHASH_SHINGLE_N,
+        )
+        mh_bands.write.mode("overwrite").parquet(f"{path}/mh_bands")
+        mh_sets.write.mode("overwrite").parquet(f"{path}/mh_sets")
         _CLUSTER_STATE_DIRS[state_key] = path
-    state = spark.read.parquet(path)
+    state = spark.read.parquet(f"{path}/labels")
 
-    # Round-13 optimization: ONE tagged signature pass yields both the
-    # cross (new × corpus) and within-batch delta edges — see
-    # dedup.minhash_lsh_pairs_ingest (previously the batch was shingled,
-    # signatured and set-aggregated twice: once inside the cross join,
-    # once in a second minhash_lsh_pairs call).
-    delta = minhash_lsh_pairs_ingest(
+    delta = minhash_lsh_pairs_ingest_indexed(
         new_docs,
-        corpus,
+        spark.read.parquet(f"{path}/mh_bands"),
+        spark.read.parquet(f"{path}/mh_sets"),
         "text",
         "doc_id",
         num_hashes=MINHASH_K,
@@ -1631,6 +1643,14 @@ def q_lsh_recall_audit_sampled(
     corpus-scale work that remains is one text scan to hash doc ids and
     shingle the survivors. Output: per J-decile band, sampled truth
     count, band-join hits, recall ppm — all-integer.
+
+    Lifetime hazard (ADVICE r13, mirrors minhash_lsh_pairs' note):
+    construction EAGERLY checkpoints the shingle frame and the next
+    call through the module truncator retires this call's blocks — a
+    DataFrame held from an earlier invocation has no lineage to
+    recompute the freed blocks and fails hard on re-read (the old
+    persist slot silently recomputed instead). Hold at most the most
+    recent invocation's result, or evaluate before re-invoking.
     """
     docs = load_table(spark, "documents", sf_dir).filter(
         F.size(ws_tokens(F.col("text"))) > 0
@@ -1659,7 +1679,7 @@ def q_lsh_recall_audit_sampled(
     )
 
     global _AUDIT_SAMPLED_TRUNC
-    if _AUDIT_SAMPLED_TRUNC is None or _AUDIT_SAMPLED_TRUNC._spark is not spark:
+    if _AUDIT_SAMPLED_TRUNC is None or _AUDIT_SAMPLED_TRUNC.spark is not spark:
         _AUDIT_SAMPLED_TRUNC = LineageTruncator(spark)
     exploded = _AUDIT_SAMPLED_TRUNC.truncate(
         shingle_rows(sampled, "text", "doc_id", MINHASH_SHINGLE_N)

@@ -168,20 +168,68 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     return events.join(F.broadcast(dim), on=key, how="left")
 
 
+def stream_state_partitions() -> int:
+    """Shuffle/state-store partition count for STATEFUL streams, sized
+    to STATE, not to cores (round 14, guide §2; r13 verdict #4).
+
+    A stateful streaming query fixes its state-store partition count at
+    the first micro-batch (it is baked into the checkpoint), so it is a
+    DESIGN parameter to choose per stream, not a runtime knob: one state
+    store instance per partition per stateful operator runs every
+    micro-batch whether or not it holds keys. Defaulting it to the core
+    count (32 locally) made each micro-batch of the drains pay 32 state
+    store tasks over a watermark-horizon working set of a few thousand
+    keys — the r13 scaling probe measured ``stream_join_left`` 3×
+    FASTER at 8 cores than 32 for exactly this reason. The default (8)
+    matches the measured working set of the bounded event drains; a
+    production deployment sizes it to expected state rows / target
+    state-per-partition via ``SPARK_GRAFT_STREAM_SHUFFLE`` (e.g.
+    hundreds for a multi-GB state) — it is a data-shape parameter, so
+    there is deliberately NO scaling with local core count.
+    """
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+class _stream_shuffle_conf:
+    """Scope ``spark.sql.shuffle.partitions`` around a stream START so
+    the stream plans its state stores with the state-sized count while
+    batch queries keep the session default. The conf only matters at
+    planning time (the count is then pinned by the checkpoint), so
+    restoring it immediately after ``start()`` is safe."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self):
+        self._prior = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_state_partitions())
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prior)
+        return False
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Drain a (bounded) stream with availableNow into an in-memory table and
     return it as a batch DataFrame — the streaming tests' harness."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    with _stream_shuffle_conf(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    return spark.table(query_name)
 
 
 def run_with_state_metrics(
@@ -208,13 +256,14 @@ def run_with_state_metrics(
     prior = spark.conf.get(_KEY, None)
     spark.conf.set(_KEY, "10000")
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _stream_shuffle_conf(spark):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         state_metrics = [
             dict(op)

@@ -11,6 +11,7 @@ and per-component sizes.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -49,6 +50,7 @@ def _uf_components(pairs):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.exhaustive
 @given(pairs=edges)
 def test_cc_matches_union_find(spark, pairs):
     _assert_cc_matches(spark, pairs, algorithm="auto")
@@ -59,6 +61,7 @@ def test_cc_matches_union_find(spark, pairs):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.exhaustive
 @given(pairs=edges)
 def test_cc_star_matches_union_find(spark, pairs):
     """Pure large/small-star alternation on the same adversarial shapes."""

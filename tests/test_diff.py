@@ -116,6 +116,7 @@ def _naive_diff(old_rows, new_rows_):
         unique_by=lambda r: r[0],
     ),
 )
+@pytest.mark.exhaustive
 def test_diff_matches_naive_model(spark, old, new):
     # last-wins needs a unique (key, ord): dedupe collisions deterministically
     seen = {}

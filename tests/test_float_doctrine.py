@@ -34,6 +34,7 @@ Classes (a query can be in several):
 """
 
 from __future__ import annotations
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -178,6 +179,7 @@ def _walk_plan(p, out):
         _walk_plan(ch.apply(i), out)
 
 
+@pytest.mark.exhaustive
 def test_double_boundary_classes_match_reviewed_whitelists(spark):
     from etl_pipeline_excel_sql__spark.plans import QUERIES
 

@@ -58,6 +58,7 @@ DUCK_TO_SPARK = {
 }
 
 
+@pytest.mark.exhaustive
 def test_spark_and_oracle_column_types_align(con, spark):
     """Exact width/type parity between each Spark result schema and its
     oracle's final projection. The driver observably tolerates integer

@@ -21,6 +21,7 @@ bounded cost (~seconds each at sf0.001).
 """
 
 from __future__ import annotations
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -104,6 +105,7 @@ BNLJ_WHITELIST = {
 }
 
 
+@pytest.mark.exhaustive
 def test_every_batch_query_obeys_global_plan_invariants(spark):
     from etl_pipeline_excel_sql__spark.plans import QUERIES
 
@@ -331,6 +333,7 @@ def _find_corpus_broadcasts(node, out):
         _find_corpus_broadcasts(c, out)
 
 
+@pytest.mark.exhaustive
 def test_no_unreviewed_corpus_derived_broadcasts(spark):
     from etl_pipeline_excel_sql__spark.plans import QUERIES
 

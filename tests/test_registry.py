@@ -11,6 +11,7 @@ from __future__ import annotations
 import inspect
 
 from etl_pipeline_excel_sql__spark import plans
+import pytest
 
 
 def test_window_is_50_unique_oracle_backed():
@@ -34,6 +35,7 @@ def test_oracle_keys_subset_of_queries_and_are_sql_strings():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+@pytest.mark.exhaustive
 def test_no_query_returns_array_map_or_struct(spark, sf_dir):
     """The verification harness canonicalizes result frames via pandas
     sort/factorize, which requires hashable cells — the ``array_funcs``
