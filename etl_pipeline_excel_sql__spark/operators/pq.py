@@ -166,33 +166,30 @@ def _codebook_means(
 ) -> DataFrame:
     """Per (subspace, code): decimal-exact mean subvector (the
     ``cell_centroids`` trick: double→decimal sums are order-free and
-    agree bit-for-bit across engines; see similarity.py:96-99)."""
-    per_dim = (
-        assigned.select(
-            "sub",
-            "code",
-            F.explode(F.sequence(F.lit(1), F.lit(subdim))).alias("i"),
-            F.col(vec_col),
+    agree bit-for-bit across engines; see similarity.py:96-99).
+
+    Round-14 shape (guide §2.3/§2.4): ONE ``groupBy(sub, code)`` with a
+    per-dimension array of decimal sums — the previous form exploded
+    ``subdim`` rows per assignment row into a (sub, code, i) aggregate
+    and then re-assembled the array in a SECOND aggregate (two
+    exchanges + a ×subdim fan-out). Same decimal sums over the same
+    values, same per-dim count divisor, same i-ascending order —
+    bit-identical centroids.
+    """
+    dims = [
+        (
+            F.sum(
+                F.expr(
+                    f"CAST(element_at({vec_col}, sub * {subdim} + {i})"
+                    " AS DOUBLE)"
+                ).cast("decimal(20,10)")
+            ).cast("double")
+            / F.count(F.lit(1))
         )
-        .withColumn(
-            "__v",
-            F.expr(
-                f"CAST(element_at({vec_col}, sub * {subdim} + i) AS DOUBLE)"
-            ),
-        )
-        .groupBy("sub", "code", "i")
-        .agg(
-            (
-                F.sum(F.col("__v").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_val")
-        )
-    )
-    return per_dim.groupBy("sub", "code").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("i", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("centroid")
+        for i in range(1, subdim + 1)
+    ]
+    return assigned.groupBy("sub", "code").agg(
+        F.array(*dims).alias("centroid")
     )
 
 
@@ -552,6 +549,11 @@ def _coarse_kmeans(
         )
 
     def _cell_means(assigned: DataFrame) -> DataFrame:
+        # posexplode → (cell, dim) mean → re-assemble. A fused 64-wide
+        # decimal-sum aggregate measured ~1.6× SLOWER (the
+        # cell_centroids round-14 A/B note: wide decimal buffers fall
+        # out of efficient codegen); the narrow 8-wide subspace means
+        # in _codebook_means DO keep the fused form.
         per_dim = (
             assigned.select(
                 "cell",

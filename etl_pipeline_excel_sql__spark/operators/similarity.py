@@ -148,14 +148,19 @@ def cell_centroids(
     bit-reproducible (a double ``avg`` would vary with partition merge
     order). ``sort_array(collect_list(...))`` re-assembles dimension order
     deterministically.
+
+    Round-14 A/B note: a fused one-aggregate form (one groupBy(cell)
+    with a per-dimension array of 64 decimal sums — one exchange, no
+    ×dims fan-out) measured ~1.6× SLOWER here (ann_ivf_topk 3.6 → 6.0 s
+    min-of-5 at sf0.1): 64 wide decimal(20,10) buffers push the
+    aggregate out of efficient codegen, which costs more than the
+    exploded shuffle saves. The narrow (8-wide) PQ subspace variant
+    keeps the fused form — see pq._codebook_means. Re-measure before
+    "optimizing" this again.
     """
     exploded = corpus.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "val")
     )
-    # float → DOUBLE → decimal: a direct float→decimal cast rounds
-    # differently across engines (Spark expands the binary value, DuckDB
-    # goes through the shortest decimal repr); double→decimal agrees, so
-    # the oracle's unrolled k-means rounds stay bit-identical.
     per_dim = exploded.groupBy("cell", "dim").agg(
         (
             F.sum(F.col("val").cast("double").cast("decimal(20,10)"))

@@ -130,12 +130,18 @@ QUANTIZED_COMPUTED: dict[str, str] = {
 
 def _is_bare(e) -> bool:
     """A stored column (or a chain of casts of one) — identical bits in
-    both engines, so quantizing it is boundary-free."""
+    both engines, so quantizing it is boundary-free. An array ELEMENT
+    of a bare column is bare too (round 14: the one-pass centroid means
+    read ``element_at(embedding, i)`` instead of posexploding first —
+    same stored bits either way; the index expression is integral and
+    exact, it selects which bits, it cannot perturb them)."""
     cls = e.getClass().getSimpleName()
     if cls in ("AttributeReference", "Literal"):
         return True
     if cls == "Cast":
         return _is_bare(e.child())
+    if cls in ("ElementAt", "GetArrayItem"):
+        return _is_bare(e.left())
     return False
 
 
